@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+
+/** Deterministic primitives shared by operators AND mirrored verbatim in
+  * the generated DuckDB oracle SQL (see the `*Sql` objects). Every hash
+  * is an explicit polynomial hash — never an engine built-in — so the
+  * Spark plan and the oracle compute bit-identical values.
+  *
+  * Ref: embeddings/encoder.py:93-103 (`_hash_vectorize` hashes tokens
+  * with Python's `hash`); we substitute an explicitly-specified
+  * polynomial hash to make results portable and verifiable.
+  */
+package object functions {
+  /** Modulus for polynomial hashing; small enough that `h * 131 + c`
+    * never overflows Int64. */
+  val HashP: Long = 1000000007L
+
+  /** Whitespace tokenization, empty tokens dropped (Python `str.split`
+    * semantics on single-space text; ref encoder.py:96). */
+  def tokens(text: Column): Column =
+    F.filter(F.split(text, " "), t => F.length(t) > 0)
+
+  /** Left-fold polynomial string hash: h <- (h*base + codepoint) % p. */
+  def polyHash(s: Column, base: Long = 31L, p: Long = HashP): Column =
+    F.aggregate(
+      F.filter(F.split(s, ""), ch => F.length(ch) === 1),
+      F.lit(0L),
+      (h, ch) => (h * base + F.ascii(ch)) % p)
+
+  /** Elementwise double view of a float vector (all arithmetic is done
+    * in double, in index order, on both engines). */
+  def vecD(v: Column): Column = F.transform(v, x => x.cast("double"))
+
+  /** Sequential left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(
+      F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      F.lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Sequential left-fold squared-L2 distance, then sqrt. */
+  def euclid(a: Column, b: Column): Column =
+    F.sqrt(F.aggregate(
+      F.zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      F.lit(0.0),
+      (acc, v) => acc + v))
+
+  /** Unit-normalize (zero vectors pass through unchanged, like
+    * ref encoder.py:100-102). */
+  def l2Normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    F.when(n > 0.0, F.transform(v, x => x.cast("double") / n))
+      .otherwise(vecD(v))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Retrieval-quality evaluation (ref: evaluation/metrics.py).
+  *
+  * Ground truth (qrels): a doc is relevant to a query iff it shares the
+  * query's cluster `label` (the embeddings table's generative label
+  * stands in for the ref's synthetic qrels, auto_run_tests.py:260-268).
+  * Retrievals are the exact dot-product top-k of [[Knn.bruteForce]].
+  *
+  * Semantics match metrics.py exactly:
+  *  - precision@k = |top-k ∩ rel| / k            (metrics.py:6-12)
+  *  - recall@k    = |top-k ∩ rel| / |rel|        (metrics.py:15-19)
+  *  - AP = mean over *hit positions* of precision-at-that-position
+  *    (metrics.py:36-48 — divides by the number of retrieved hits, not
+  *    |rel|; 0.0 when nothing relevant was retrieved); MAP = mean AP.
+  *
+  * All joins against the (small) query set broadcast; everything else
+  * is window/groupBy with map-side partials.
+  */
+object Eval {
+  val K = Knn.K
+
+  /** top-K retrievals annotated with relevance (shared plan). */
+  private def hits(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Knn.topKPerQuery(
+      Knn.docSet(spark, dir).crossJoin(broadcast(Knn.querySet(spark, dir)))
+        .select(col("q_id"), col("q_label"), col("doc_id"), col("doc_label"),
+          dot(col("q_vec"), col("doc_vec")).as("score")), K)
+    ranked.withColumn("rel", (col("q_label") === col("doc_label")).cast("long"))
+  }
+
+  def precisionAtK(spark: SparkSession, dir: String): DataFrame =
+    hits(spark, dir)
+      .groupBy("q_id")
+      .agg(
+        (sum(when(col("rank") <= 5, col("rel")).otherwise(0L)) / 5.0).as("p_at_5"),
+        (sum(col("rel")) / lit(K.toDouble)).as("p_at_10"))
+      .select(col("q_id"), round(col("p_at_5"), 4).as("p_at_5"),
+        round(col("p_at_10"), 4).as("p_at_10"))
+      .orderBy("q_id")
+
+  def recallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val relCounts = Knn.docSet(spark, dir)
+      .join(broadcast(Knn.querySet(spark, dir).select("q_id", "q_label")),
+        col("doc_label") === col("q_label"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    hits(spark, dir)
+      .groupBy("q_id")
+      .agg(sum(when(col("rank") <= 5, col("rel")).otherwise(0L)).as("hits_5"),
+        sum(col("rel")).as("hits_10"))
+      .join(broadcast(relCounts), Seq("q_id"), "left")
+      .select(col("q_id"),
+        round(col("hits_5") / col("n_rel"), 4).as("r_at_5"),
+        round(col("hits_10") / col("n_rel"), 4).as("r_at_10"))
+      .orderBy("q_id")
+  }
+
+  /** Per-query AP then a single MAP row (metrics.py:36-55). */
+  def meanAveragePrecision(spark: SparkSession, dir: String): DataFrame = {
+    val cum = Window.partitionBy("q_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ap = hits(spark, dir)
+      .withColumn("cum_rel", sum("rel").over(cum))
+      .filter(col("rel") === 1)
+      .groupBy("q_id")
+      .agg(avg(col("cum_rel") / col("rank")).as("ap"))
+    Knn.querySet(spark, dir).select("q_id")
+      .join(ap, Seq("q_id"), "left")
+      .agg(round(avg(coalesce(col("ap"), lit(0.0))), 4).as("map"),
+        count(lit(1)).as("n_queries"))
+  }
+
+  object SqlOracle {
+    private val base: String =
+      Knn.SqlOracle.rankedSql(S.dot("q_vec", "doc_vec", VectorCore.Dim)) +
+        s""",
+           |h AS (
+           |  SELECT r.q_id, r.doc_id, r.rank,
+           |    CAST(q.q_label = d.doc_label AS BIGINT) AS rel
+           |  FROM ranked r
+           |  JOIN ${Knn.SqlOracle.queriesCte()} q USING (q_id)
+           |  JOIN ${Knn.SqlOracle.docsCte()} d USING (doc_id)
+           |  WHERE r.rank <= $K)""".stripMargin
+
+    val precisionAtK: String =
+      base + s"""
+        |SELECT q_id,
+        |  round(sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0, 4) AS p_at_5,
+        |  round(sum(rel) / ${K.toDouble}, 4) AS p_at_10
+        |FROM h GROUP BY q_id ORDER BY q_id""".stripMargin
+
+    val recallAtK: String =
+      base + s""",
+        |rc AS (
+        |  SELECT q.q_id, count(*) AS n_rel
+        |  FROM ${Knn.SqlOracle.queriesCte()} q
+        |  JOIN ${Knn.SqlOracle.docsCte()} d ON d.doc_label = q.q_label
+        |  GROUP BY q.q_id)
+        |SELECT h.q_id,
+        |  round(sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / CAST(any_value(n_rel) AS DOUBLE), 4) AS r_at_5,
+        |  round(sum(rel) / CAST(any_value(n_rel) AS DOUBLE), 4) AS r_at_10
+        |FROM h LEFT JOIN rc ON h.q_id = rc.q_id
+        |GROUP BY h.q_id ORDER BY h.q_id""".stripMargin
+
+    val meanAveragePrecision: String =
+      base + s""",
+        |cumu AS (
+        |  SELECT q_id, rank, rel,
+        |    sum(rel) OVER (PARTITION BY q_id ORDER BY rank
+        |                   ROWS UNBOUNDED PRECEDING) AS cum_rel
+        |  FROM h),
+        |ap AS (
+        |  SELECT q_id, avg(CAST(cum_rel AS DOUBLE) / rank) AS ap
+        |  FROM cumu WHERE rel = 1 GROUP BY q_id)
+        |SELECT round(avg(coalesce(ap.ap, 0.0)), 4) AS map,
+        |  count(*) AS n_queries
+        |FROM (SELECT DISTINCT q_id FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < ${Knn.NQueries})) q
+        |LEFT JOIN ap USING (q_id)""".stripMargin
+  }
+}

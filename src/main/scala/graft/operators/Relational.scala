@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** General relational/analytics surface (the reference aggregates run
+  * metrics with pandas group-bys, e.g. experiments/
+  * produce_h3_summary_and_plots.py; here re-expressed over the TPC-H-ish
+  * driver tables as declarative Catalyst plans).
+  *
+  * Scale notes: aggregates get map-side partial aggregation for free;
+  * dimension joins are explicitly broadcast; window top-n shuffles once
+  * on the partition key.
+  */
+object Relational {
+
+  /** Pricing-summary shape (scan → filter → groupBy → agg). Sums are
+    * rounded doubles; deterministic output order. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** customer ⋈ orders ⋈ lineitem revenue per order; dims broadcast. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(100)
+  }
+
+  /** Window-function top-n: top 3 orders by totalprice per customer
+    * (single shuffle on o_custkey; ties broken by o_orderkey). */
+  def windowTopN(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Exact distinct counts over several columns in one pass. */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        count(lit(1)).as("n_rows"))
+
+  object SqlOracle {
+    val q1Agg: String =
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_quantity > 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+    val q3JoinAgg: String =
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 100""".stripMargin
+
+    val windowTopN: String =
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin
+
+    val distinctCounts: String =
+      """SELECT count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderstatus) AS n_status,
+        |  count(DISTINCT o_orderpriority) AS n_prio,
+        |  count(*) AS n_rows
+        |FROM orders""".stripMargin
+  }
+}

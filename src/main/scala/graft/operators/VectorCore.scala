@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Vector scalar functions exercised relationally over the embeddings
+  * table (ref: local_db/mock.py:31-39 dot-product scoring;
+  * embeddings/encoder.py:100-102 L2 normalization). All outputs are
+  * scalar columns (never arrays) so the DuckDB oracle hash-compares
+  * cleanly; all arithmetic is sequential double folds on both engines.
+  */
+object VectorCore {
+  val Dim = 64
+
+  /** Adjacent-pair frame: each vector joined with vec_id+1. The join is
+    * a self equi-join on a monotone key — at scale this co-partitions on
+    * vec_id with a single shuffle. */
+  private def pairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+  }
+
+  def dotProduct(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")), 4).as("dot"))
+      .orderBy("id_a")
+
+  def cosineSim(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .orderBy("id_a")
+
+  def l2NormQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), round(l2Norm(col("embedding")), 4).as("norm"))
+      .orderBy("vec_id")
+
+  /** Normalization verified via scalar projections of the unit vector. */
+  def l2NormalizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val u = l2Normalize(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round(element_at(u, 1), 4).as("u_first"),
+        round(element_at(u, Dim), 4).as("u_last"),
+        round(aggregate(u, lit(0.0), (a, x) => a + x), 4).as("u_sum"))
+      .orderBy("vec_id")
+  }
+
+  def euclidDist(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir)
+      .select(col("id_a"), col("id_b"),
+        round(euclid(col("va"), col("vb")), 4).as("dist"))
+      .orderBy("id_a")
+
+  object SqlOracle {
+    private val joinFrom =
+      """FROM (SELECT vec_id AS id_a, embedding AS va FROM embeddings) a
+        |JOIN (SELECT vec_id AS id_b, embedding AS vb FROM embeddings) b
+        |  ON id_b = id_a + 1""".stripMargin
+
+    val dotProduct: String =
+      s"""SELECT id_a, id_b, round(${S.dot("va", "vb", Dim)}, 4) AS dot
+         |$joinFrom
+         |ORDER BY id_a""".stripMargin
+
+    val cosineSim: String =
+      s"""SELECT id_a, id_b, round(${S.cosine("va", "vb", Dim)}, 4) AS cos
+         |$joinFrom
+         |ORDER BY id_a""".stripMargin
+
+    val l2Norm: String =
+      s"""SELECT vec_id, round(${S.l2Norm("embedding", Dim)}, 4) AS norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+
+    val l2Normalize: String = {
+      val u = s"(CASE WHEN ${S.l2Norm("embedding", Dim)} > 0.0 THEN " +
+        s"[CAST(embedding[i] AS DOUBLE) / ${S.l2Norm("embedding", Dim)} for i in range(1, ${Dim + 1})] " +
+        s"ELSE [CAST(embedding[i] AS DOUBLE) for i in range(1, ${Dim + 1})] END)"
+      s"""SELECT vec_id,
+         |  round(u[1], 4) AS u_first,
+         |  round(u[$Dim], 4) AS u_last,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), u), (a, x) -> a + x), 4) AS u_sum
+         |FROM (SELECT vec_id, $u AS u FROM embeddings)
+         |ORDER BY vec_id""".stripMargin
+    }
+
+    val euclidDist: String =
+      s"""SELECT id_a, id_b, round(${S.euclid("va", "vb", Dim)}, 4) AS dist
+         |$joinFrom
+         |ORDER BY id_a""".stripMargin
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: reads the parquet
+results Verify.scala wrote, runs each oracle SQL in DuckDB against the
+same sf tables, and compares (row count, sorted-by-name columns, values).
+
+Usage: python3 tools/crosscheck.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    # sort columns by name, then sort rows by all columns for a stable compare
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark result written"); n_fail += 1
+            continue
+        try:
+            spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            duck_df = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            continue
+        s, d = canon(spark_df), canon(duck_df)
+        if list(s.columns) != list(d.columns):
+            print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}"); n_fail += 1
+            continue
+        if len(s) != len(d):
+            print(f"FAIL {name}: rows {len(s)} vs {len(d)}"); n_fail += 1
+            continue
+        if [str(t) for t in s.dtypes] != [str(t) for t in d.dtypes]:
+            print(f"WARN {name}: dtypes spark={dict(zip(s.columns, map(str, s.dtypes)))} duck={dict(zip(d.columns, map(str, d.dtypes)))}")
+            d = d.astype(dict(zip(s.columns, s.dtypes)))
+        if not s.equals(d):
+            neq = (s != d) & ~(s.isna() & d.isna())
+            bad = neq.any(axis=1)
+            print(f"FAIL {name}: {int(bad.sum())}/{len(s)} rows differ; first:")
+            idx = bad.idxmax()
+            print("  spark:", s.loc[idx].to_dict())
+            print("  duck :", d.loc[idx].to_dict())
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(s)} rows)")
+        n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
