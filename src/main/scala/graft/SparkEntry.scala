@@ -34,6 +34,30 @@ object SparkEntry {
     "eval_precision_at_k" -> ((s, d) => Eval.precisionAtK(s, d)),
     "eval_recall_at_k" -> ((s, d) => Eval.recallAtK(s, d)),
     "eval_map" -> ((s, d) => Eval.meanAveragePrecision(s, d)),
+    // Encoders
+    "enc_hashing_tf" -> ((s, d) => Encoders.hashingTf(s, d)),
+    "enc_tfidf" -> ((s, d) => Encoders.tfIdf(s, d)),
+    "enc_mean_pooling" -> ((s, d) => Encoders.meanPooling(s, d)),
+    // Deduplication
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    // Text analysis
+    "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    // Perf/ops analytics
+    "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
+    "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
+    "run_summary_groupby" -> ((s, d) => PerfStats.runSummary(s, d)),
+    // Multimodal plumbing
+    "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    // Streaming (batch-equivalent verified forms)
+    "stream_windowed_agg" -> ((s, d) => graft.streaming.StreamOps.windowedAggBatch(s, d)),
+    "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.sessionizeBatch(s, d)),
   )
 
   /** DuckDB oracle SQL per query key (same column names, same math). */
@@ -53,5 +77,23 @@ object SparkEntry {
     "eval_precision_at_k" -> Eval.SqlOracle.precisionAtK,
     "eval_recall_at_k" -> Eval.SqlOracle.recallAtK,
     "eval_map" -> Eval.SqlOracle.meanAveragePrecision,
+    "enc_hashing_tf" -> Encoders.SqlOracle.hashingTf(),
+    "enc_tfidf" -> Encoders.SqlOracle.tfIdf(),
+    "enc_mean_pooling" -> Encoders.SqlOracle.meanPooling,
+    "dedup_exact" -> Dedup.SqlOracle.exact,
+    "dedup_ngram_jaccard" -> Dedup.SqlOracle.ngramJaccard(),
+    "dedup_minhash_lsh" -> Dedup.SqlOracle.minhashLsh(),
+    "dedup_simhash" -> Dedup.SqlOracle.simhash,
+    "dedup_embedding_cosine" -> Dedup.SqlOracle.embeddingCosine(),
+    "text_token_count" -> TextAnalysis.SqlOracle.tokenCount,
+    "text_lang_id" -> TextAnalysis.SqlOracle.langId,
+    "text_quality_score" -> TextAnalysis.SqlOracle.qualityScore,
+    "text_fingerprint" -> TextAnalysis.SqlOracle.fingerprint,
+    "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
+    "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
+    "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,
+    "mm_binary_meta" -> Multimodal.SqlOracle.binaryMeta,
+    "stream_windowed_agg" -> graft.streaming.StreamOps.SqlOracle.windowedAgg,
+    "stream_sessionize" -> graft.streaming.StreamOps.SqlOracle.sessionize,
   )
 }

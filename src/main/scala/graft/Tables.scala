@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -23,7 +25,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  /** The events parquet stores TIMESTAMP(NANOS), which Spark only reads
+    * as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * Verify/Bench/tests); convert to a microsecond timestamp here
+    * (truncation — same as DuckDB's ns→µs cast). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

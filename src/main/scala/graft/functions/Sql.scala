@@ -8,6 +8,10 @@ package graft.functions
 object Sql {
   val P: Long = HashP
 
+  /** Mirror of functions.rnd — deterministic cross-engine rounding. */
+  def rnd(e: String, scale: Int = 4): String =
+    s"(floor(($e) * 1e$scale + 0.5e0) / 1e$scale)"
+
   /** Whitespace tokenization, empties dropped. */
   def tokens(e: String): String =
     s"list_filter(string_split($e, ' '), t -> len(t) > 0)"

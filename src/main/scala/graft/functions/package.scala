@@ -17,6 +17,16 @@ package object functions {
     * never overflows Int64. */
   val HashP: Long = 1000000007L
 
+  /** Deterministic cross-engine rounding: floor(x·10^s + 0.5)/10^s in
+    * double. Spark's `round` (exact BigDecimal HALF_UP) and DuckDB's
+    * `round` (scaled-double) disagree on exact half-boundaries (e.g.
+    * 0.59625 @ scale 4); this formula is the same IEEE ops on both
+    * engines, so results are bit-identical. Mirrored by Sql.rnd. */
+  def rnd(c: Column, scale: Int = 4): Column = {
+    val f = math.pow(10, scale)
+    F.floor(c * f + 0.5) / f
+  }
+
   /** Whitespace tokenization, empty tokens dropped (Python `str.split`
     * semantics on single-space text; ref encoder.py:96). */
   def tokens(text: Column): Column =

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (additions beyond the reference's own surface — SURVEY.md §2).
+  *
+  * Scale design: nothing here compares all-pairs. Exact dedup is a
+  * hash groupBy; MinHash-LSH shuffles on (band, bucket) so candidate
+  * generation is linear in data + output; the n-gram and embedding
+  * variants compare only within blocking keys. All randomness (MinHash
+  * permutations) is fixed Scala-side and embedded as literals in both
+  * the plan and the oracle SQL.
+  */
+object Dedup {
+  val P: Long = HashP
+
+  /** 16 MinHash permutations (a, b), derived once from seed 42 and
+    * shared verbatim by the Spark plan and the oracle SQL. */
+  val perms: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(16)((math.abs(rnd.nextLong()) % (P - 1) + 1,
+      math.abs(rnd.nextLong()) % P))
+  }
+  val NBands = 8 // 2 rows per band
+
+  /** Word 3-gram shingles, in token order (empty when < 3 tokens). */
+  def shingles(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= 3,
+      transform(sequence(lit(1), size(ts) - 2), i =>
+        concat(element_at(ts, i), lit(" "),
+          element_at(ts, i + 1), lit(" "),
+          element_at(ts, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup by content hash (md5 is identical in Spark and
+    * DuckDB): one survivor (min doc_id) per distinct content. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
+      .orderBy("content_hash")
+
+  /** Blocked n-gram Jaccard near-dup pairs: candidate pairs share
+    * (lang, first token); J = |∩|/|∪| over distinct shingles. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        element_at(tokens(col("text")), 1).as("t0"),
+        array_distinct(shingles(col("text"))).as("sh"))
+    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("t0"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("t0"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang", "t0"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("j", col("n_int") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_int")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), rnd(col("j"), 4).as("j"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signature columns mh_0..mh_15 (min over shingles of
+    * (a·h(s)+b) mod P — min is duplicate-insensitive so shingles need
+    * no distinct pass). */
+  def withMinhash(d: DataFrame): DataFrame =
+    perms.zipWithIndex.foldLeft(d) { case (df, ((a, b), i)) =>
+      df.withColumn(s"mh_$i",
+        aggregate(col("sh"), lit(Long.MaxValue),
+          (m, s) => least(m, (polyHash(s) * a + b) % P)))
+    }
+
+  /** MinHash + LSH near-dup pairs: 8 bands × 2 rows; docs sharing any
+    * band bucket become candidates; candidates are verified with exact
+    * shingle Jaccard ≥ threshold. The only shuffle that touches the
+    * full corpus is the explode-to-(band, key) groupBy. */
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val d = withMinhash(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0))
+    val banded = d.select(col("doc_id"), explode(array(
+      (0 until NBands).map(bb =>
+        struct(lit(bb).as("band"),
+          (col(s"mh_${2 * bb}") * P + col(s"mh_${2 * bb + 1}")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("j", col("n_int") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_int")).cast("double"))
+      .filter(col("j") >= threshold)
+      .select(col("id_a"), col("id_b"), rnd(col("j"), 4).as("j"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 62-bit SimHash fingerprint: token hash h64 = h31(t)·2³¹ + h131(t);
+    * per-bit signed counts (with token multiplicity), sign → bit.
+    * Integer group-sums keep it bit-identical with the oracle. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h64",
+        polyHash(col("tok"), 31) * lit(2147483648L) + polyHash(col("tok"), 131))
+    tok.select(col("doc_id"), col("h64"), explode(sequence(lit(0), lit(61))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("2 * (shiftright(h64, j) & 1) - 1")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("fp"))
+      .select(col("doc_id"), col("fp"), shiftright(col("fp"), 46).as("band"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by cluster label (the
+    * LSH-bucketed variant for unlabeled data is Ann.lshHyperplane). */
+  def embeddingCosine(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), rnd(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  object SqlOracle {
+    /** Shingle list in SQL (empty when < 3 tokens). */
+    def shinglesSql(toksExpr: String): String =
+      s"[t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]"
+        .replace("t[", s"($toksExpr)[").replace("len(t)", s"len($toksExpr)")
+
+    private val docShingles =
+      s"""(SELECT doc_id, lang, toks[1] AS t0,
+         |   [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in range(1, len(toks) - 1)] AS sh
+         | FROM (SELECT doc_id, lang, ${S.tokens("text")} AS toks FROM documents))""".stripMargin
+
+    val exact: String =
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS cnt
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin
+
+    def ngramJaccard(threshold: Double = 0.2): String =
+      s"""WITH d AS (SELECT doc_id, lang, t0, list_distinct(sh) AS sh FROM $docShingles)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, (floor((j) * 1e4 + 0.5e0) / 1e4) AS j
+         |FROM d a JOIN d b ON a.lang = b.lang AND a.t0 = b.t0 AND a.doc_id < b.doc_id,
+         |LATERAL (SELECT CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) /
+         |  CAST(len(a.sh) + len(b.sh) - len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) AS j) l
+         |WHERE j >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+
+    def minhashLsh(threshold: Double = 0.5): String = {
+      val mh = perms.zipWithIndex.map { case ((a, b), i) =>
+        s"list_reduce(list_prepend(${Long.MaxValue}, " +
+          s"[(${S.polyHash("s")} * $a + $b) % $P for s in sh]), " +
+          s"(m, x) -> least(m, x)) AS mh_$i"
+      }.mkString(",\n    ")
+      val bands = (0 until NBands).map(bb =>
+        s"(SELECT doc_id, $bb AS band, mh_${2 * bb} * $P + mh_${2 * bb + 1} AS key FROM m)")
+        .mkString("\n  UNION ALL ")
+      s"""WITH ds AS (SELECT doc_id, sh FROM (SELECT doc_id, lang, t0, sh FROM $docShingles) WHERE len(sh) > 0),
+         |m AS (SELECT doc_id,
+         |    $mh
+         |  FROM ds),
+         |banded AS (
+         |  $bands),
+         |cands AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+         |shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM $docShingles)
+         |SELECT id_a, id_b, (floor((j) * 1e4 + 0.5e0) / 1e4) AS j
+         |FROM cands
+         |JOIN shd a ON a.doc_id = id_a
+         |JOIN shd b ON b.doc_id = id_b,
+         |LATERAL (SELECT CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) /
+         |  CAST(len(a.sh) + len(b.sh) - len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) AS j) l
+         |WHERE j >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+    }
+
+    val simhash: String =
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    ${S.polyHash("tok", 31)} * 2147483648 + ${S.polyHash("tok", 131)} AS h64
+         |  FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j, sum(2 * ((h64 >> j) & 1) - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(62)) AS j)
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) >> 46 AS band
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    def embeddingCosine(threshold: Double = 0.3): String =
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    a.embedding AS va, b.embedding AS vb
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+         |s AS (SELECT id_a, id_b, ${S.cosine("va", "vb", VectorCore.Dim)} AS c FROM p)
+         |SELECT id_a, id_b, ${S.rnd("c", 4)} AS cos
+         |FROM s WHERE c >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+  }
+}

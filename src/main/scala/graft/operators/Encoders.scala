@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Batch embedding generation (ref: embeddings/encoder.py).
+  *
+  * Verified queries emit the *exploded relational form* — (doc_id,
+  * bucket/term, weight) — rather than assembled arrays: it is the same
+  * information, it hash-compares cleanly, and at scale it is the shape
+  * downstream joins want. `assembleVector` turns it back into a dense
+  * `Array[Double]` column when needed.
+  *
+  * Scale: one explode+groupBy shuffle per encoder (map-side combined),
+  * window re-normalization shuffles once on doc_id, vocabularies are
+  * broadcast. No driver-side state — unlike the ref's fitted
+  * TfidfVectorizer, the vocabulary is itself a (small) DataFrame.
+  */
+object Encoders {
+  val Dim = 64
+
+  /** (doc_id, tok) exploded token stream. */
+  private def toks(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+
+  /** Hashing-TF (ref encoder.py:93-103 `_hash_vectorize`): token →
+    * polynomial hash → bucket, per-bucket counts, row L2-normalized.
+    * The L2 norm is computed from exact integer squares, so it is
+    * bit-identical with the oracle. */
+  def hashingTf(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    toks(spark, dir)
+      .select(col("doc_id"), (polyHash(col("tok")) % dim).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(w)))
+      .select(col("doc_id"), col("bucket"),
+        rnd(col("cnt") / col("norm"), 4).as("tf_norm"))
+      .orderBy("doc_id", "bucket")
+  }
+
+  /** TF-IDF with a capped vocabulary (ref encoder.py:76-116
+    * DummyEncoder/TfidfVectorizer): vocabulary = top `dim` terms by
+    * total corpus frequency (ties: term asc), smoothed idf
+    * ln((1+N)/(1+df))+1, row L2-normalized tf·idf. */
+  def tfIdf(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
+    val docTerm = toks(spark, dir).groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val vocab = docTerm.groupBy("tok")
+      .agg(sum("tf").as("total"), count(lit(1)).as("df"))
+      .orderBy(desc("total"), col("tok"))
+      .limit(dim)
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+    docTerm.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight",
+        col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)))
+      .withColumn("norm", sqrt(sum(col("weight") * col("weight")).over(w)))
+      .select(col("doc_id"), col("tok").as("term"),
+        rnd(col("weight") / col("norm"), 4).as("w"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** Mean pooling (ref real_encoder.py:52-57 / encoder.py:42-48
+    * `_mean_pooling`): per-token vectors averaged into a doc vector.
+    * Token vectors come from a deterministic hash-derived stub lookup
+    * (no model weights ship in-container); pooling itself — the part
+    * the ref computes — is a sequential in-order fold, bit-identical
+    * with the oracle. Stub dim = 8. */
+  def meanPooling(spark: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    def tokVec(t: Column, j: Int): Column =
+      ((polyHash(t) * (j + 1)) % HashP).cast("double") / lit(HashP.toDouble)
+    val pooled = (0 until 8).map { j =>
+      rnd(
+        aggregate(ts, lit(0.0), (acc, t) => acc + tokVec(t, j)) / size(ts),
+        4).as(s"e_$j")
+    }
+    Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id") +: pooled: _*)
+      .orderBy("doc_id")
+  }
+
+  /** Dense-vector assembly from exploded (doc_id, bucket, weight) —
+    * library API used by the search pipeline and tests. */
+  def assembleVector(exploded: DataFrame, dim: Int,
+                     idCol: String = "doc_id", idxCol: String = "bucket",
+                     wCol: String = "tf_norm"): DataFrame =
+    exploded.groupBy(idCol)
+      .agg(map_from_entries(collect_list(struct(col(idxCol).cast("int"), col(wCol)))).as("_m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("_m"), i), lit(0.0))).as("vector"))
+
+  object SqlOracle {
+    private val toksCte =
+      s"(SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)"
+
+    def hashingTf(dim: Int = Dim): String =
+      s"""WITH t AS $toksCte,
+         |b AS (SELECT doc_id, ${S.polyHash("tok")} % $dim AS bucket FROM t),
+         |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket)
+         |SELECT doc_id, bucket,
+         |  (floor((cnt / sqrt(sum(cnt * cnt) OVER (PARTITION BY doc_id))) * 1e4 + 0.5e0) / 1e4) AS tf_norm
+         |FROM c ORDER BY doc_id, bucket""".stripMargin
+
+    def tfIdf(dim: Int = Dim): String =
+      s"""WITH t AS $toksCte,
+         |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+         |vocab AS (SELECT tok, sum(tf) AS total, count(*) AS df FROM dt
+         |          GROUP BY tok ORDER BY total DESC, tok LIMIT $dim),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |wtd AS (
+         |  SELECT dt.doc_id, dt.tok,
+         |    dt.tf * (ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) AS weight
+         |  FROM dt JOIN vocab USING (tok) CROSS JOIN nd)
+         |SELECT doc_id, tok AS term,
+         |  (floor((weight / sqrt(sum(weight * weight) OVER (PARTITION BY doc_id))) * 1e4 + 0.5e0) / 1e4) AS w
+         |FROM wtd ORDER BY doc_id, term""".stripMargin
+
+    val meanPooling: String = {
+      val p = HashP
+      def e(j: Int) =
+        S.rnd(s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST((${S.polyHash("t")} * ${j + 1}) % $p AS DOUBLE) / $p.0 for t in toks]), " +
+          s"(a, x) -> a + x) / len(toks)", 4) + s" AS e_$j"
+      s"""WITH d AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents)
+         |SELECT doc_id, ${(0 until 8).map(e).mkString(",\n  ")}
+         |FROM d WHERE len(toks) > 0
+         |ORDER BY doc_id""".stripMargin
+    }
+  }
+}

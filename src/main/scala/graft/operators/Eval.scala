@@ -41,8 +41,8 @@ object Eval {
       .agg(
         (sum(when(col("rank") <= 5, col("rel")).otherwise(0L)) / 5.0).as("p_at_5"),
         (sum(col("rel")) / lit(K.toDouble)).as("p_at_10"))
-      .select(col("q_id"), round(col("p_at_5"), 4).as("p_at_5"),
-        round(col("p_at_10"), 4).as("p_at_10"))
+      .select(col("q_id"), rnd(col("p_at_5"), 4).as("p_at_5"),
+        rnd(col("p_at_10"), 4).as("p_at_10"))
       .orderBy("q_id")
 
   def recallAtK(spark: SparkSession, dir: String): DataFrame = {
@@ -56,8 +56,8 @@ object Eval {
         sum(col("rel")).as("hits_10"))
       .join(broadcast(relCounts), Seq("q_id"), "left")
       .select(col("q_id"),
-        round(col("hits_5") / col("n_rel"), 4).as("r_at_5"),
-        round(col("hits_10") / col("n_rel"), 4).as("r_at_10"))
+        rnd(col("hits_5") / col("n_rel"), 4).as("r_at_5"),
+        rnd(col("hits_10") / col("n_rel"), 4).as("r_at_10"))
       .orderBy("q_id")
   }
 
@@ -72,7 +72,7 @@ object Eval {
       .agg(avg(col("cum_rel") / col("rank")).as("ap"))
     Knn.querySet(spark, dir).select("q_id")
       .join(ap, Seq("q_id"), "left")
-      .agg(round(avg(coalesce(col("ap"), lit(0.0))), 4).as("map"),
+      .agg(rnd(avg(coalesce(col("ap"), lit(0.0))), 4).as("map"),
         count(lit(1)).as("n_queries"))
   }
 
@@ -91,8 +91,8 @@ object Eval {
     val precisionAtK: String =
       base + s"""
         |SELECT q_id,
-        |  round(sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0, 4) AS p_at_5,
-        |  round(sum(rel) / ${K.toDouble}, 4) AS p_at_10
+        |  (floor((sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0) * 1e4 + 0.5e0) / 1e4) AS p_at_5,
+        |  (floor((sum(rel) / ${K.toDouble}) * 1e4 + 0.5e0) / 1e4) AS p_at_10
         |FROM h GROUP BY q_id ORDER BY q_id""".stripMargin
 
     val recallAtK: String =
@@ -103,8 +103,8 @@ object Eval {
         |  JOIN ${Knn.SqlOracle.docsCte()} d ON d.doc_label = q.q_label
         |  GROUP BY q.q_id)
         |SELECT h.q_id,
-        |  round(sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / CAST(any_value(n_rel) AS DOUBLE), 4) AS r_at_5,
-        |  round(sum(rel) / CAST(any_value(n_rel) AS DOUBLE), 4) AS r_at_10
+        |  (floor((sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / CAST(any_value(n_rel) AS DOUBLE)) * 1e4 + 0.5e0) / 1e4) AS r_at_5,
+        |  (floor((sum(rel) / CAST(any_value(n_rel) AS DOUBLE)) * 1e4 + 0.5e0) / 1e4) AS r_at_10
         |FROM h LEFT JOIN rc ON h.q_id = rc.q_id
         |GROUP BY h.q_id ORDER BY h.q_id""".stripMargin
 
@@ -118,7 +118,7 @@ object Eval {
         |ap AS (
         |  SELECT q_id, avg(CAST(cum_rel AS DOUBLE) / rank) AS ap
         |  FROM cumu WHERE rel = 1 GROUP BY q_id)
-        |SELECT round(avg(coalesce(ap.ap, 0.0)), 4) AS map,
+        |SELECT (floor((avg(coalesce(ap.ap, 0.0))) * 1e4 + 0.5e0) / 1e4) AS map,
         |  count(*) AS n_queries
         |FROM (SELECT DISTINCT q_id FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < ${Knn.NQueries})) q
         |LEFT JOIN ap USING (q_id)""".stripMargin

@@ -66,7 +66,7 @@ object Knn {
       scoredFrame(querySet(spark, dir), docSet(spark, dir),
         dot(col("q_vec"), col("doc_vec"))), k)
       .select(col("q_id"), col("rank"), col("doc_id"),
-        round(col("score"), 4).as("score"))
+        rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
 
   /** Exact top-k by cosine similarity. */
@@ -75,7 +75,7 @@ object Knn {
       scoredFrame(querySet(spark, dir), docSet(spark, dir),
         cosine(col("q_vec"), col("doc_vec"))), k)
       .select(col("q_id"), col("rank"), col("doc_id"),
-        round(col("score"), 4).as("score"))
+        rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
 
   /** Metadata-filtered search (ref: evaluation/search_eval.py:30-37
@@ -87,7 +87,7 @@ object Knn {
         docSet(spark, dir).filter(col("doc_label").isin(1, 2, 3) && col("doc_id") % 2 === 0),
         dot(col("q_vec"), col("doc_vec"))), k)
       .select(col("q_id"), col("rank"), col("doc_id"),
-        round(col("score"), 4).as("score"))
+        rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
 
   object SqlOracle {
@@ -112,7 +112,7 @@ object Knn {
          |  FROM scored)""".stripMargin
 
     private def topkSelect(k: Int = K): String =
-      s"""SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score
+      s"""SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, (floor((score) * 1e4 + 0.5e0) / 1e4) AS score
          |FROM ranked WHERE rank <= $k
          |ORDER BY q_id, rank""".stripMargin
 

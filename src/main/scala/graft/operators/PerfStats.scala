@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+
+/** Performance/ops analytics over the events table, standing in for the
+  * reference's timing logs:
+  *  - latency percentiles + QPS (ref: evaluation/search_eval.py:14-16
+  *    `latency_stats` mean/p95/p99/qps; auto_run_tests.py
+  *    `measure_offline_query_latency` mean/p50/p90/p99),
+  *  - per-batch ingest throughput (ref: ingestion/ingest.py:17-33
+  *    `summarize_timings` batch_time/batch_size/throughput_vps + totals),
+  *  - group-by run summaries (ref: experiments/
+  *    produce_h3_summary_and_plots.py mean/median/min/max by n_docs).
+  *
+  * Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+  * `quantile_cont`, both numpy-style linear interpolation); group-by
+  * aggregation with map-side partials; no driver loops.
+  */
+object PerfStats {
+
+  def latencyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(avg("value"), 4).as("mean_v"),
+        rnd(expr("percentile(value, 0.5)"), 4).as("p50"),
+        rnd(expr("percentile(value, 0.9)"), 4).as("p90"),
+        rnd(expr("percentile(value, 0.95)"), 4).as("p95"),
+        rnd(expr("percentile(value, 0.99)"), 4).as("p99"),
+        rnd(count(lit(1)) / sum("value"), 4).as("qps"))
+      .orderBy("event_type")
+
+  /** Batches of 256 by event_id (mirrors the ref's fixed batch loop,
+    * ingest.py:44-48): per-batch time/size/throughput. */
+  def ingestThroughput(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("event_id") / 256).as("batch_id"))
+      .agg(
+        count(lit(1)).cast("long").as("batch_size"),
+        rnd(sum("value"), 4).as("batch_time"),
+        rnd(count(lit(1)) / sum("value"), 4).as("throughput_vps"))
+      .orderBy("batch_id")
+
+  /** mean/median/min/max summary grouped by (event_type, hour-of-day) —
+    * the h3_summary_by_n_docs shape. */
+  def runSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(
+        count(lit(1)).as("n"),
+        rnd(avg("value"), 4).as("mean_v"),
+        rnd(expr("percentile(value, 0.5)"), 4).as("median_v"),
+        rnd(min("value"), 4).as("min_v"),
+        rnd(max("value"), 4).as("max_v"))
+      .orderBy("event_type", "hr")
+
+  object SqlOracle {
+    val latencyPercentiles: String =
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  (floor((avg(value)) * 1e4 + 0.5e0) / 1e4) AS mean_v,
+        |  (floor((quantile_cont(value, 0.5)) * 1e4 + 0.5e0) / 1e4) AS p50,
+        |  (floor((quantile_cont(value, 0.9)) * 1e4 + 0.5e0) / 1e4) AS p90,
+        |  (floor((quantile_cont(value, 0.95)) * 1e4 + 0.5e0) / 1e4) AS p95,
+        |  (floor((quantile_cont(value, 0.99)) * 1e4 + 0.5e0) / 1e4) AS p99,
+        |  (floor((count(*) / sum(value)) * 1e4 + 0.5e0) / 1e4) AS qps
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+    val ingestThroughput: String =
+      """SELECT CAST(floor(event_id / 256) AS BIGINT) AS batch_id,
+        |  count(*) AS batch_size,
+        |  (floor((sum(value)) * 1e4 + 0.5e0) / 1e4) AS batch_time,
+        |  (floor((count(*) / sum(value)) * 1e4 + 0.5e0) / 1e4) AS throughput_vps
+        |FROM events GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
+    val runSummary: String =
+      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |  count(*) AS n,
+        |  (floor((avg(value)) * 1e4 + 0.5e0) / 1e4) AS mean_v,
+        |  (floor((quantile_cont(value, 0.5)) * 1e4 + 0.5e0) / 1e4) AS median_v,
+        |  (floor((min(value)) * 1e4 + 0.5e0) / 1e4) AS min_v,
+        |  (floor((max(value)) * 1e4 + 0.5e0) / 1e4) AS max_v
+        |FROM events GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin
+  }
+}

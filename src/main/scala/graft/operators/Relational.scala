@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions._
 
 /** General relational/analytics surface (the reference aggregates run
   * metrics with pandas group-bys, e.g. experiments/
@@ -23,11 +24,11 @@ object Relational {
       .filter(col("l_quantity") > 0)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        rnd(sum("l_quantity"), 2).as("sum_qty"),
+        rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
+        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        rnd(avg("l_quantity"), 4).as("avg_qty"),
+        rnd(avg("l_discount"), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -41,7 +42,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(100)
@@ -56,7 +57,7 @@ object Relational {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= n)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("o_totalprice"),
+        rnd(col("o_totalprice"), 2).as("o_totalprice"),
         col("rnk").cast("long").as("rnk"))
       .orderBy("o_custkey", "rnk")
   }
@@ -73,11 +74,11 @@ object Relational {
   object SqlOracle {
     val q1Agg: String =
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  (floor((sum(l_quantity)) * 1e2 + 0.5e0) / 1e2) AS sum_qty,
+        |  (floor((sum(l_extendedprice)) * 1e2 + 0.5e0) / 1e2) AS sum_base_price,
+        |  (floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5e0) / 1e2) AS sum_disc_price,
+        |  (floor((avg(l_quantity)) * 1e4 + 0.5e0) / 1e4) AS avg_qty,
+        |  (floor((avg(l_discount)) * 1e6 + 0.5e0) / 1e6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_quantity > 0
         |GROUP BY l_returnflag, l_linestatus
@@ -85,7 +86,7 @@ object Relational {
 
     val q3JoinAgg: String =
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  (floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5e0) / 1e2) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -96,7 +97,7 @@ object Relational {
         |LIMIT 100""".stripMargin
 
     val windowTopN: String =
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rnk
+      """SELECT o_custkey, o_orderkey, (floor((o_totalprice) * 1e2 + 0.5e0) / 1e2) AS o_totalprice, rnk
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey

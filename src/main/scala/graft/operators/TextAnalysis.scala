@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Text-analysis operators over the documents table (training-data
+  * pipeline additions — SURVEY.md §2). Pure per-row maps: embarrassingly
+  * parallel, no shuffles at all, fully codegen-friendly.
+  */
+object TextAnalysis {
+  /** Stopword marker lists for the language-ID heuristic (fixed,
+    * shared with the oracle SQL). */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private val BpePattern = "[a-z]+|[0-9]|[^a-z0-9 ]"
+
+  /** Whitespace + BPE-ish regex token counts. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws"),
+        regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** n-gram/stopword-heuristic language ID: per-language marker hit
+    * counts, argmax with ties resolved in marker-list order, all-zero
+    * → 'und'. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val scoreCols = markers.map { case (l, ws) =>
+      size(filter(ts, t => t.isin(ws.map(lit): _*))).cast("long").as(s"s_$l")
+    }
+    // first matching branch wins -> ties resolve in markers order
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: scoreCols: _*)
+      .withColumn("pred_lang",
+        markers.reverse.foldLeft(lit("und")) { case (els, (l, _)) =>
+          when(col(s"s_$l") >= greatest(markers.map(m => col(s"s_${m._1}")): _*) &&
+            col(s"s_$l") > 0, lit(l)).otherwise(els)
+        })
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic quality score from token statistics
+    * (length / distinct-ratio / token-length / stopword components). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    val stop = markers.head._2 // english stopwords
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(ts).cast("long").as("n_toks"),
+        size(array_distinct(ts)).cast("long").as("n_uniq"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(ts, t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+      .withColumn("uniq_ratio", rnd(col("n_uniq") / col("n_toks").cast("double"), 4))
+      .withColumn("quality", rnd(
+        lit(0.25) * least(lit(1.0), col("n_toks") / lit(100.0)) +
+          lit(0.35) * (col("n_uniq") / col("n_toks").cast("double")) +
+          lit(0.2) * least(lit(1.0),
+            ((col("n_chars") - (col("n_toks") - 1)) / col("n_toks").cast("double")) / lit(8.0)) +
+          lit(0.2) * (lit(1.0) - col("n_stop") / col("n_toks").cast("double")), 4))
+      .select("doc_id", "n_toks", "uniq_ratio", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Rolling polynomial fingerprints: whole-text hash (base 131) and an
+    * order-sensitive token-sequence hash. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val ts = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        polyHash(col("text"), 131).as("fp_text"),
+        aggregate(ts, lit(0L),
+          (h, t) => (h * 1000003L + polyHash(t)) % HashP).as("fp_tokens"))
+      .orderBy("doc_id")
+  }
+
+  object SqlOracle {
+    private def toksE = S.tokens("text")
+
+    val tokenCount: String =
+      s"""SELECT doc_id,
+         |  CAST(len($toksE) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin
+
+    val langId: String = {
+      val scores = markers.map { case (l, ws) =>
+        s"CAST(len(list_filter($toksE, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val gr = s"greatest(${markers.map(m => s"s_${m._1}").mkString(", ")})"
+      val pred = markers.foldRight("'und'") { case ((l, _), els) =>
+        s"CASE WHEN s_$l >= $gr AND s_$l > 0 THEN '$l' ELSE $els END"
+      }
+      s"""SELECT doc_id, ${markers.map(m => s"s_${m._1}").mkString(", ")}, $pred AS pred_lang
+         |FROM (SELECT doc_id, $scores FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }
+
+    val qualityScore: String = {
+      val stop = markers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksE) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct($toksE)) AS BIGINT) AS n_uniq,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter($toksE, t -> t IN ($stop))) AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_toks,
+         |  (floor((n_uniq / CAST(n_toks AS DOUBLE)) * 1e4 + 0.5e0) / 1e4) AS uniq_ratio,
+         |  (floor((
+         |    0.25e0 * least(1.0e0, n_toks / 100.0e0) +
+         |    0.35e0 * (n_uniq / CAST(n_toks AS DOUBLE)) +
+         |    0.2e0 * least(1.0e0, ((n_chars - (n_toks - 1)) / CAST(n_toks AS DOUBLE)) / 8.0e0) +
+         |    0.2e0 * (1.0e0 - n_stop / CAST(n_toks AS DOUBLE))) * 1e4 + 0.5e0) / 1e4) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
+
+    val fingerprint: String =
+      s"""SELECT doc_id,
+         |  ${S.polyHash("text", 131)} AS fp_text,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    [${S.polyHash("t")} for t in $toksE]),
+         |    (h, t) -> (h * 1000003 + t) % ${HashP}) AS fp_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin
+  }
+}

@@ -28,18 +28,18 @@ object VectorCore {
   def dotProduct(spark: SparkSession, dir: String): DataFrame =
     pairs(spark, dir)
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")), 4).as("dot"))
+        rnd(dot(col("va"), col("vb")), 4).as("dot"))
       .orderBy("id_a")
 
   def cosineSim(spark: SparkSession, dir: String): DataFrame =
     pairs(spark, dir)
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 4).as("cos"))
+        rnd(cosine(col("va"), col("vb")), 4).as("cos"))
       .orderBy("id_a")
 
   def l2NormQ(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), round(l2Norm(col("embedding")), 4).as("norm"))
+      .select(col("vec_id"), rnd(l2Norm(col("embedding")), 4).as("norm"))
       .orderBy("vec_id")
 
   /** Normalization verified via scalar projections of the unit vector. */
@@ -47,16 +47,16 @@ object VectorCore {
     val u = l2Normalize(col("embedding"))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        round(element_at(u, 1), 4).as("u_first"),
-        round(element_at(u, Dim), 4).as("u_last"),
-        round(aggregate(u, lit(0.0), (a, x) => a + x), 4).as("u_sum"))
+        rnd(element_at(u, 1), 4).as("u_first"),
+        rnd(element_at(u, Dim), 4).as("u_last"),
+        rnd(aggregate(u, lit(0.0), (a, x) => a + x), 4).as("u_sum"))
       .orderBy("vec_id")
   }
 
   def euclidDist(spark: SparkSession, dir: String): DataFrame =
     pairs(spark, dir)
       .select(col("id_a"), col("id_b"),
-        round(euclid(col("va"), col("vb")), 4).as("dist"))
+        rnd(euclid(col("va"), col("vb")), 4).as("dist"))
       .orderBy("id_a")
 
   object SqlOracle {
@@ -66,17 +66,17 @@ object VectorCore {
         |  ON id_b = id_a + 1""".stripMargin
 
     val dotProduct: String =
-      s"""SELECT id_a, id_b, round(${S.dot("va", "vb", Dim)}, 4) AS dot
+      s"""SELECT id_a, id_b, (floor((${S.dot("va", "vb", Dim)}) * 1e4 + 0.5e0) / 1e4) AS dot
          |$joinFrom
          |ORDER BY id_a""".stripMargin
 
     val cosineSim: String =
-      s"""SELECT id_a, id_b, round(${S.cosine("va", "vb", Dim)}, 4) AS cos
+      s"""SELECT id_a, id_b, (floor((${S.cosine("va", "vb", Dim)}) * 1e4 + 0.5e0) / 1e4) AS cos
          |$joinFrom
          |ORDER BY id_a""".stripMargin
 
     val l2Norm: String =
-      s"""SELECT vec_id, round(${S.l2Norm("embedding", Dim)}, 4) AS norm
+      s"""SELECT vec_id, (floor((${S.l2Norm("embedding", Dim)}) * 1e4 + 0.5e0) / 1e4) AS norm
          |FROM embeddings ORDER BY vec_id""".stripMargin
 
     val l2Normalize: String = {
@@ -84,15 +84,15 @@ object VectorCore {
         s"[CAST(embedding[i] AS DOUBLE) / ${S.l2Norm("embedding", Dim)} for i in range(1, ${Dim + 1})] " +
         s"ELSE [CAST(embedding[i] AS DOUBLE) for i in range(1, ${Dim + 1})] END)"
       s"""SELECT vec_id,
-         |  round(u[1], 4) AS u_first,
-         |  round(u[$Dim], 4) AS u_last,
-         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), u), (a, x) -> a + x), 4) AS u_sum
+         |  (floor((u[1]) * 1e4 + 0.5e0) / 1e4) AS u_first,
+         |  (floor((u[$Dim]) * 1e4 + 0.5e0) / 1e4) AS u_last,
+         |  (floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE), u), (a, x) -> a + x)) * 1e4 + 0.5e0) / 1e4) AS u_sum
          |FROM (SELECT vec_id, $u AS u FROM embeddings)
          |ORDER BY vec_id""".stripMargin
     }
 
     val euclidDist: String =
-      s"""SELECT id_a, id_b, round(${S.euclid("va", "vb", Dim)}, 4) AS dist
+      s"""SELECT id_a, id_b, (floor((${S.euclid("va", "vb", Dim)}) * 1e4 + 0.5e0) / 1e4) AS dist
          |$joinFrom
          |ORDER BY id_a""".stripMargin
   }

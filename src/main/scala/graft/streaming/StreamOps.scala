@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+import graft.Tables
+import graft.functions.rnd
+
+/** Streaming operators (the ref ingests in streaming batches —
+  * ingestion/ingest.py:52-80 `run_*_ingest_stream`; here re-expressed
+  * as Structured Streaming).
+  *
+  * Each operator comes in two forms with identical semantics:
+  *  - a *streaming* form (`readStream`/`writeStream`, watermarks,
+  *    `flatMapGroupsWithState`) exercised in ScalaTest via rate/memory
+  *    sources, and
+  *  - a *batch-equivalent* form over the events table, which is what the
+  *    DuckDB oracle verifies (a correct streaming windowed agg must
+  *    produce exactly the batch answer once the watermark closes).
+  */
+object StreamOps {
+  val SessionGapMin = 30
+
+  // ---------- batch-equivalent (verified) forms ----------
+
+  /** Event-time hourly windowed counts/sums per event_type. */
+  def windowedAggBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sessionization with a 30-minute inactivity gap: batch equivalent
+    * via lag + cumulative session starts (single shuffle on user_id). */
+  def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > SessionGapMin * 60000L,
+          1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_id")
+      .agg(min("ts").as("session_start"),
+        count(lit(1)).as("n_events"),
+        (unix_millis(max("ts")) - unix_millis(min("ts"))).as("duration_ms"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  // ---------- streaming forms (tested with MemoryStream) ----------
+
+  /** Streaming hourly windowed agg with a 2-hour watermark. */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(sum("value"), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long, duration_sec: Long)
+  private case class SessState(start: Long, last: Long, n: Long)
+
+  /** Streaming sessionization via flatMapGroupsWithState with processing
+    * -time timeout: emits a session when the inactivity gap passes. */
+  def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), s.n, (s.last - s.start) / 1000))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= SessionGapMin * 60000L =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(user, new Timestamp(s.start), s.n, (s.last - s.start) / 1000)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(s"$SessionGapMin minutes")
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  object SqlOracle {
+    val windowedAgg: String =
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, (floor((sum(value)) * 1e4 + 0.5e0) / 1e4) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin
+
+    val sessionize: String =
+      s"""WITH x AS (
+         |  SELECT user_id, ts, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |y AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN prev_ts IS NULL
+         |           OR epoch_ms(ts) - epoch_ms(prev_ts) > ${SessionGapMin * 60000} THEN 1 ELSE 0 END AS new_sess
+         |  FROM x),
+         |z AS (
+         |  SELECT user_id, ts,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+         |  FROM y)
+         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, min(ts) AS session_start,
+         |  count(*) AS n_events,
+         |  CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms
+         |FROM z GROUP BY user_id, sess_id
+         |ORDER BY user_id, sess_id""".stripMargin
+  }
+}
