@@ -30,6 +30,8 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Knn.bruteForce(s, d)),
     "knn_cosine_topk" -> ((s, d) => Knn.cosineTopK(s, d)),
     "knn_metadata_filter" -> ((s, d) => Knn.metadataFilter(s, d)),
+    "ann_lsh_hyperplane" -> ((s, d) => Ann.lshHyperplane(s, d)),
+    "ann_ivf" -> ((s, d) => Ann.ivf(s, d)),
     // Retrieval evaluation
     "eval_precision_at_k" -> ((s, d) => Eval.precisionAtK(s, d)),
     "eval_recall_at_k" -> ((s, d) => Eval.recallAtK(s, d)),
@@ -74,6 +76,8 @@ object SparkEntry {
     "knn_bruteforce" -> Knn.SqlOracle.bruteForce,
     "knn_cosine_topk" -> Knn.SqlOracle.cosineTopK,
     "knn_metadata_filter" -> Knn.SqlOracle.metadataFilter,
+    "ann_lsh_hyperplane" -> Ann.SqlOracle.lshHyperplane,
+    "ann_ivf" -> Ann.SqlOracle.ivf,
     "eval_precision_at_k" -> Eval.SqlOracle.precisionAtK,
     "eval_recall_at_k" -> Eval.SqlOracle.recallAtK,
     "eval_map" -> Eval.SqlOracle.meanAveragePrecision,

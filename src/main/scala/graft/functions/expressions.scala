@@ -1,0 +1,198 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths. The higher-order-
+  * function formulations in [[graft.functions]] are the semantic spec
+  * (and what the DuckDB oracles mirror); these compute the *same*
+  * values with a tight compiled loop and `doGenCode` that stays inside
+  * whole-stage codegen — the HOF versions cost an interpreted lambda
+  * call per element (measured 92s → ~8s on dedup_minhash_lsh at sf0.1).
+  */
+object Kernels {
+  /** Left-fold polynomial hash over Unicode code points — identical to
+    * aggregate(split(s,''), 0, (h,c) -> (h*base + ascii(c)) % p) for
+    * any string (fast byte path for ASCII). */
+  def polyHash(u: UTF8String, base: Long, p: Long): Long = {
+    val n = u.numBytes()
+    var h = 0L
+    var i = 0
+    var ascii = true
+    while (i < n && ascii) {
+      val b = u.getByte(i)
+      if (b >= 0) { h = (h * base + b) % p; i += 1 }
+      else ascii = false
+    }
+    if (ascii) h
+    else {
+      // non-ASCII tail: fall back to code-point iteration
+      val s = u.toString
+      h = 0L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h = (h * base + cp) % p
+        j += Character.charCount(cp)
+      }
+      h
+    }
+  }
+
+  /** Sequential double-precision dot product over two float arrays —
+    * identical to aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),
+    * 0.0, +) for equal-length arrays. */
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Sequential squared-L2 distance (pre-sqrt), same fold order as the
+    * HOF spec. */
+  def dist2F(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+}
+
+/** polyhash(str) — codegen'd polynomial string hash. */
+case class PolyHashExpr(child: Expression, base: Long, p: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.polyHash(input.asInstanceOf[UTF8String], base, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.polyHash($c, ${base}L, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+/** dot_f(array<float>, array<float>) — codegen'd double dot product. */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProductExpr =
+    copy(left = l, right = r)
+}
+
+/** dist2_f(array<float>, array<float>) — codegen'd squared L2 distance. */
+case class Dist2Expr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dist2F(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dist2F($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Dist2Expr =
+    copy(left = l, right = r)
+}
+
+/** minhash_sigs(array<long>) — all 16 permutation minima in one pass
+  * (equals 16 separate aggregate-folds of least((h·a+b) mod p)). */
+case class MinHashSigsExpr(child: Expression, as: Array[Long], bs: Array[Long], p: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  def compute(arr: ArrayData): ArrayData = {
+    val k = as.length
+    val sigs = new Array[Long](k)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % p
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mhSigs", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigsExpr =
+    copy(child = newChild)
+}
+
+/** hyperplane_sig(array<float>) — LSH bit signature: bit j set iff
+  * dot(v, plane_j) > 0, planes fixed at construction. Equals the
+  * per-plane HOF dot + CASE formulation the oracle uses. */
+case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  def compute(arr: ArrayData): Long = {
+    var bits = 0L
+    var j = 0
+    while (j < planes.length) {
+      val pl = planes(j)
+      val n = math.min(arr.numElements(), pl.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += arr.getFloat(i).toDouble * pl(i); i += 1 }
+      if (acc > 0.0) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hpSig", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigExpr =
+    copy(child = newChild)
+}
+
+/** Column-level entry points for the native kernels. */
+object native {
+  private def ex(c: Column) = Bridge.expression(c)
+
+  def polyHash(s: Column, base: Long = 31L, p: Long = HashP): Column =
+    Bridge.column(PolyHashExpr(ex(s), base, p))
+
+  /** Only valid on array<float> columns (the embeddings schema). */
+  def dotF(a: Column, b: Column): Column =
+    Bridge.column(DotProductExpr(ex(a), ex(b)))
+
+  def dist2F(a: Column, b: Column): Column =
+    Bridge.column(Dist2Expr(ex(a), ex(b)))
+
+  def minhashSigs(shingleHashes: Column, perms: Seq[(Long, Long)], p: Long = HashP): Column =
+    Bridge.column(MinHashSigsExpr(ex(shingleHashes),
+      perms.map(_._1).toArray, perms.map(_._2).toArray, p))
+
+  def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
+    Bridge.column(HyperplaneSigExpr(ex(v), planes))
+}

@@ -32,8 +32,15 @@ package object functions {
   def tokens(text: Column): Column =
     F.filter(F.split(text, " "), t => F.length(t) > 0)
 
-  /** Left-fold polynomial string hash: h <- (h*base + codepoint) % p. */
+  /** Left-fold polynomial string hash: h <- (h*base + codepoint) % p.
+    * Computed by the codegen'd [[PolyHashExpr]]; [[polyHashHof]] is the
+    * declarative spec it must equal (asserted in FunctionsSpec). */
   def polyHash(s: Column, base: Long = 31L, p: Long = HashP): Column =
+    native.polyHash(s, base, p)
+
+  /** HOF formulation of [[polyHash]] — the semantic spec the DuckDB
+    * oracle mirrors. */
+  def polyHashHof(s: Column, base: Long = 31L, p: Long = HashP): Column =
     F.aggregate(
       F.filter(F.split(s, ""), ch => F.length(ch) === 1),
       F.lit(0L),
@@ -43,8 +50,13 @@ package object functions {
     * in double, in index order, on both engines). */
   def vecD(v: Column): Column = F.transform(v, x => x.cast("double"))
 
-  /** Sequential left-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left-fold dot product in double precision over
+    * array&lt;float&gt; columns (codegen'd kernel; [[dotHof]] is the
+    * equivalent declarative spec). */
+  def dot(a: Column, b: Column): Column = native.dotF(a, b)
+
+  /** HOF formulation of [[dot]] (any numeric array type). */
+  def dotHof(a: Column, b: Column): Column =
     F.aggregate(
       F.zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       F.lit(0.0),
@@ -54,14 +66,9 @@ package object functions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Sequential left-fold squared-L2 distance, then sqrt. */
-  def euclid(a: Column, b: Column): Column =
-    F.sqrt(F.aggregate(
-      F.zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      F.lit(0.0),
-      (acc, v) => acc + v))
+  /** Sequential left-fold squared-L2 distance, then sqrt
+    * (array&lt;float&gt; inputs, codegen'd kernel). */
+  def euclid(a: Column, b: Column): Column = F.sqrt(native.dist2F(a, b))
 
   /** Unit-normalize (zero vectors pass through unchanged, like
     * ref encoder.py:100-102). */

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Approximate nearest neighbour search — the 100 TB scale path beside
+  * [[Knn]]'s exact scan (ref indexes with HNSW via Weaviate,
+  * weaviate/client.py:44-56; HNSW's graph walk is inherently
+  * single-node, so the Spark-native equivalents are bucketed pruning:
+  * random-hyperplane LSH and IVF).
+  *
+  * Both operators: candidate generation touches each doc row once
+  * (signature/assignment is a per-row map against broadcast constants),
+  * candidates shuffle on the bucket key only, and the exact re-rank
+  * runs on the pruned candidate set. Deterministic: hyperplanes are
+  * fixed seed-42 literals shared with the oracle SQL; centroids are
+  * fixed seed vectors (vec_id < NCentroids); ties break on doc_id.
+  */
+object Ann {
+  val Dim = VectorCore.Dim
+  val NPlanes = 16
+  val NBands = 4 // 4 bits per band
+  val BandBits = 4
+  val NCentroids = 16
+  val NProbe = 4
+  val K = Knn.K
+
+  /** Fixed random hyperplanes (seed 42), embedded as literals in both
+    * the Spark plan and the oracle SQL. */
+  val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** 16-bit hyperplane signature of an embedding column. */
+  def signature(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    native.hyperplaneSig(v, planes)
+
+  /** LSH ANN: docs and queries hash to 2 byte-wide band buckets; docs
+    * sharing any band bucket with a query are candidates; exact
+    * dot-product top-k re-ranks them. */
+  def lshHyperplane(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.withColumn("_sig", signature(col(vecCol)))
+        .select(col(idCol), col(vecCol), explode(array(
+          (0 until NBands).map(bb => struct(
+            lit(bb).as("band"),
+            shiftright(col("_sig"), BandBits * bb).bitwiseAND((1 << BandBits) - 1).as("bkt"))): _*)).as("bk"))
+        .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bkt"))
+    val q = banded(Knn.querySet(spark, dir), "q_id", "q_vec")
+    val d = banded(Knn.docSet(spark, dir), "doc_id", "doc_vec")
+    val cands = d.join(broadcast(q), Seq("band", "bkt"))
+      .select(col("q_id"), col("doc_id"), col("q_vec"), col("doc_vec"))
+      .groupBy("q_id", "doc_id")
+      .agg(first("q_vec").as("q_vec"), first("doc_vec").as("doc_vec"))
+    Knn.topKPerQuery(
+      cands.select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score")), k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF ANN: fixed seed centroids (vec_id < NCentroids); every doc is
+    * assigned to its argmax-dot centroid (broadcast join, one pass);
+    * each query probes its top-NProbe centroids and exact-reranks the
+    * docs in those lists. [[fitCentroids]] is the Lloyd trainer for
+    * real deployments (same plan shape per iteration). */
+  def ivf(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(dot(col(vecCol), col("c_vec")).desc, col("c_id"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") <= n)
+        .drop("c_vec", "_r")
+    }
+    val docs = assign(Knn.docSet(spark, dir), "doc_id", "doc_vec", 1)
+    val qs = assign(Knn.querySet(spark, dir), "q_id", "q_vec", NProbe)
+    val cands = docs.join(broadcast(qs), Seq("c_id"))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score"))
+      .groupBy("q_id", "doc_id").agg(first("score").as("score"))
+    Knn.topKPerQuery(cands, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Lloyd k-means fit over an embedding frame: each iteration is one
+    * broadcast-assign + one groupBy-mean (two shuffle-free/one-shuffle
+    * stages) — the scale path for real centroid training. Returns
+    * (c_id, c_vec array<double>). */
+  def fitCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    var cent = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("c_vec"))
+    cent = spark.createDataFrame(cent.collect().toIndexedSeq.asJava, cent.schema) // pin seeds
+    for (_ <- 0 until iters) {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(dotHof(col("embedding"), col("c_vec")).desc, col("c_id"))
+      val assigned = emb.crossJoin(broadcast(cent))
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+      val agg = assigned.groupBy("c_id")
+        .agg(array((0 until Dim).map(i =>
+          avg(element_at(col("embedding"), i + 1))): _*).as("c_vec"))
+      cent = agg
+    }
+    cent
+  }
+
+  private implicit class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  object SqlOracle {
+    /** Plane literals rendered with round-trip double formatting (an
+      * exponent marker forces DuckDB to parse DOUBLE, not DECIMAL). */
+    private def planeList(j: Int): String =
+      planes(j).map { x =>
+        val r = java.lang.Double.toString(x)
+        if (r.contains("E") || r.contains("e")) r else r + "e0"
+      }.mkString("[", ", ", "]")
+
+    /** Signature bits via the same sequential fold the kernel runs. */
+    private def sigExpr(vec: String): String = {
+      val bits = (0 until NPlanes).map { j =>
+        val d = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST(($vec)[i] AS DOUBLE) * (${planeList(j)})[i] for i in range(1, ${Dim + 1})]), " +
+          s"(x, y) -> x + y)"
+        s"(CASE WHEN $d > 0.0e0 THEN ${1L << j} ELSE 0 END)"
+      }
+      bits.mkString("(", " + ", ")")
+    }
+
+    val lshHyperplane: String =
+      s"""WITH q0 AS ${Knn.SqlOracle.queriesCte()},
+         |d0 AS ${Knn.SqlOracle.docsCte()},
+         |qs AS (SELECT q_id, q_vec, ${sigExpr("q_vec")} AS sig FROM q0),
+         |dsg AS (SELECT doc_id, doc_vec, ${sigExpr("doc_vec")} AS sig FROM d0),
+         |qb AS (SELECT q_id, q_vec, b.band, (sig >> ($BandBits * b.band)) & ${(1 << BandBits) - 1} AS bkt
+         |       FROM qs CROSS JOIN (SELECT unnest(range($NBands)) AS band) b),
+         |db AS (SELECT doc_id, doc_vec, b.band, (sig >> ($BandBits * b.band)) & ${(1 << BandBits) - 1} AS bkt
+         |       FROM dsg CROSS JOIN (SELECT unnest(range($NBands)) AS band) b),
+         |cands AS (
+         |  SELECT DISTINCT q_id, doc_id FROM db JOIN qb USING (band, bkt)),
+         |scored AS (
+         |  SELECT c.q_id, c.doc_id, ${S.dot("q.q_vec", "d.doc_vec", Dim)} AS score
+         |  FROM cands c JOIN q0 q USING (q_id) JOIN d0 d USING (doc_id)),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+
+    val ivf: String =
+      s"""WITH q0 AS ${Knn.SqlOracle.queriesCte()},
+         |d0 AS ${Knn.SqlOracle.docsCte()},
+         |cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+         |         WHERE vec_id < $NCentroids),
+         |dscore AS (
+         |  SELECT doc_id, c_id, ${S.dot("doc_vec", "c_vec", Dim)} AS s
+         |  FROM d0 CROSS JOIN cent),
+         |dassign AS (
+         |  SELECT doc_id, c_id FROM (
+         |    SELECT doc_id, c_id,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c_id) AS r
+         |    FROM dscore) WHERE r = 1),
+         |qscore AS (
+         |  SELECT q_id, c_id, ${S.dot("q_vec", "c_vec", Dim)} AS s
+         |  FROM q0 CROSS JOIN cent),
+         |qprobe AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS r
+         |    FROM qscore) WHERE r <= $NProbe),
+         |cands AS (
+         |  SELECT DISTINCT q_id, doc_id
+         |  FROM dassign JOIN qprobe USING (c_id)),
+         |scored AS (
+         |  SELECT c.q_id, c.doc_id, ${S.dot("q.q_vec", "d.doc_vec", Dim)} AS score
+         |  FROM cands c JOIN q0 q USING (q_id) JOIN d0 d USING (doc_id)),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+  }
+}

@@ -48,12 +48,13 @@ object Dedup {
       .orderBy("content_hash")
 
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs share
-    * (lang, first token); J = |∩|/|∪| over distinct shingles. */
+    * (lang, first token); J = |∩|/|∪| over distinct *hashed* shingles
+    * (set ops on longs, not strings — same hash on both engines). */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         element_at(tokens(col("text")), 1).as("t0"),
-        array_distinct(shingles(col("text"))).as("sh"))
+        array_distinct(transform(shingles(col("text")), s => polyHash(s))).as("sh"))
     val a = d.select(col("doc_id").as("id_a"), col("lang"), col("t0"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("lang"), col("t0"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "t0"))
@@ -68,35 +69,46 @@ object Dedup {
 
   /** MinHash signature columns mh_0..mh_15 (min over shingles of
     * (a·h(s)+b) mod P — min is duplicate-insensitive so shingles need
-    * no distinct pass). */
-  def withMinhash(d: DataFrame): DataFrame =
-    perms.zipWithIndex.foldLeft(d) { case (df, ((a, b), i)) =>
+    * no distinct pass). Shingle hashes are computed once into an
+    * array&lt;long&gt;, so the 16 permutation folds are cheap integer
+    * arithmetic instead of 16 re-hashes of every shingle. */
+  def withMinhash(d: DataFrame): DataFrame = {
+    val hashed = d.withColumn("_shh", transform(col("sh"), s => polyHash(s)))
+    perms.zipWithIndex.foldLeft(hashed) { case (df, ((a, b), i)) =>
       df.withColumn(s"mh_$i",
-        aggregate(col("sh"), lit(Long.MaxValue),
-          (m, s) => least(m, (polyHash(s) * a + b) % P)))
-    }
+        aggregate(col("_shh"), lit(Long.MaxValue),
+          (m, h) => least(m, (h * a + b) % P)))
+    }.drop("_shh")
+  }
 
   /** MinHash + LSH near-dup pairs: 8 bands × 2 rows; docs sharing any
     * band bucket become candidates; candidates are verified with exact
     * shingle Jaccard ≥ threshold. The only shuffle that touches the
     * full corpus is the explode-to-(band, key) groupBy. */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val d = withMinhash(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0))
-    val banded = d.select(col("doc_id"), explode(array(
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(shingles(col("text")), s => polyHash(s)).as("shh"))
+      .filter(size(col("shh")) > 0)
+    val sigs = hashed.select(col("doc_id"),
+      graft.functions.native.minhashSigs(col("shh"), perms, P).as("sig"))
+    val banded = sigs.select(col("doc_id"), explode(array(
       (0 until NBands).map(bb =>
         struct(lit(bb).as("band"),
-          (col(s"mh_${2 * bb}") * P + col(s"mh_${2 * bb + 1}")).as("key"))): _*)).as("bk"))
+          (col("sig").getItem(2 * bb) * P + col("sig").getItem(2 * bb + 1)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    val cands = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    // bucket-local pair expansion: the signature frame is computed once
+    // (no self-join recompute); buckets are tiny so the i<j expansion is
+    // cheap, and a skewed bucket degrades no worse than a self-join.
+    val cands = banded.groupBy("band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i.cast("int") + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("pr"))
+      .select(col("pr.id_a"), col("pr.id_b"))
       .distinct()
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sh"))
+    val sh = hashed.select(col("doc_id"), array_distinct(col("shh")).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -158,7 +170,8 @@ object Dedup {
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin
 
     def ngramJaccard(threshold: Double = 0.2): String =
-      s"""WITH d AS (SELECT doc_id, lang, t0, list_distinct(sh) AS sh FROM $docShingles)
+      s"""WITH d AS (SELECT doc_id, lang, t0,
+         |  list_distinct([${S.polyHash("s")} for s in sh]) AS sh FROM $docShingles)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, (floor((j) * 1e4 + 0.5e0) / 1e4) AS j
          |FROM d a JOIN d b ON a.lang = b.lang AND a.t0 = b.t0 AND a.doc_id < b.doc_id,
          |LATERAL (SELECT CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS BIGINT) /
@@ -185,7 +198,8 @@ object Dedup {
          |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
          |  FROM banded x JOIN banded y
          |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-         |shd AS (SELECT doc_id, list_distinct(sh) AS sh FROM $docShingles)
+         |shd AS (SELECT doc_id,
+         |  list_distinct([${S.polyHash("s")} for s in sh]) AS sh FROM $docShingles)
          |SELECT id_a, id_b, (floor((j) * 1e4 + 0.5e0) / 1e4) AS j
          |FROM cands
          |JOIN shd a ON a.doc_id = id_a

@@ -67,15 +67,18 @@ object StreamOps {
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long, duration_sec: Long)
-  private case class SessState(start: Long, last: Long, n: Long)
+  case class SessState(start: Long, last: Long, n: Long)
 
-  /** Streaming sessionization via flatMapGroupsWithState with processing
-    * -time timeout: emits a session when the inactivity gap passes. */
-  def sessionizeStream(events: Dataset[Ev]): Dataset[SessionOut] = {
+  /** Streaming sessionization via flatMapGroupsWithState: a session is
+    * emitted when a later event for the user passes the inactivity gap,
+    * or (with ProcessingTimeTimeout, the production default) when the
+    * state times out with no further events. */
+  def sessionizeStream(events: Dataset[Ev],
+                       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -99,7 +102,8 @@ object StreamOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(s"$SessionGapMin minutes")
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(s"$SessionGapMin minutes")
             }
             out.result().iterator
           }

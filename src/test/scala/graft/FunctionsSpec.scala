@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => Fn}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.functions._
+import graft.operators.Dedup
+
+/** Native codegen kernels must compute exactly what their declarative
+  * HOF specs compute (the specs are what the DuckDB oracles mirror). */
+class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  test("native polyHash equals HOF spec on document text and tokens") {
+    val d = Tables.documents(spark, sfDir)
+      .select(polyHash(col("text")).as("a"), polyHashHof(col("text")).as("b"),
+        polyHash(col("text"), 131).as("a131"), polyHashHof(col("text"), 131).as("b131"))
+    d.filter(col("a") =!= col("b") || col("a131") =!= col("b131")).count() shouldBe 0
+  }
+
+  test("polyHash edge cases: empty string, single char, unicode") {
+    import spark.implicits._
+    val df = Seq("", "a", "hello world", "héllo ünïcode", "中文").toDF("s")
+    val bad = df.select(polyHash(col("s")).as("a"), polyHashHof(col("s")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    bad shouldBe 0
+  }
+
+  test("native dot/dist2 equal HOF specs on embeddings") {
+    val e = Tables.embeddings(spark, sfDir)
+    val a = e.select(col("vec_id"), col("embedding").as("va"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("vb"))
+    val p = a.join(b, "vec_id")
+    p.select(
+        dot(col("va"), col("vb")).as("n"),
+        dotHof(col("va"), col("vb")).as("h"))
+      .filter(col("n") =!= col("h")).count() shouldBe 0
+    p.select(
+        euclid(col("va"), col("vb")).as("n"),
+        sqrt(aggregate(zip_with(col("va"), col("vb"),
+          (x, y) => { val d = x.cast("double") - y.cast("double"); d * d }),
+          lit(0.0), (acc, v) => acc + v)).as("h"))
+      .filter(col("n") =!= col("h")).count() shouldBe 0
+  }
+
+  test("native minhashSigs equals per-permutation HOF folds") {
+    val hashed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        transform(Dedup.shingles(col("text")), s => polyHash(s)).as("shh"))
+      .filter(Fn.size(col("shh")) > 0)
+    val native = hashed.select(col("doc_id"),
+      graft.functions.native.minhashSigs(col("shh"), Dedup.perms, Dedup.P).as("sig"))
+    val viaHof = Dedup.perms.zipWithIndex.foldLeft(hashed) { case (df, ((a, b), i)) =>
+      df.withColumn(s"mh_$i", aggregate(col("shh"), lit(Long.MaxValue),
+        (m, h) => least(m, (h * a + b) % Dedup.P)))
+    }.select(col("doc_id"),
+      array((0 until Dedup.perms.size).map(i => col(s"mh_$i")): _*).as("sig"))
+    native.join(viaHof.withColumnRenamed("sig", "sig2"), "doc_id")
+      .filter(col("sig") =!= col("sig2")).count() shouldBe 0
+  }
+
+  test("rnd matches floor formula and avoids negative zero") {
+    import spark.implicits._
+    val df = Seq(0.59625, -0.00003, 0.0, 1.23456789, -2.5).toDF("x")
+    val rows = df.select(rnd(col("x"), 4).as("r")).as[Double].collect()
+    // 0.59625 * 1e4 = 5962.4999... in IEEE double -> floors to 5962 on
+    // BOTH engines (Spark's exact-BigDecimal round() would say 5963,
+    // DuckDB's scaled round() 5962 — which is why rnd exists).
+    rows(0) shouldBe 0.5962
+    rows(1) shouldBe 0.0
+    java.lang.Double.doubleToRawLongBits(rows(1)) shouldBe 0L // not -0.0
+  }
+}

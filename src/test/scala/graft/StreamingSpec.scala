@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.streaming.StreamOps
+
+/** Real Structured Streaming execution: the streaming forms must agree
+  * with their batch-equivalent (oracle-verified) forms once all data is
+  * ingested and windows close. */
+class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowedAggStream over MemoryStream equals batch groupBy") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedAggStream(events)
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("complete").start()
+    try {
+      val data = (0 until 180 by 7).map(m => (ts(m), if (m % 2 == 0) "a" else "b", m / 10.0))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wagg")
+      val batch = data.toDF("ts", "event_type", "value")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.functions.rnd(sum("value"), 4).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+      streamed.exceptAll(batch).count() shouldBe 0
+      batch.exceptAll(streamed).count() shouldBe 0
+    } finally q.stop()
+  }
+
+  test("sessionizeStream emits closed sessions matching gap semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.sessionizeStream(input.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions separated by > 30 min; second stays open
+      input.addData(
+        StreamOps.Ev(1, ts(0), 1, "a", 1.0),
+        StreamOps.Ev(2, ts(10), 1, "a", 1.0),
+        StreamOps.Ev(3, ts(60), 1, "a", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[StreamOps.SessionOut].collect()
+      closed.length shouldBe 1
+      closed.head.n_events shouldBe 2
+      closed.head.session_start shouldBe ts(0)
+    } finally q.stop()
+  }
+
+  test("batch sessionize: session boundaries respect the 30-minute gap") {
+    val r = StreamOps.sessionizeBatch(spark, sfDir)
+    r.count() should be > 0L
+    // no session may contain an internal gap > 30 min: sessions of n=1
+    // have duration 0; all durations are non-negative
+    r.filter(col("duration_ms") < 0).count() shouldBe 0
+  }
+}
