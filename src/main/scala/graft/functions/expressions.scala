@@ -45,6 +45,53 @@ object Kernels {
     }
   }
 
+  /** [[polyHash]] continued from a running value (for concatenations). */
+  def polyHashContinue(h0: Long, u: UTF8String, base: Long, p: Long): Long = {
+    val n = u.numBytes()
+    var h = h0
+    var i = 0
+    var ascii = true
+    while (i < n && ascii) {
+      val b = u.getByte(i)
+      if (b >= 0) { h = (h * base + b) % p; i += 1 }
+      else ascii = false
+    }
+    if (ascii) h
+    else {
+      val s = u.toString
+      h = h0
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h = (h * base + cp) % p
+        j += Character.charCount(cp)
+      }
+      h
+    }
+  }
+
+  /** Hashes of all n-token shingles of a token array, with a single
+    * space (32) folded between tokens — byte-for-byte equal to
+    * polyHash(concat_ws(" ", tok_i..tok_{i+n-1})) with zero string
+    * allocation. */
+  def shingleHashes(arr: ArrayData, n: Int, base: Long, p: Long): ArrayData = {
+    val total = arr.numElements()
+    val out = if (total < n) new Array[Long](0) else new Array[Long](total - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0L
+      var j = 0
+      while (j < n) {
+        h = polyHashContinue(h, arr.getUTF8String(i + j), base, p)
+        if (j < n - 1) h = (h * base + 32) % p
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sequential double-precision dot product over two float arrays —
     * identical to aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),
     * 0.0, +) for equal-length arrays. */
@@ -108,6 +155,20 @@ case class Dist2Expr(left: Expression, right: Expression)
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dist2F($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Dist2Expr =
     copy(left = l, right = r)
+}
+
+/** shingle_hashes(array<string>) — hashed n-token shingles. */
+case class ShingleHashExpr(child: Expression, n: Int, base: Long, p: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.shingleHashes(input.asInstanceOf[ArrayData], n, base, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.shingleHashes($c, $n, ${base}L, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
 }
 
 /** minhash_sigs(array<long>) — all 16 permutation minima in one pass
@@ -188,6 +249,9 @@ object native {
 
   def dist2F(a: Column, b: Column): Column =
     Bridge.column(Dist2Expr(ex(a), ex(b)))
+
+  def shingleHashes(toks: Column, n: Int = 3, base: Long = 31L, p: Long = HashP): Column =
+    Bridge.column(ShingleHashExpr(ex(toks), n, base, p))
 
   def minhashSigs(shingleHashes: Column, perms: Seq[(Long, Long)], p: Long = HashP): Column =
     Bridge.column(MinHashSigsExpr(ex(shingleHashes),

@@ -43,6 +43,15 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
       .filter(col("n") =!= col("h")).count() shouldBe 0
   }
 
+  test("native shingleHashes equals polyHash of concatenated shingles") {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        graft.functions.native.shingleHashes(col("_toks")).as("a"),
+        transform(Dedup.shinglesOf(col("_toks")), s => polyHashHof(s)).as("b"))
+    d.filter(col("a") =!= col("b")).count() shouldBe 0
+  }
+
   test("native minhashSigs equals per-permutation HOF folds") {
     val hashed = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
