@@ -40,6 +40,7 @@ object SparkEntry {
     "enc_hashing_tf" -> ((s, d) => Encoders.hashingTf(s, d)),
     "enc_tfidf" -> ((s, d) => Encoders.tfIdf(s, d)),
     "enc_mean_pooling" -> ((s, d) => Encoders.meanPooling(s, d)),
+    "pipeline_hashing_search" -> ((s, d) => Encoders.hashingSearch(s, d)),
     // Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -84,6 +85,7 @@ object SparkEntry {
     "enc_hashing_tf" -> Encoders.SqlOracle.hashingTf(),
     "enc_tfidf" -> Encoders.SqlOracle.tfIdf(),
     "enc_mean_pooling" -> Encoders.SqlOracle.meanPooling,
+    "pipeline_hashing_search" -> Encoders.SqlOracle.hashingSearch(),
     "dedup_exact" -> Dedup.SqlOracle.exact,
     "dedup_ngram_jaccard" -> Dedup.SqlOracle.ngramJaccard(),
     "dedup_minhash_lsh" -> Dedup.SqlOracle.minhashLsh(),

@@ -1,0 +1,154 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer ordered by (score desc, id asc): a binary
+  * min-heap keyed by "goodness" whose root is the weakest kept entry.
+  * Holds at most k (score, id) pairs regardless of input size.
+  */
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  /** a-better-than-b under (score desc, id asc). */
+  @inline private def better(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+    sa > sb || (sa == sb && ia < ib)
+
+  private def siftUp(pos0: Int): Unit = {
+    var pos = pos0
+    while (pos > 0) {
+      val parent = (pos - 1) >> 1
+      // min-heap on goodness: child must not be WORSE than parent
+      if (better(scores(parent), ids(parent), scores(pos), ids(pos))) {
+        swap(pos, parent); pos = parent
+      } else return
+    }
+  }
+
+  private def siftDown(pos0: Int): Unit = {
+    var pos = pos0
+    while (true) {
+      val l = 2 * pos + 1
+      val r = l + 1
+      var worst = pos
+      if (l < size && better(scores(worst), ids(worst), scores(l), ids(l))) worst = l
+      if (r < size && better(scores(worst), ids(worst), scores(r), ids(r))) worst = r
+      if (worst == pos) return
+      swap(pos, worst); pos = worst
+    }
+  }
+
+  @inline private def swap(a: Int, b: Int): Unit = {
+    val s = scores(a); scores(a) = scores(b); scores(b) = s
+    val i = ids(a); ids(a) = ids(b); ids(b) = i
+  }
+
+  def add(score: Double, id: Long): Unit = {
+    if (size < k) {
+      scores(size) = score; ids(size) = id; size += 1
+      siftUp(size - 1)
+    } else if (better(score, id, scores(0), ids(0))) {
+      scores(0) = score; ids(0) = id
+      siftDown(0)
+    }
+  }
+
+  /** Entries sorted best-first. */
+  def sorted: Array[(Double, Long)] = {
+    val arr = Array.tabulate(size)(i => (scores(i), ids(i)))
+    arr.sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+  }
+}
+
+/** topk_by(score, id, k): bounded-heap top-k aggregate. Because it is a
+  * TypedImperativeAggregate, Spark runs it with *partial aggregation*:
+  * each map task reduces its partition to ≤k entries per group before
+  * the shuffle, so a grouped top-k moves k·partitions rows per group
+  * instead of the whole scored set — the property the two-phase window
+  * prune only approximates with an extra shuffle+sort.
+  *
+  * Deterministic: ordering is (score desc, id asc). Ref: the bounded
+  * heap in experiments/auto_run_tests.py:126-140 (offline_search),
+  * distributed.
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < other.size) { buf.add(other.scores(i), other.ids(i)); i += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(buf.sorted.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      out.writeDouble(buf.scores(i)); out.writeLong(buf.ids(i)); i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val kk = in.readInt()
+    val n = in.readInt()
+    val buf = new TopKBuffer(kk)
+    var i = 0
+    while (i < n) { buf.add(in.readDouble(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKAgg {
+  /** Column form: array<struct<score,id>> of the k best rows per group. */
+  def topKBy(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+}

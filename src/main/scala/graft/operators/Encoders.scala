@@ -28,19 +28,54 @@ object Encoders {
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
 
+  /** (doc_id, bucket, cnt): integer hashing-TF bucket counts — the
+    * sparse building block shared by [[hashingTf]] and the
+    * inverted-index search pipeline. */
+  def bucketCounts(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), (polyHash(col("tok")) % dim).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+
   /** Hashing-TF (ref encoder.py:93-103 `_hash_vectorize`): token →
     * polynomial hash → bucket, per-bucket counts, row L2-normalized.
     * The L2 norm is computed from exact integer squares, so it is
     * bit-identical with the oracle. */
   def hashingTf(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
     val w = Window.partitionBy("doc_id")
-    toks(spark, dir)
-      .select(col("doc_id"), (polyHash(col("tok")) % dim).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    bucketCounts(spark, dir, dim)
       .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(w)))
       .select(col("doc_id"), col("bucket"),
         rnd(col("cnt") / col("norm"), 4).as("tf_norm"))
       .orderBy("doc_id", "bucket")
+  }
+
+  /** End-to-end reference pipeline (ref main flow: DummyEncoder +
+    * offline_search — encoder.py:93-103 then auto_run_tests.py:115-160):
+    * encode every document as a hashing-TF vector, then cosine top-k of
+    * query docs (doc_id < nq) against the rest via an *inverted-index
+    * join on bucket* — the sparse formulation: cos(q,d) =
+    * Σ_b cnt_q·cnt_d / (‖q‖·‖d‖), with the numerator an exact integer
+    * sum (order-independent, bit-identical with the oracle). At scale
+    * the bucket join shuffles only the sparse postings, never dense
+    * vectors. */
+  def hashingSearch(spark: SparkSession, dir: String, k: Int = 10,
+                    nq: Int = 5, dim: Int = Dim): DataFrame = {
+    val counts = bucketCounts(spark, dir, dim)
+    val norms = counts.groupBy("doc_id")
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("norm"))
+    val qc = counts.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("bucket"), col("cnt").as("qcnt"))
+    val dc = counts.filter(col("doc_id") >= nq)
+    val ip = dc.join(broadcast(qc), "bucket")
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("qcnt") * col("cnt")).as("ip"))
+    val scored = ip
+      .join(broadcast(norms.select(col("doc_id").as("q_id"), col("norm").as("qn"))), "q_id")
+      .join(norms.select(col("doc_id"), col("norm").as("dn")), "doc_id")
+      .select(col("q_id"), col("doc_id"), (col("ip") / (col("qn") * col("dn"))).as("score"))
+    Knn.topKPerQuery(scored, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
   }
 
   /** TF-IDF with a capped vocabulary (ref encoder.py:76-116
@@ -123,6 +158,30 @@ object Encoders {
          |SELECT doc_id, tok AS term,
          |  (floor((weight / sqrt(sum(weight * weight) OVER (PARTITION BY doc_id))) * 1e4 + 0.5e0) / 1e4) AS w
          |FROM wtd ORDER BY doc_id, term""".stripMargin
+
+    def hashingSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim): String =
+      s"""WITH t AS $toksCte,
+         |b AS (SELECT doc_id, ${S.polyHash("tok")} % $dim AS bucket FROM t),
+         |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
+         |n AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS BIGINT)) AS norm
+         |      FROM c GROUP BY doc_id),
+         |qc AS (SELECT doc_id AS q_id, bucket, cnt AS qcnt FROM c WHERE doc_id < $nq),
+         |dc AS (SELECT doc_id, bucket, cnt FROM c WHERE doc_id >= $nq),
+         |ip AS (
+         |  SELECT q_id, doc_id, CAST(sum(qcnt * cnt) AS BIGINT) AS ip
+         |  FROM dc JOIN qc USING (bucket) GROUP BY q_id, doc_id),
+         |scored AS (
+         |  SELECT ip.q_id, ip.doc_id, ip.ip / (qn.norm * dn.norm) AS score
+         |  FROM ip
+         |  JOIN n qn ON qn.doc_id = ip.q_id
+         |  JOIN n dn ON dn.doc_id = ip.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
 
     val meanPooling: String = {
       val p = HashP

@@ -30,9 +30,12 @@ object Eval {
   private def hits(spark: SparkSession, dir: String): DataFrame = {
     val ranked = Knn.topKPerQuery(
       Knn.docSet(spark, dir).crossJoin(broadcast(Knn.querySet(spark, dir)))
-        .select(col("q_id"), col("q_label"), col("doc_id"), col("doc_label"),
+        .select(col("q_id"), col("doc_id"),
           dot(col("q_vec"), col("doc_vec")).as("score")), K)
-    ranked.withColumn("rel", (col("q_label") === col("doc_label")).cast("long"))
+    ranked
+      .join(broadcast(Knn.querySet(spark, dir).select("q_id", "q_label")), "q_id")
+      .join(Knn.docSet(spark, dir).select("doc_id", "doc_label"), "doc_id")
+      .withColumn("rel", (col("q_label") === col("doc_label")).cast("long"))
   }
 
   def precisionAtK(spark: SparkSession, dir: String): DataFrame =

@@ -40,9 +40,21 @@ object Knn {
       .select(col("vec_id").as("doc_id"), col("embedding").as("doc_vec"),
         col("label").as("doc_label"))
 
-  /** Generic two-phase top-k per q_id over a scored frame with columns
-    * (q_id, doc_id, score). */
-  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  /** Top-k per q_id over a scored frame (q_id, doc_id, score), via the
+    * bounded-heap [[graft.functions.TopKByScore]] aggregate: map-side
+    * partial aggregation reduces each partition to ≤k entries per query
+    * before the single shuffle — no global sort, no window pass.
+    * Equal to [[topKPerQueryWindow]] (asserted in KnnSpec). */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topKBy(col("score"), col("doc_id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), col("e.id").as("doc_id"), col("e.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank"))
+
+  /** Window-based two-phase formulation (the declarative spec the
+    * DuckDB oracles mirror). */
+  def topKPerQueryWindow(scored: DataFrame, k: Int): DataFrame = {
     val phase1 = Window.partitionBy(col("q_id"), col("_pid"))
       .orderBy(col("score").desc, col("doc_id"))
     val phase2 = Window.partitionBy(col("q_id"))

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators._
+
+/** Physical-plan audits: the properties that make these operators hold
+  * up at 100 TB are asserted, not assumed (SURVEY.md §5).
+  */
+class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("q1_agg: filter pushed to the parquet scan, unused columns pruned") {
+    val p = plan(Relational.q1Agg(spark, sfDir))
+    p should include("PushedFilters")
+    p should include("GreaterThan(l_quantity")
+    // scan must not read columns the query never touches
+    p should not include "l_shipdate"
+    p should not include "l_partkey"
+  }
+
+  test("q3_join_agg: dimension joins broadcast (no shuffle join)") {
+    val p = plan(Relational.q3JoinAgg(spark, sfDir))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("knn: query side broadcast, topk via partial aggregation (no window sort)") {
+    val p = plan(Knn.bruteForce(spark, sfDir))
+    p should include("BroadcastNestedLoopJoin")
+    (p.toLowerCase should include("topkbyscore"))
+    // partial aggregation: the aggregate appears in a partial mode
+    p.toLowerCase should include("partial_topkbyscore")
+    p should not include "Window"
+  }
+
+  test("hashingTf: two shuffles only (groupBy + window), codegen covers the map side") {
+    val df = Encoders.hashingTf(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen stages appear
+    // AQE prints "final plan == Initial Plan ==" sections; audit the final
+    val p = plan(df).split("== Initial Plan ==").head
+    p should include("*(") // whole-stage-codegen stage markers
+    // exactly the groupBy(doc,bucket) exchange, the window-by-doc
+    // exchange, and the final orderBy range exchange
+    "Exchange".r.findAllIn(p).size should be <= 4
+  }
+
+  test("metadata filter is applied before scoring (pushed below the join)") {
+    val p = plan(Knn.metadataFilter(spark, sfDir))
+    // the label/id predicate must sit under the scan, not above the join
+    p should include("PushedFilters")
+    p should include("In(label")
+  }
+
+  test("minhash LSH: no cartesian product anywhere") {
+    val p = plan(Dedup.minhashLsh(spark, sfDir))
+    p should not include "CartesianProduct"
+  }
+}
