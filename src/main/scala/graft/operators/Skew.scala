@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-hardening utilities (SURVEY.md §5). AQE's skew-join handling
+  * covers sort-merge joins; these helpers cover the remaining cases —
+  * skewed aggregations and skewed bucket keys (e.g. a pathological LSH
+  * bucket) — via deterministic salting.
+  */
+object Skew {
+
+  /** Deterministic salt in [0, n) derived from an id column (not
+    * rand(): results must be reproducible across retries/stages —
+    * a nondeterministic salt breaks task retry semantics). */
+  def saltOf(id: Column, n: Int): Column = pmod(hash(id), lit(n))
+
+  /** Two-phase skew-safe aggregation: groupBy (key, salt) partial →
+    * groupBy key final. `partial` and `merge` must form a semigroup
+    * (e.g. sum/sum, count/sum, min/min). */
+  def saltedAgg(df: DataFrame, key: Column, id: Column, n: Int,
+                value: Column, partial: Column => Column,
+                merge: Column => Column): DataFrame =
+    df.groupBy(key.as("_k"), saltOf(id, n).as("_salt"))
+      .agg(partial(value).as("_pv"))
+      .groupBy(col("_k"))
+      .agg(merge(col("_pv")).as("value"))
+
+  /** Caps pathological buckets for pair-expansion operators: buckets
+    * larger than `maxBucket` are dropped (a bucket shared by a huge
+    * fraction of the corpus carries no discriminating signal for
+    * dedup/LSH — standard practice is to skip it, not to expand b²
+    * pairs). Input: (bucketKeyCols..., ids array) as produced by a
+    * collect_list groupBy. */
+  def capBuckets(buckets: DataFrame, idsCol: String, maxBucket: Int): DataFrame =
+    buckets.filter(size(col(idsCol)) <= maxBucket)
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers/writers for the reference's on-disk data shapes (ref:
+  * data layout in PROJECT_DOCUMENTATION.txt §2 — `documents_{n}.jsonl`,
+  * `queries.jsonl`, `qrels.json`, CSV/JSON result summaries under
+  * experiments/results/).
+  *
+  * All readers hand Spark an explicit schema so the scan never pays a
+  * sampling pass, and all are plain `spark.read` plans — partitioned,
+  * predicate-pushable, streamable via `readStream` with the same
+  * schemas.
+  */
+object Sources {
+
+  /** {"id": ..., "text": ..., "category": ..., "timestamp": ...,
+    * "source": ...} per line (ref weaviate/client.py:28-35 schema). */
+  val documentSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("text", StringType),
+    StructField("category", StringType),
+    StructField("timestamp", StringType),
+    StructField("source", StringType)))
+
+  val querySchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("query", StringType)))
+
+  def readDocumentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentSchema).json(path)
+
+  def readQueriesJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(querySchema).json(path)
+
+  /** qrels.json is one object {qid: [docid, ...]} (ref
+    * auto_run_tests.py:509-510); exploded to (q_id, doc_id) rows.
+    * A whole-file JSON object is driver-light but single-record, so it
+    * is read in wholeText mode and exploded distributively. */
+  def readQrelsJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(path)
+    raw.select(explode(
+        from_json(col("value"), MapType(StringType, ArrayType(StringType)))).as(Seq("q_id", "docs")))
+      .select(col("q_id"), explode(col("docs")).as("doc_id"))
+  }
+
+  /** Result summaries as CSV with header (the shape of the ref's
+    * experiments/results/h3_summary_by_n_docs.csv). */
+  def writeSummaryCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  def readSummaryCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+}
