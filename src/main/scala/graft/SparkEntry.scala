@@ -46,12 +46,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     // Text analysis
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
     "text_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     // Perf/ops analytics
     "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
     "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
@@ -90,11 +92,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.SqlOracle.ngramJaccard(),
     "dedup_minhash_lsh" -> Dedup.SqlOracle.minhashLsh(),
     "dedup_simhash" -> Dedup.SqlOracle.simhash,
+    "dedup_simhash_pairs" -> Dedup.SqlOracle.simhashPairs(),
     "dedup_embedding_cosine" -> Dedup.SqlOracle.embeddingCosine(),
     "text_token_count" -> TextAnalysis.SqlOracle.tokenCount,
     "text_lang_id" -> TextAnalysis.SqlOracle.langId,
     "text_quality_score" -> TextAnalysis.SqlOracle.qualityScore,
     "text_fingerprint" -> TextAnalysis.SqlOracle.fingerprint,
+    "text_normalize" -> TextAnalysis.SqlOracle.normalize,
     "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,

@@ -135,7 +135,14 @@ object Dedup {
   /** 62-bit SimHash fingerprint: token hash h64 = h31(t)·2³¹ + h131(t);
     * per-bit signed counts (with token multiplicity), sign → bit.
     * Integer group-sums keep it bit-identical with the oracle. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(spark, dir)
+      .select(col("doc_id"), col("fp"), shiftright(col("fp"), 46).as("band"))
+      .orderBy("doc_id")
+
+  /** (doc_id, fp) SimHash fingerprint frame shared by [[simhash]] and
+    * [[simhashPairs]]. */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h64",
@@ -146,8 +153,23 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sum(when(col("s") > 0,
         expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("fp"))
+  }
+
+  /** SimHash near-dup pairs: docs sharing the 16-bit band prefix whose
+    * fingerprints are within `maxHamming`. The band equi-join bounds
+    * the pair expansion (cap pathological bands with Skew.capBuckets
+    * at scale). */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val fp = simhashFingerprints(spark, dir)
       .select(col("doc_id"), col("fp"), shiftright(col("fp"), 46).as("band"))
-      .orderBy("doc_id")
+    val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"), col("band"))
+    val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"), col("band"))
+    a.join(b, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Embedding-cosine near-dup pairs, blocked by cluster label (the
@@ -236,6 +258,30 @@ object Dedup {
          |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp,
          |  CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) >> 46 AS band
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    private val fpCte: String =
+      s"""tok AS (
+         |  SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents),
+         |h AS (SELECT doc_id,
+         |    ${S.polyHash("tok", 31)} * 2147483648 + ${S.polyHash("tok", 131)} AS h64
+         |  FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j, sum(2 * ((h64 >> j) & 1) - 1) AS s
+         |  FROM h CROSS JOIN (SELECT unnest(range(62)) AS j)
+         |  GROUP BY doc_id, j),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
+         |  FROM bits GROUP BY doc_id)""".stripMargin
+
+    def simhashPairs(maxHamming: Int = 6): String =
+      s"""WITH $fpCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b
+         |  ON (a.fp >> 46) = (b.fp >> 46) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+         |ORDER BY id_a, id_b""".stripMargin
 
     def embeddingCosine(threshold: Double = 0.3): String =
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),

@@ -58,6 +58,19 @@ object PerfStats {
         rnd(max("value"), 4).as("max_v"))
       .orderBy("event_type", "hr")
 
+  /** Sketch-based summaries for cardinalities/quantiles too big for
+    * exact computation (library API; approx values are engine-specific
+    * so they are test-covered rather than oracle-compared). HLL++ and
+    * Greenwald-Khanna via Spark built-ins — codegen'd, partial-agg. */
+  def approxSummary(spark: SparkSession, dir: String, relErr: Double = 0.05): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), relErr).as("approx_users"),
+        expr("approx_percentile(value, array(0.5, 0.95, 0.99), 1000)").as("approx_pcts"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
   object SqlOracle {
     val latencyPercentiles: String =
       """SELECT event_type,

@@ -71,6 +71,20 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization (lowercase, strip non-alnum, collapse
+    * whitespace, trim) — the cleaning step ahead of dedup/encoding in a
+    * training-data pipeline. Verified via length + md5 of the
+    * normalized form (md5 is identical across engines). */
+  def normalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(norm).cast("long").as("n_chars_norm"),
+        md5(norm.cast("binary")).as("norm_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Rolling polynomial fingerprints: whole-text hash (base 131) and an
     * order-sensitive token-sequence hash. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -123,6 +137,15 @@ object TextAnalysis {
          |    0.2e0 * (1.0e0 - n_stop / CAST(n_toks AS DOUBLE))) * 1e4 + 0.5e0) / 1e4) AS quality
          |FROM s ORDER BY doc_id""".stripMargin
     }
+
+    val normalize: String =
+      """SELECT doc_id,
+        |  CAST(length(n) AS BIGINT) AS n_chars_norm,
+        |  md5(n) AS norm_hash
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
 
     val fingerprint: String =
       s"""SELECT doc_id,

@@ -63,6 +63,27 @@ class SourcesSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 }
 
+class ApproxSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  test("approx sketches land within tolerance of exact values") {
+    import spark.implicits._
+    val approx = graft.operators.PerfStats.approxSummary(spark, sfDir)
+    val exact = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"),
+        expr("percentile(value, 0.5)").as("exact_p50"))
+    val joined = approx.join(exact, "event_type")
+      .select(col("event_type"), col("approx_users"), col("exact_users"),
+        col("approx_pcts").getItem(0).as("approx_p50"), col("exact_p50"))
+      .collect()
+    joined should not be empty
+    joined.foreach { r =>
+      val (au, eu) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      math.abs(au - eu) / eu should be < 0.15
+      math.abs(r.getDouble(3) - r.getDouble(4)) should be < 1.0
+    }
+  }
+}
+
 class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("saltedAgg equals plain aggregation") {
