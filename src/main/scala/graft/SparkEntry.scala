@@ -32,6 +32,8 @@ object SparkEntry {
     "knn_metadata_filter" -> ((s, d) => Knn.metadataFilter(s, d)),
     "ann_lsh_hyperplane" -> ((s, d) => Ann.lshHyperplane(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivf(s, d)),
+    "ann_pq_encode" -> ((s, d) => Ann.pqEncode(s, d)),
+    "ann_pq_search" -> ((s, d) => Ann.pqSearch(s, d)),
     // Retrieval evaluation
     "eval_precision_at_k" -> ((s, d) => Eval.precisionAtK(s, d)),
     "eval_recall_at_k" -> ((s, d) => Eval.recallAtK(s, d)),
@@ -81,6 +83,8 @@ object SparkEntry {
     "knn_metadata_filter" -> Knn.SqlOracle.metadataFilter,
     "ann_lsh_hyperplane" -> Ann.SqlOracle.lshHyperplane,
     "ann_ivf" -> Ann.SqlOracle.ivf,
+    "ann_pq_encode" -> Ann.SqlOracle.pqEncode,
+    "ann_pq_search" -> Ann.SqlOracle.pqSearch,
     "eval_precision_at_k" -> Eval.SqlOracle.precisionAtK,
     "eval_recall_at_k" -> Eval.SqlOracle.recallAtK,
     "eval_map" -> Eval.SqlOracle.meanAveragePrecision,

@@ -91,6 +91,80 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  // ---------- Product quantization ----------
+  val PqM = 8        // subspaces
+  val PqSub = 8      // dims per subspace (PqM * PqSub == Dim)
+  val PqCodes = 16   // codewords per subspace
+
+  /** PQ codebooks from fixed seed vectors (vec_id < PqCodes), one row
+    * per (c_id, subspace, cvec) — 128 rows, always broadcast. A real
+    * deployment trains them per-subspace with [[fitCentroids]]. */
+  def pqCodebook(spark: SparkSession, dir: String): DataFrame = {
+    val cb = Tables.embeddings(spark, dir).filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("c_id"), col("embedding"))
+    (0 until PqM).map(j =>
+      cb.select(col("c_id"), lit(j).as("j"),
+        slice(col("embedding"), j * PqSub + 1, PqSub).as("cvec")))
+      .reduce(_.unionByName(_))
+  }
+
+  /** PQ encoding: each vector → PqM 4-bit codes (argmin squared-L2 to
+    * the subspace codebook, ties by c_id). One pass over the data:
+    * subvectors exploded via posexplode, codebook broadcast, argmin by
+    * window. Output exploded (vec_id, subspace, code) — 64 floats
+    * become 8 small ints (8× compression at PqSub=8 float32→4-bit). */
+  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val subs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(array(
+        (0 until PqM).map(j => slice(col("embedding"), j * PqSub + 1, PqSub)): _*))
+        .as(Seq("j", "evec")))
+    val w = Window.partitionBy("vec_id", "j")
+      .orderBy(native.dist2F(col("evec"), col("cvec")).asc, col("c_id"))
+    subs.join(broadcast(pqCodebook(spark, dir)), Seq("j"))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("vec_id"), col("j").cast("long").as("subspace"),
+        col("c_id").as("code"))
+      .orderBy("vec_id", "subspace")
+  }
+
+  /** PQ asymmetric-distance search (ADC): per query, build the PqM×
+    * PqCodes lookup table of exact subspace dot products (query ×
+    * codeword — tiny, broadcast), then score every doc as the SUM of
+    * table entries selected by its codes — no doc vector is touched.
+    * Exact top-k re-rank on the ADC candidates (3k) finishes the job.
+    * At 100 TB the scored side reads only the 8-code column. */
+  def pqSearch(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val codes = pqEncode(spark, dir)
+      .filter(col("vec_id") >= Knn.NQueries)
+      .select(col("vec_id").as("doc_id"), col("subspace").as("j"), col("code"))
+    val lut = Knn.querySet(spark, dir)
+      .select(col("q_id"), posexplode(array(
+        (0 until PqM).map(j => slice(col("q_vec"), j * PqSub + 1, PqSub)): _*))
+        .as(Seq("j", "qvec")))
+      .join(broadcast(pqCodebook(spark, dir)), Seq("j"))
+      .select(col("q_id"), col("j"), col("c_id").as("code"),
+        dot(col("qvec"), col("cvec")).as("part"))
+    // fold the 8 parts in subspace order: the ADC score is then
+    // bit-identical with the oracle (an unordered double sum is not)
+    val adc = codes.join(broadcast(lut), Seq("j", "code"))
+      .groupBy("q_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("j"), col("part")))),
+        lit(0.0), (a, s) => a + s.getField("part")).as("adc_score"))
+    val cand = Knn.topKPerQuery(
+      adc.select(col("q_id"), col("doc_id"), col("adc_score").as("score")), 3 * k)
+      .select(col("q_id"), col("doc_id"))
+    val exact = cand
+      .join(broadcast(Knn.querySet(spark, dir)), Seq("q_id"))
+      .join(Knn.docSet(spark, dir), Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score"))
+    Knn.topKPerQuery(exact, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Lloyd k-means fit over an embedding frame: each iteration is one
     * broadcast-assign + one groupBy-mean (two shuffle-free/one-shuffle
     * stages) — the scale path for real centroid training. Returns
@@ -160,6 +234,72 @@ object Ann {
          |  SELECT q_id, doc_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
          |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+
+    /** Sequential subspace squared-L2 between two full vectors at a
+      * column offset j*sub (j is a plain column — bindable in DuckDB
+      * comprehensions). */
+    private def subDist2(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[(CAST($a[j*$PqSub+i] AS DOUBLE) - CAST($b[j*$PqSub+i] AS DOUBLE)) * " +
+        s"(CAST($a[j*$PqSub+i] AS DOUBLE) - CAST($b[j*$PqSub+i] AS DOUBLE)) for i in range(1, ${PqSub + 1})]), " +
+        s"(x, y) -> x + y)"
+
+    private def subDot(a: String, b: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"[CAST($a[j*$PqSub+i] AS DOUBLE) * CAST($b[j*$PqSub+i] AS DOUBLE) for i in range(1, ${PqSub + 1})]), " +
+        s"(x, y) -> x + y)"
+
+    private val encodeCtes: String =
+      s"""cb AS (SELECT vec_id AS c_id, embedding AS vc FROM embeddings
+         |       WHERE vec_id < $PqCodes),
+         |subs AS (SELECT vec_id, j, embedding AS ve
+         |         FROM embeddings CROSS JOIN (SELECT unnest(range($PqM)) AS j)),
+         |scored AS (
+         |  SELECT s.vec_id, s.j, cb.c_id, ${subDist2("s.ve", "cb.vc")} AS d2
+         |  FROM subs s CROSS JOIN cb),
+         |codes AS (
+         |  SELECT vec_id, j, c_id AS code FROM (
+         |    SELECT vec_id, j, c_id,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c_id) AS r
+         |    FROM scored) WHERE r = 1)""".stripMargin
+
+    val pqEncode: String =
+      s"""WITH $encodeCtes
+         |SELECT vec_id, CAST(j AS BIGINT) AS subspace, code
+         |FROM codes ORDER BY vec_id, subspace""".stripMargin
+
+    val pqSearch: String =
+      s"""WITH $encodeCtes,
+         |q0 AS ${Knn.SqlOracle.queriesCte()},
+         |d0 AS ${Knn.SqlOracle.docsCte()},
+         |lut AS (
+         |  SELECT s.q_id, s.j, cb.c_id AS code, ${subDot("s.qv", "cb.vc")} AS part
+         |  FROM (SELECT q_id, j, q_vec AS qv
+         |        FROM q0 CROSS JOIN (SELECT unnest(range($PqM)) AS j)) s
+         |  CROSS JOIN cb),
+         |adc AS (
+         |  SELECT lut.q_id, c.vec_id AS doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      [s['p'] for s in list_sort(list({'j': lut.j, 'p': lut.part}))]),
+         |    (x, y) -> x + y) AS score
+         |  FROM codes c JOIN lut ON c.j = lut.j AND c.code = lut.code
+         |  WHERE c.vec_id >= ${Knn.NQueries}
+         |  GROUP BY lut.q_id, c.vec_id),
+         |cand AS (
+         |  SELECT q_id, doc_id FROM (
+         |    SELECT q_id, doc_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r
+         |    FROM adc) WHERE r <= ${3 * K}),
+         |exact AS (
+         |  SELECT c.q_id, c.doc_id, ${S.dot("q.q_vec", "d.doc_vec", Dim)} AS score
+         |  FROM cand c JOIN q0 q USING (q_id) JOIN d0 d USING (doc_id)),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM exact)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin

@@ -56,6 +56,21 @@ object StreamOps {
 
   // ---------- streaming forms (tested with MemoryStream) ----------
 
+  /** File-source streaming read of an events directory (parquet), with
+    * the same nanos→µs timestamp handling as the batch reader. New
+    * files landing in `dir` flow through incrementally. */
+  def eventsReadStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Streaming hourly windowed agg with a 2-hour watermark. */
   def windowedAggStream(events: DataFrame): DataFrame =
     events

@@ -59,6 +59,17 @@ class AnnSpec extends AnyFunSuite with Matchers with SharedSpark {
     // above random (random ≈ 10/480 ≈ 2%)
     recall(Ann.lshHyperplane(spark, sfDir)) should be > 0.3
     recall(Ann.ivf(spark, sfDir)) should be > 0.3
+    recall(Ann.pqSearch(spark, sfDir)) should be > 0.3
+  }
+
+  test("pqEncode emits one code per (vector, subspace) in range") {
+    val codes = Ann.pqEncode(spark, sfDir)
+    codes.count() shouldBe
+      Tables.embeddings(spark, sfDir).count() * Ann.PqM
+    codes.agg(min("code"), max("code")).collect().head match {
+      case r => r.getLong(0) should be >= 0L
+        r.getLong(1) should be < Ann.PqCodes.toLong
+    }
   }
 
   test("fitCentroids converges to k centroids of full dimension") {

@@ -61,6 +61,32 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     } finally q.stop()
   }
 
+  test("file-source stream -> windowed agg -> parquet sink equals batch answer") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val src = new java.io.File(tmp, "src"); src.mkdirs()
+    val sink = new java.io.File(tmp, "sink")
+    val ckpt = new java.io.File(tmp, "ckpt")
+    // stage the real events parquet as the stream source
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      java.nio.file.Paths.get(src.getAbsolutePath, "events.parquet"))
+    val q = StreamOps.windowedAggStream(
+        StreamOps.eventsReadStream(spark, src.getAbsolutePath))
+      .writeStream.format("parquet")
+      .option("path", sink.getAbsolutePath)
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append-mode emits only watermark-closed windows; every emitted row
+    // must match the batch computation exactly
+    val streamed = spark.read.parquet(sink.getAbsolutePath)
+    val batch = StreamOps.windowedAggBatch(spark, sfDir)
+    streamed.count() should be > 0L
+    streamed.exceptAll(batch).count() shouldBe 0
+  }
+
   test("batch sessionize: session boundaries respect the 30-minute gap") {
     val r = StreamOps.sessionizeBatch(spark, sfDir)
     r.count() should be > 0L
