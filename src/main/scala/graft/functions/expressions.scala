@@ -92,6 +92,30 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** 62-bit SimHash over a token array: per-token h64 = h31·2³¹ + h131,
+    * per-bit signed counts with multiplicity, sign → bit. Equals the
+    * relational explode-tokens × explode-bits groupBy formulation
+    * (integer sums — order-free). */
+  def simhash62(arr: ArrayData, p: Long): Long = {
+    val counts = new Array[Int](62)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = arr.getUTF8String(t)
+      val h64 = polyHash(tok, 31L, p) * 2147483648L + polyHash(tok, 131L, p)
+      var j = 0
+      while (j < 62) {
+        if (((h64 >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 62) { if (counts(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
   /** Sequential double-precision dot product over two float arrays —
     * identical to aggregate(zip_with(a,b,(x,y)->double(x)*double(y)),
     * 0.0, +) for equal-length arrays. */
@@ -168,6 +192,19 @@ case class ShingleHashExpr(child: Expression, n: Int, base: Long, p: Long)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.Kernels.shingleHashes($c, $n, ${base}L, ${p}L)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+/** simhash62(array<string>) — 62-bit SimHash fingerprint. */
+case class SimHashExpr(child: Expression, p: Long)
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash62(input.asInstanceOf[ArrayData], p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash62($c, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
 
@@ -249,6 +286,9 @@ object native {
 
   def dist2F(a: Column, b: Column): Column =
     Bridge.column(Dist2Expr(ex(a), ex(b)))
+
+  def simhash62(toks: Column, p: Long = HashP): Column =
+    Bridge.column(SimHashExpr(ex(toks), p))
 
   def shingleHashes(toks: Column, n: Int = 3, base: Long = 31L, p: Long = HashP): Column =
     Bridge.column(ShingleHashExpr(ex(toks), n, base, p))

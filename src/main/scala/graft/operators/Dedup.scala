@@ -141,19 +141,13 @@ object Dedup {
       .orderBy("doc_id")
 
   /** (doc_id, fp) SimHash fingerprint frame shared by [[simhash]] and
-    * [[simhashPairs]]. */
-  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("h64",
-        polyHash(col("tok"), 31) * lit(2147483648L) + polyHash(col("tok"), 131))
-    tok.select(col("doc_id"), col("h64"), explode(sequence(lit(0), lit(61))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("2 * (shiftright(h64, j) & 1) - 1")).as("s"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("fp"))
-  }
+    * [[simhashPairs]] — one codegen'd kernel call per row (asserted
+    * equal to the relational explode×bits formulation in
+    * FunctionsSpec; the oracle mirrors the relational form). */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.native.simhash62(tokens(col("text"))).as("fp"))
 
   /** SimHash near-dup pairs: docs sharing the 16-bit band prefix whose
     * fingerprints are within `maxHamming`. The band equi-join bounds

@@ -34,7 +34,7 @@ object Eval {
           dot(col("q_vec"), col("doc_vec")).as("score")), K)
     ranked
       .join(broadcast(Knn.querySet(spark, dir).select("q_id", "q_label")), "q_id")
-      .join(Knn.docSet(spark, dir).select("doc_id", "doc_label"), "doc_id")
+      .join(broadcast(Knn.docSet(spark, dir).select("doc_id", "doc_label")), "doc_id")
       .withColumn("rel", (col("q_label") === col("doc_label")).cast("long"))
   }
 

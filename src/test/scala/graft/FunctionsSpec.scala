@@ -52,6 +52,25 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
     d.filter(col("a") =!= col("b")).count() shouldBe 0
   }
 
+  test("native simhash62 equals the relational explode-bits formulation") {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("h64",
+        polyHash(col("tok"), 31) * lit(2147483648L) + polyHash(col("tok"), 131))
+    val relational = tok
+      .select(col("doc_id"), col("h64"), explode(sequence(lit(0), lit(61))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("2 * (shiftright(h64, j) & 1) - 1")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L)).as("fp2"))
+    val kernel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.native.simhash62(tokens(col("text"))).as("fp"))
+    kernel.join(relational, "doc_id")
+      .filter(col("fp") =!= col("fp2")).count() shouldBe 0
+  }
+
   test("native minhashSigs equals per-permutation HOF folds") {
     val hashed = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
