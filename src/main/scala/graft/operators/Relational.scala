@@ -62,6 +62,21 @@ object Relational {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** Upsert compaction: last write wins per key (the semantics of the
+    * ref's vector-store `batch_upsert`, pinecone/client.py:40-66 — a
+    * later upsert of the same id replaces the earlier one). Expressed
+    * as argmax-per-key over the events log: one shuffle on the key. */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        rnd(col("value"), 4).as("value"))
+      .orderBy("user_id")
+  }
+
   /** Exact distinct counts over several columns in one pass. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -105,6 +120,17 @@ object Relational {
         |  FROM orders)
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk""".stripMargin
+
+    val latestByKey: String =
+      """SELECT user_id, event_id, event_type,
+        |  (floor((value) * 1e4 + 0.5e0) / 1e4) AS value
+        |FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS r
+        |  FROM events)
+        |WHERE r = 1
+        |ORDER BY user_id""".stripMargin
 
     val distinctCounts: String =
       """SELECT count(DISTINCT o_custkey) AS n_cust,
