@@ -9,9 +9,12 @@ import graft.operators._
   * column names/arithmetic are mirrored exactly (SURVEY.md §6).
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks
+    * rows>0): the reference's signature flow — encode the corpus as
+    * hashing-TF vectors and retrieve cosine top-k via an inverted-index
+    * join (SURVEY.md §2, pipeline_hashing_search). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Encoders.hashingSearch(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -118,13 +118,15 @@ object Ann {
       .select(col("vec_id"), posexplode(array(
         (0 until PqM).map(j => slice(col("embedding"), j * PqSub + 1, PqSub)): _*))
         .as(Seq("j", "evec")))
-    val w = Window.partitionBy("vec_id", "j")
-      .orderBy(native.dist2F(col("evec"), col("cvec")).asc, col("c_id"))
+    // argmin via min_by on a (d2, c_id) struct: lexicographic struct
+    // ordering = min distance, ties by c_id — same result as a window
+    // row_number, but with map-side partial aggregation instead of a
+    // sort shuffle of the full |vectors|×codes frame
     subs.join(broadcast(pqCodebook(spark, dir)), Seq("j"))
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") === 1)
-      .select(col("vec_id"), col("j").cast("long").as("subspace"),
-        col("c_id").as("code"))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("c_id"),
+        struct(native.dist2F(col("evec"), col("cvec")), col("c_id"))).as("code"))
+      .select(col("vec_id"), col("j").cast("long").as("subspace"), col("code"))
       .orderBy("vec_id", "subspace")
   }
 
