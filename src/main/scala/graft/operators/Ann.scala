@@ -113,7 +113,8 @@ object Ann {
     * subvectors exploded via posexplode, codebook broadcast, argmin by
     * window. Output exploded (vec_id, subspace, code) — 64 floats
     * become 8 small ints (8× compression at PqSub=8 float32→4-bit). */
-  def pqEncode(spark: SparkSession, dir: String): DataFrame = {
+  def pqEncode(spark: SparkSession, dir: String,
+               codebook: Option[DataFrame] = None): DataFrame = {
     val subs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(array(
         (0 until PqM).map(j => slice(col("embedding"), j * PqSub + 1, PqSub)): _*))
@@ -122,7 +123,7 @@ object Ann {
     // ordering = min distance, ties by c_id — same result as a window
     // row_number, but with map-side partial aggregation instead of a
     // sort shuffle of the full |vectors|×codes frame
-    subs.join(broadcast(pqCodebook(spark, dir)), Seq("j"))
+    subs.join(broadcast(codebook.getOrElse(pqCodebook(spark, dir))), Seq("j"))
       .groupBy("vec_id", "j")
       .agg(min_by(col("c_id"),
         struct(native.dist2F(col("evec"), col("cvec")), col("c_id"))).as("code"))
@@ -136,15 +137,17 @@ object Ann {
     * table entries selected by its codes — no doc vector is touched.
     * Exact top-k re-rank on the ADC candidates (3k) finishes the job.
     * At 100 TB the scored side reads only the 8-code column. */
-  def pqSearch(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
-    val codes = pqEncode(spark, dir)
+  def pqSearch(spark: SparkSession, dir: String, k: Int = K,
+               codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(pqCodebook(spark, dir))
+    val codes = pqEncode(spark, dir, Some(cb))
       .filter(col("vec_id") >= Knn.NQueries)
       .select(col("vec_id").as("doc_id"), col("subspace").as("j"), col("code"))
     val lut = Knn.querySet(spark, dir)
       .select(col("q_id"), posexplode(array(
         (0 until PqM).map(j => slice(col("q_vec"), j * PqSub + 1, PqSub)): _*))
         .as(Seq("j", "qvec")))
-      .join(broadcast(pqCodebook(spark, dir)), Seq("j"))
+      .join(broadcast(cb), Seq("j"))
       .select(col("q_id"), col("j"), col("c_id").as("code"),
         dot(col("qvec"), col("cvec")).as("part"))
     // fold the 8 parts in subspace order: the ADC score is then
@@ -171,7 +174,7 @@ object Ann {
     * broadcast-assign + one groupBy-mean (two shuffle-free/one-shuffle
     * stages) — the scale path for real centroid training. Returns
     * (c_id, c_vec array<double>). */
-  def fitCentroids(emb: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+  def fitCentroids(emb: DataFrame, k: Int, iters: Int = 5, dim: Int = Dim): DataFrame = {
     val spark = emb.sparkSession
     var cent = emb.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("c_vec"))
@@ -183,12 +186,25 @@ object Ann {
         .withColumn("_r", row_number().over(w))
         .filter(col("_r") === 1)
       val agg = assigned.groupBy("c_id")
-        .agg(array((0 until Dim).map(i =>
+        .agg(array((0 until dim).map(i =>
           avg(element_at(col("embedding"), i + 1))): _*).as("c_vec"))
       cent = agg
     }
     cent
   }
+
+  /** Per-subspace Lloyd-trained PQ codebooks — the production training
+    * path ([[pqCodebook]]'s fixed seeds keep the *verified* query
+    * oracle-mirrorable). Returns (c_id, j, cvec array<float>), same
+    * shape as [[pqCodebook]]. */
+  def fitPqCodebook(emb: DataFrame, iters: Int = 3): DataFrame =
+    (0 until PqM).map { j =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), j * PqSub + 1, PqSub).as("embedding"))
+      fitCentroids(sub, PqCodes, iters, PqSub)
+        .select(col("c_id"), lit(j).as("j"),
+          transform(col("c_vec"), x => x.cast("float")).as("cvec"))
+    }.reduce(_.unionByName(_))
 
   private implicit class SeqAsJava[T](s: Seq[T]) {
     def asJava: java.util.List[T] = {

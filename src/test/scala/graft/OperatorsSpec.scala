@@ -72,6 +72,16 @@ class AnnSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("Lloyd-trained PQ codebooks drive the same search pipeline") {
+    val trained = Ann.fitPqCodebook(Tables.embeddings(spark, sfDir), iters = 1)
+    trained.count() should be <= (Ann.PqM * Ann.PqCodes).toLong
+    trained.select(Fn.size(col("cvec"))).distinct().collect()
+      .map(_.getInt(0)).toSet shouldBe Set(Ann.PqSub)
+    val r = Ann.pqSearch(spark, sfDir, codebook = Some(trained))
+    r.groupBy("q_id").count().select("count").distinct().collect()
+      .map(_.getLong(0)).toSet shouldBe Set(10L)
+  }
+
   test("fitCentroids converges to k centroids of full dimension") {
     val c = Ann.fitCentroids(Tables.embeddings(spark, sfDir), k = 8, iters = 2)
     c.count() should be <= 8L
