@@ -34,6 +34,7 @@ object SparkEntry {
     "knn_bruteforce" -> ((s, d) => Knn.bruteForce(s, d)),
     "knn_cosine_topk" -> ((s, d) => Knn.cosineTopK(s, d)),
     "knn_metadata_filter" -> ((s, d) => Knn.metadataFilter(s, d)),
+    "knn_range_search" -> ((s, d) => Knn.rangeSearch(s, d)),
     "ann_lsh_hyperplane" -> ((s, d) => Ann.lshHyperplane(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivf(s, d)),
     "ann_pq_encode" -> ((s, d) => Ann.pqEncode(s, d)),
@@ -86,6 +87,7 @@ object SparkEntry {
     "knn_bruteforce" -> Knn.SqlOracle.bruteForce,
     "knn_cosine_topk" -> Knn.SqlOracle.cosineTopK,
     "knn_metadata_filter" -> Knn.SqlOracle.metadataFilter,
+    "knn_range_search" -> Knn.SqlOracle.rangeSearch(),
     "ann_lsh_hyperplane" -> Ann.SqlOracle.lshHyperplane,
     "ann_ivf" -> Ann.SqlOracle.ivf,
     "ann_pq_encode" -> Ann.SqlOracle.pqEncode,

@@ -90,6 +90,17 @@ object Knn {
         rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
 
+  /** Range search: every doc whose similarity clears a threshold (the
+    * score-cutoff companion to top-k; no per-query limit). Same
+    * broadcast-scored map side; the filter runs before any shuffle so
+    * output size is the only cost. */
+  def rangeSearch(spark: SparkSession, dir: String, minScore: Double = 0.35): DataFrame =
+    scoredFrame(querySet(spark, dir), docSet(spark, dir),
+      dot(col("q_vec"), col("doc_vec")))
+      .filter(col("score") >= minScore)
+      .select(col("q_id"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "doc_id")
+
   /** Metadata-filtered search (ref: evaluation/search_eval.py:30-37
     * `metadata_filter_fn` / weaviate `where` filters): the doc-side
     * predicate is applied *before* scoring so it pushes into the scan. */
@@ -137,5 +148,15 @@ object Knn {
     val metadataFilter: String =
       rankedSql(S.dot("q_vec", "doc_vec", Dim),
         "doc_label IN (1, 2, 3) AND doc_id % 2 = 0") + "\n" + topkSelect()
+
+    def rangeSearch(minScore: Double = 0.35): String =
+      s"""WITH q AS ${queriesCte()},
+         |d AS ${docsCte()},
+         |scored AS (
+         |  SELECT q_id, doc_id, ${S.dot("q_vec", "doc_vec", Dim)} AS score
+         |  FROM d CROSS JOIN q)
+         |SELECT q_id, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM scored WHERE score >= $minScore
+         |ORDER BY q_id, doc_id""".stripMargin
   }
 }
