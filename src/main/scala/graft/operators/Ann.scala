@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions._
 import graft.functions.{Sql => S}
@@ -53,13 +52,16 @@ object Ann {
         .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bkt"))
     val q = banded(Knn.querySet(spark, dir), "q_id", "q_vec")
     val d = banded(Knn.docSet(spark, dir), "doc_id", "doc_vec")
+    // score on the map side (before the dedup shuffle): a duplicate
+    // candidate costs one extra dot product, but the dedup groupBy then
+    // shuffles only narrow (q_id, doc_id, score) rows — not 64-float
+    // vectors with band multiplicity
     val cands = d.join(broadcast(q), Seq("band", "bkt"))
-      .select(col("q_id"), col("doc_id"), col("q_vec"), col("doc_vec"))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score"))
       .groupBy("q_id", "doc_id")
-      .agg(first("q_vec").as("q_vec"), first("doc_vec").as("doc_vec"))
-    Knn.topKPerQuery(
-      cands.select(col("q_id"), col("doc_id"),
-        dot(col("q_vec"), col("doc_vec")).as("score")), k)
+      .agg(first("score").as("score"))
+    Knn.topKPerQuery(cands, k)
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
   }
@@ -72,20 +74,32 @@ object Ann {
   def ivf(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(dot(col(vecCol), col("c_vec")).desc, col("c_id"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") <= n)
-        .drop("c_vec", "_r")
-    }
-    val docs = assign(Knn.docSet(spark, dir), "doc_id", "doc_vec", 1)
-    val qs = assign(Knn.querySet(spark, dir), "q_id", "q_vec", NProbe)
+    // argmax-dot centroid via min_by on a (-score, c_id) struct —
+    // lexicographic struct min = best score, ties by c_id — with
+    // map-side partial aggregation (pqEncode's pattern): the exploded
+    // docs×centroids frame never shuffles; only one narrow row per doc
+    // does. (A window row_number here would sort-shuffle 16×N rows.)
+    val docs = Knn.docSet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("doc_id")
+      .agg(
+        min_by(col("c_id"),
+          struct(-dot(col("doc_vec"), col("c_vec")), col("c_id"))).as("c_id"),
+        first(col("doc_vec")).as("doc_vec"))
+    // top-NProbe probes per query via the bounded-heap aggregate
+    // (score desc, c_id asc — same order as the window formulation)
+    val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("q_id")
+      .agg(
+        graft.functions.TopKAgg.topKBy(
+          dot(col("q_vec"), col("c_vec")), col("c_id"), NProbe).as("tk"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("q_vec"), col("e.id").as("c_id"))
+    // each doc has exactly one centroid and each query probes distinct
+    // centroids, so (q_id, doc_id) pairs are already unique — no dedup
     val cands = docs.join(broadcast(qs), Seq("c_id"))
       .select(col("q_id"), col("doc_id"),
         dot(col("q_vec"), col("doc_vec")).as("score"))
-      .groupBy("q_id", "doc_id").agg(first("score").as("score"))
     Knn.topKPerQuery(cands, k)
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
@@ -97,22 +111,22 @@ object Ann {
   val PqCodes = 16   // codewords per subspace
 
   /** PQ codebooks from fixed seed vectors (vec_id < PqCodes), one row
-    * per (c_id, subspace, cvec) — 128 rows, always broadcast. A real
+    * per (c_id, subspace, cvec) — 128 rows, always broadcast. ONE scan
+    * of the parquet + a posexplode of the 8 slices (an 8-way union of 8
+    * separate scans was the round-1 shape and benched 8.4 s). A real
     * deployment trains them per-subspace with [[fitCentroids]]. */
-  def pqCodebook(spark: SparkSession, dir: String): DataFrame = {
-    val cb = Tables.embeddings(spark, dir).filter(col("vec_id") < PqCodes)
-      .select(col("vec_id").as("c_id"), col("embedding"))
-    (0 until PqM).map(j =>
-      cb.select(col("c_id"), lit(j).as("j"),
-        slice(col("embedding"), j * PqSub + 1, PqSub).as("cvec")))
-      .reduce(_.unionByName(_))
-  }
+  def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < PqCodes)
+      .select(col("vec_id").as("c_id"), posexplode(array(
+        (0 until PqM).map(j => slice(col("embedding"), j * PqSub + 1, PqSub)): _*))
+        .as(Seq("j", "cvec")))
+      .select(col("c_id"), col("j"), col("cvec"))
 
   /** PQ encoding: each vector → PqM 4-bit codes (argmin squared-L2 to
     * the subspace codebook, ties by c_id). One pass over the data:
-    * subvectors exploded via posexplode, codebook broadcast, argmin by
-    * window. Output exploded (vec_id, subspace, code) — 64 floats
-    * become 8 small ints (8× compression at PqSub=8 float32→4-bit). */
+    * subvectors exploded via posexplode, codebook broadcast, argmin via
+    * min_by partial aggregation. Output exploded (vec_id, subspace,
+    * code) — 64 floats become 8 small ints (8× compression). */
   def pqEncode(spark: SparkSession, dir: String,
                codebook: Option[DataFrame] = None): DataFrame = {
     val subs = Tables.embeddings(spark, dir)
@@ -176,19 +190,30 @@ object Ann {
     * (c_id, c_vec array<double>). */
   def fitCentroids(emb: DataFrame, k: Int, iters: Int = 5, dim: Int = Dim): DataFrame = {
     val spark = emb.sparkSession
-    var cent = emb.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("c_vec"))
-    cent = spark.createDataFrame(cent.collect().toIndexedSeq.asJava, cent.schema) // pin seeds
+    // k centroid rows are broadcast-by-construction: collecting them
+    // each iteration keeps every Lloyd step an independent job (flat
+    // plans) — the same thing MLlib's KMeans does driver-side.
+    def pin(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.collect().toIndexedSeq.asJava, df.schema)
+    var cent = pin(emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("c_vec")))
     for (_ <- 0 until iters) {
-      val w = Window.partitionBy("vec_id")
-        .orderBy(dotHof(col("embedding"), col("c_vec")).desc, col("c_id"))
+      // same min_by partial-agg assignment as [[ivf]]: no sort shuffle
+      // of the exploded points×centroids frame
       val assigned = emb.crossJoin(broadcast(cent))
-        .withColumn("_r", row_number().over(w))
-        .filter(col("_r") === 1)
+        .groupBy("vec_id")
+        .agg(
+          min_by(col("c_id"),
+            struct(-dotHof(col("embedding"), col("c_vec")), col("c_id"))).as("c_id"),
+          first(col("embedding")).as("embedding"))
       val agg = assigned.groupBy("c_id")
         .agg(array((0 until dim).map(i =>
-          avg(element_at(col("embedding"), i + 1))): _*).as("c_vec"))
-      cent = agg
+          avg(element_at(col("embedding"), i + 1))): _*).as("c_vec_new"))
+      // a cluster that received no points keeps its previous centroid
+      // (the groupBy alone would silently shrink k across iterations)
+      cent = pin(cent.join(agg, Seq("c_id"), "left")
+        .select(col("c_id"),
+          coalesce(col("c_vec_new"), col("c_vec")).as("c_vec")))
     }
     cent
   }

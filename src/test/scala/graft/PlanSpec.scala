@@ -56,6 +56,22 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p should include("In(label")
   }
 
+  test("ivf: centroid assignment via min_by partial aggregation, no window sort") {
+    val p = plan(Ann.ivf(spark, sfDir))
+    p should not include "Window"
+    p.toLowerCase should include("partial_min_by")
+    p.toLowerCase should include("partial_topkbyscore")
+  }
+
+  test("pq encode: codebook from a single extra scan, argmin via partial min_by") {
+    val p = plan(Ann.pqEncode(spark, sfDir))
+    p should not include "Window"
+    p.toLowerCase should include("partial_min_by")
+    // one scan for the data, one for the 16 codebook seed rows — not
+    // the 8-way unioned codebook build (9 scans) of round 1
+    "FileScan".r.findAllIn(p).size should be <= 2
+  }
+
   test("minhash LSH: no cartesian product anywhere") {
     val p = plan(Dedup.minhashLsh(spark, sfDir))
     p should not include "CartesianProduct"
