@@ -12,6 +12,22 @@ object Sql {
   def rnd(e: String, scale: Int = 4): String =
     s"(floor(($e) * 1e$scale + 0.5e0) / 1e$scale)"
 
+  /** Mirror of functions.fxSum — order-free fixed-point sum (DuckDB
+    * sum(BIGINT) returns HUGEINT, hence the cast back). */
+  def fxSum(e: String, scale: Int = 4): String =
+    s"(CAST(sum(CAST(floor(($e) * 1e$scale + 0.5e0) AS BIGINT)) AS BIGINT) / 1e$scale)"
+
+  /** Mirror of functions.fxAvg. */
+  def fxAvg(e: String, scale: Int = 4): String =
+    s"(CAST(sum(CAST(floor(($e) * 1e$scale + 0.5e0) AS BIGINT)) AS BIGINT) / count(*) / 1e$scale)"
+
+  /** The events table with ts pinned to µs precision — the parquet
+    * stores TIMESTAMP(NANOS) but Spark reads it truncated to µs
+    * (Tables.events), so any oracle that orders/lags/diffs on ts must
+    * truncate identically or sub-µs data would flip tie-breaks. */
+  val eventsUs: String =
+    "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
   /** Whitespace tokenization, empties dropped. */
   def tokens(e: String): String =
     s"list_filter(string_split($e, ' '), t -> len(t) > 0)"

@@ -3,7 +3,8 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -85,9 +86,19 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   override def children: Seq[Expression] = Seq(score, id)
+  // declared input types let the analyzer insert casts (or raise an
+  // analysis error) instead of a ClassCastException on the executor
+  // when the SQL form graft_topk_by is called with e.g. a string score
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(DoubleType, LongType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (k < 1) TypeCheckResult.TypeCheckFailure(s"k must be >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),

@@ -27,6 +27,25 @@ package object functions {
     F.floor(c * f + 0.5) / f
   }
 
+  /** Order-free sum of a double column: each row is fixed-point rounded
+    * to `scale` decimals and summed as a long — integer addition is
+    * associative, so the result is independent of partitioning and
+    * accumulation order, unlike a raw double sum (ULP-level
+    * reassociation error that can flip a value across a rounding
+    * half-boundary). Headroom: |sum·10^scale| must stay below 2⁶³
+    * (~9.2e18/10^scale rows×magnitude). Mirrored by Sql.fxSum. */
+  def fxSum(c: Column, scale: Int = 4): Column = {
+    val f = math.pow(10, scale)
+    F.sum(F.floor(c * f + 0.5).cast("long")) / f
+  }
+
+  /** Order-free mean via [[fxSum]]: sum of per-row fixed-point longs,
+    * divided by the group count then descaled. Mirrored by Sql.fxAvg. */
+  def fxAvg(c: Column, scale: Int = 4): Column = {
+    val f = math.pow(10, scale)
+    F.sum(F.floor(c * f + 0.5).cast("long")) / F.count(F.lit(1)) / f
+  }
+
   /** Whitespace tokenization, empty tokens dropped (Python `str.split`
     * semantics on single-space text; ref encoder.py:96). */
   def tokens(text: Column): Column =

@@ -28,6 +28,16 @@ object Dedup {
   }
   val NBands = 8 // 2 rows per band
 
+  /** Default skew cap for every pair-expansion operator: a blocking key
+    * (LSH bucket, SimHash band, (lang, first-token) block, cluster
+    * label) shared by more rows than this is dropped before any pairs
+    * are expanded — it carries no discriminating signal and its b²
+    * expansion is the one quadratic hot spot these operators otherwise
+    * have at scale. Chosen above every observed sf0.1 block size
+    * (max: 1825-member SimHash band) so the verified oracles are
+    * unaffected; real deployments tune it per operator. */
+  val MaxBlock = 4096
+
   /** Word 3-gram shingles, in token order (empty when < 3 tokens).
     * NOTE: `text` should be a *materialized token array reference* in
     * hot paths — see [[shinglesOf]]; passing `tokens(col)` directly
@@ -64,10 +74,13 @@ object Dedup {
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs share
     * (lang, first token); J = |∩|/|∪| over distinct *hashed* shingles
     * (set ops on longs, not strings — same hash on both engines). */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2): DataFrame = {
-    val d = hashedShingles(spark, dir)
-      .select(col("doc_id"), col("lang"), col("t0"),
-        array_distinct(col("shh")).as("sh"))
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
+                   maxBlock: Int = MaxBlock): DataFrame = {
+    val d = Skew.capBlocks(
+      hashedShingles(spark, dir)
+        .select(col("doc_id"), col("lang"), col("t0"),
+          array_distinct(col("shh")).as("sh")),
+      Seq("lang", "t0"), maxBlock)
     val a = d.select(col("doc_id").as("id_a"), col("lang"), col("t0"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("id_b"), col("lang"), col("t0"), col("sh").as("sh_b"))
     a.join(b, Seq("lang", "t0"))
@@ -98,7 +111,8 @@ object Dedup {
     * band bucket become candidates; candidates are verified with exact
     * shingle Jaccard ≥ threshold. The only shuffle that touches the
     * full corpus is the explode-to-(band, key) groupBy. */
-  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
+                 maxBucket: Int = MaxBlock): DataFrame = {
     val hashed = hashedShingles(spark, dir)
       .select(col("doc_id"), col("shh"))
       .filter(size(col("shh")) > 0)
@@ -112,9 +126,10 @@ object Dedup {
     // bucket-local pair expansion: the signature frame is computed once
     // (no self-join recompute); buckets are tiny so the i<j expansion is
     // cheap, and a skewed bucket degrades no worse than a self-join.
-    val cands = banded.groupBy("band", "key")
+    val buckets = banded.groupBy("band", "key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val cands = Skew.capBuckets(buckets, "ids", maxBucket)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i.cast("int") + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("pr"))
@@ -151,11 +166,14 @@ object Dedup {
 
   /** SimHash near-dup pairs: docs sharing the 16-bit band prefix whose
     * fingerprints are within `maxHamming`. The band equi-join bounds
-    * the pair expansion (cap pathological bands with Skew.capBuckets
-    * at scale). */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val fp = simhashFingerprints(spark, dir)
-      .select(col("doc_id"), col("fp"), shiftright(col("fp"), 46).as("band"))
+    * the pair expansion; pathological bands (more than `maxBlock`
+    * members) are dropped before the join. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6,
+                   maxBlock: Int = MaxBlock): DataFrame = {
+    val fp = Skew.capBlocks(
+      simhashFingerprints(spark, dir)
+        .select(col("doc_id"), col("fp"), shiftright(col("fp"), 46).as("band")),
+      Seq("band"), maxBlock)
     val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"), col("band"))
     val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"), col("band"))
     a.join(b, Seq("band"))
@@ -168,10 +186,13 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs, blocked by cluster label (the
     * LSH-bucketed variant for unlabeled data is Ann.lshHyperplane). */
-  def embeddingCosine(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .filter(col("vec_id") % 5 === 0)
-      .select(col("vec_id"), col("label"), col("embedding"))
+  def embeddingCosine(spark: SparkSession, dir: String, threshold: Double = 0.3,
+                      maxBlock: Int = MaxBlock): DataFrame = {
+    val e = Skew.capBlocks(
+      Tables.embeddings(spark, dir)
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("label"), col("embedding")),
+      Seq("label"), maxBlock)
     val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
     a.join(b, Seq("label"))

@@ -26,12 +26,12 @@ object PerfStats {
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        rnd(avg("value"), 4).as("mean_v"),
+        rnd(fxAvg(col("value"), 6), 4).as("mean_v"),
         rnd(expr("percentile(value, 0.5)"), 4).as("p50"),
         rnd(expr("percentile(value, 0.9)"), 4).as("p90"),
         rnd(expr("percentile(value, 0.95)"), 4).as("p95"),
         rnd(expr("percentile(value, 0.99)"), 4).as("p99"),
-        rnd(count(lit(1)) / sum("value"), 4).as("qps"))
+        rnd(count(lit(1)) / fxSum(col("value"), 6), 4).as("qps"))
       .orderBy("event_type")
 
   /** Batches of 256 by event_id (mirrors the ref's fixed batch loop,
@@ -41,8 +41,8 @@ object PerfStats {
       .groupBy(floor(col("event_id") / 256).as("batch_id"))
       .agg(
         count(lit(1)).cast("long").as("batch_size"),
-        rnd(sum("value"), 4).as("batch_time"),
-        rnd(count(lit(1)) / sum("value"), 4).as("throughput_vps"))
+        rnd(fxSum(col("value"), 6), 4).as("batch_time"),
+        rnd(count(lit(1)) / fxSum(col("value"), 6), 4).as("throughput_vps"))
       .orderBy("batch_id")
 
   /** mean/median/min/max summary grouped by (event_type, hour-of-day) —
@@ -52,7 +52,7 @@ object PerfStats {
       .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
       .agg(
         count(lit(1)).as("n"),
-        rnd(avg("value"), 4).as("mean_v"),
+        rnd(fxAvg(col("value"), 6), 4).as("mean_v"),
         rnd(expr("percentile(value, 0.5)"), 4).as("median_v"),
         rnd(min("value"), 4).as("min_v"),
         rnd(max("value"), 4).as("max_v"))
@@ -73,27 +73,27 @@ object PerfStats {
 
   object SqlOracle {
     val latencyPercentiles: String =
-      """SELECT event_type,
+      s"""SELECT event_type,
         |  count(*) AS n,
-        |  (floor((avg(value)) * 1e4 + 0.5e0) / 1e4) AS mean_v,
+        |  (floor((${Sql.fxAvg("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS mean_v,
         |  (floor((quantile_cont(value, 0.5)) * 1e4 + 0.5e0) / 1e4) AS p50,
         |  (floor((quantile_cont(value, 0.9)) * 1e4 + 0.5e0) / 1e4) AS p90,
         |  (floor((quantile_cont(value, 0.95)) * 1e4 + 0.5e0) / 1e4) AS p95,
         |  (floor((quantile_cont(value, 0.99)) * 1e4 + 0.5e0) / 1e4) AS p99,
-        |  (floor((count(*) / sum(value)) * 1e4 + 0.5e0) / 1e4) AS qps
+        |  (floor((count(*) / ${Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS qps
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
     val ingestThroughput: String =
-      """SELECT CAST(floor(event_id / 256) AS BIGINT) AS batch_id,
+      s"""SELECT CAST(floor(event_id / 256) AS BIGINT) AS batch_id,
         |  count(*) AS batch_size,
-        |  (floor((sum(value)) * 1e4 + 0.5e0) / 1e4) AS batch_time,
-        |  (floor((count(*) / sum(value)) * 1e4 + 0.5e0) / 1e4) AS throughput_vps
+        |  (floor((${Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS batch_time,
+        |  (floor((count(*) / ${Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS throughput_vps
         |FROM events GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
     val runSummary: String =
-      """SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+      s"""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
         |  count(*) AS n,
-        |  (floor((avg(value)) * 1e4 + 0.5e0) / 1e4) AS mean_v,
+        |  (floor((${Sql.fxAvg("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS mean_v,
         |  (floor((quantile_cont(value, 0.5)) * 1e4 + 0.5e0) / 1e4) AS median_v,
         |  (floor((min(value)) * 1e4 + 0.5e0) / 1e4) AS min_v,
         |  (floor((max(value)) * 1e4 + 0.5e0) / 1e4) AS max_v

@@ -17,18 +17,21 @@ import graft.functions._
   */
 object Relational {
 
-  /** Pricing-summary shape (scan → filter → groupBy → agg). Sums are
-    * rounded doubles; deterministic output order. */
+  /** Pricing-summary shape (scan → filter → groupBy → agg). Money/
+    * quantity sums use fixed-point longs ([[graft.functions.fxSum]]) so
+    * the result is independent of accumulation order — a raw double sum
+    * is ULP-order-dependent and could flip a value across a rounding
+    * half-boundary under different partitioning. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity") > 0)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        rnd(sum("l_quantity"), 2).as("sum_qty"),
-        rnd(sum("l_extendedprice"), 2).as("sum_base_price"),
-        rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        rnd(avg("l_quantity"), 4).as("avg_qty"),
-        rnd(avg("l_discount"), 6).as("avg_disc"),
+        rnd(fxSum(col("l_quantity")), 2).as("sum_qty"),
+        rnd(fxSum(col("l_extendedprice")), 2).as("sum_base_price"),
+        rnd(fxSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        rnd(fxAvg(col("l_quantity")), 4).as("avg_qty"),
+        rnd(fxAvg(col("l_discount"), 6), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -42,7 +45,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
-      .agg(rnd(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(rnd(fxSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(desc("revenue"), col("l_orderkey"))
       .limit(100)
@@ -88,20 +91,20 @@ object Relational {
 
   object SqlOracle {
     val q1Agg: String =
-      """SELECT l_returnflag, l_linestatus,
-        |  (floor((sum(l_quantity)) * 1e2 + 0.5e0) / 1e2) AS sum_qty,
-        |  (floor((sum(l_extendedprice)) * 1e2 + 0.5e0) / 1e2) AS sum_base_price,
-        |  (floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5e0) / 1e2) AS sum_disc_price,
-        |  (floor((avg(l_quantity)) * 1e4 + 0.5e0) / 1e4) AS avg_qty,
-        |  (floor((avg(l_discount)) * 1e6 + 0.5e0) / 1e6) AS avg_disc,
+      s"""SELECT l_returnflag, l_linestatus,
+        |  (floor((${Sql.fxSum("l_quantity")}) * 1e2 + 0.5e0) / 1e2) AS sum_qty,
+        |  (floor((${Sql.fxSum("l_extendedprice")}) * 1e2 + 0.5e0) / 1e2) AS sum_base_price,
+        |  (floor((${Sql.fxSum("l_extendedprice * (1.0 - l_discount)")}) * 1e2 + 0.5e0) / 1e2) AS sum_disc_price,
+        |  (floor((${Sql.fxAvg("l_quantity")}) * 1e4 + 0.5e0) / 1e4) AS avg_qty,
+        |  (floor((${Sql.fxAvg("l_discount", 6)}) * 1e6 + 0.5e0) / 1e6) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_quantity > 0
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
     val q3JoinAgg: String =
-      """SELECT l_orderkey,
-        |  (floor((sum(l_extendedprice * (1.0 - l_discount))) * 1e2 + 0.5e0) / 1e2) AS revenue,
+      s"""SELECT l_orderkey,
+        |  (floor((${Sql.fxSum("l_extendedprice * (1.0 - l_discount)")}) * 1e2 + 0.5e0) / 1e2) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -122,13 +125,13 @@ object Relational {
         |ORDER BY o_custkey, rnk""".stripMargin
 
     val latestByKey: String =
-      """SELECT user_id, event_id, event_type,
+      s"""SELECT user_id, event_id, event_type,
         |  (floor((value) * 1e4 + 0.5e0) / 1e4) AS value
         |FROM (
         |  SELECT user_id, event_id, event_type, value,
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY ts DESC, event_id DESC) AS r
-        |  FROM events)
+        |  FROM ${graft.functions.Sql.eventsUs} events)
         |WHERE r = 1
         |ORDER BY user_id""".stripMargin
 

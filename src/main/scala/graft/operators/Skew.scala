@@ -34,4 +34,20 @@ object Skew {
     * collect_list groupBy. */
   def capBuckets(buckets: DataFrame, idsCol: String, maxBucket: Int): DataFrame =
     buckets.filter(size(col(idsCol)) <= maxBucket)
+
+  /** Same bound for *join-based* pair expansion, applied before the
+    * self-join: rows whose blocking key is shared by more than
+    * `maxBlock` rows are dropped. The oversized keys are found with one
+    * map-side-combined count and anti-joined back as a broadcast (the
+    * pathological-key set is tiny by construction — at most
+    * |input|/maxBlock keys can exceed the cap), so the hot block never
+    * materializes anywhere: not as b² join pairs and not as a giant
+    * collect_list row. */
+  def capBlocks(df: DataFrame, keys: Seq[String], maxBlock: Int): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBlock)
+      .select(keys.map(col): _*)
+    df.join(broadcast(hot), keys, "left_anti")
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import java.sql.Timestamp
 import graft.Tables
-import graft.functions.rnd
+import graft.functions.{fxSum, rnd}
 
 /** Streaming operators (the ref ingests in streaming batches —
   * ingestion/ingest.py:52-80 `run_*_ingest_stream`; here re-expressed
@@ -29,7 +29,7 @@ object StreamOps {
   def windowedAggBatch(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), rnd(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), rnd(fxSum(col("value"), 6), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
@@ -76,7 +76,7 @@ object StreamOps {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), rnd(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), rnd(fxSum(col("value"), 6), 4).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -127,8 +127,8 @@ object StreamOps {
 
   object SqlOracle {
     val windowedAgg: String =
-      """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n, (floor((sum(value)) * 1e4 + 0.5e0) / 1e4) AS sum_value
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, (floor((${graft.functions.Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS sum_value
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin
 
@@ -136,7 +136,7 @@ object StreamOps {
       s"""WITH x AS (
          |  SELECT user_id, ts, event_id,
          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-         |  FROM events),
+         |  FROM ${graft.functions.Sql.eventsUs} events),
          |y AS (
          |  SELECT user_id, ts, event_id,
          |    CASE WHEN prev_ts IS NULL

@@ -12,4 +12,8 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `org.apache.spark.sql.types.AbstractDataType` is private[sql];
+    * re-exported here so expressions can declare `inputTypes`. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

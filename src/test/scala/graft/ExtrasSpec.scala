@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{functions => Fn}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
-import graft.operators.Skew
+import graft.operators.{Dedup, Skew}
 import graft.sources.Sources
 
 class ExtensionsSpec extends AnyFunSuite with Matchers with SharedSpark {
@@ -106,6 +106,51 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
     val capped = Skew.capBuckets(buckets, "ids", 50)
     capped.count() shouldBe 1
     capped.select("key").as[String].head() shouldBe "a"
+  }
+
+  test("graft_topk_by validates inputs at analysis time") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+    // non-numeric score: analysis error, not an executor ClassCastException
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_topk_by(text, doc_id, 3) FROM documents").collect()
+    // k = 0: rejected before execution (would index an empty heap array)
+    an[Exception] should be thrownBy
+      spark.sql("SELECT graft_topk_by(CAST(doc_id AS DOUBLE), doc_id, 0) FROM documents").collect()
+    // integer score: implicitly cast, runs fine
+    spark.sql("SELECT graft_topk_by(doc_id, doc_id, 3) AS tk FROM documents")
+      .collect().length shouldBe 1
+  }
+
+  test("capBlocks drops only rows whose blocking key is oversized") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("hot", i.toLong)) ++
+      Seq(("cold", 1L), ("cold", 2L))).toDF("k", "id")
+    val capped = Skew.capBlocks(df, Seq("k"), 50)
+    capped.count() shouldBe 2
+    capped.select("k").distinct().as[String].head() shouldBe "cold"
+  }
+
+  test("adversarial skew: a 10k-member hot block is dropped, small blocks survive") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    // 10,000 identical docs — one (lang, t0) block and one SimHash band;
+    // uncapped these expand ~5×10⁷ pairs. Plus one genuine near-dup pair
+    // in a small block that must survive the cap.
+    val hot = (0L until 10000L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", "en"))
+    val near = Seq(
+      (20000L, "alpha beta gamma delta epsilon zeta", "fr"),
+      (20001L, "alpha beta gamma delta epsilon eta", "fr"))
+    (hot ++ near).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.ngramJaccard(spark, tmp, threshold = 0.2, maxBlock = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    pairs shouldBe Array((20000L, 20001L))
+    // simhash: the hot band is dropped entirely; only small-band pairs remain
+    val sp = Dedup.simhashPairs(spark, tmp, maxHamming = 61, maxBlock = 64)
+    sp.filter(col("id_a") < 10000L).count() shouldBe 0
+    sp.count() should be <= 1L
   }
 
   test("saltOf is deterministic and within range") {

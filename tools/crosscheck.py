@@ -12,11 +12,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df):
-    # sort columns by name, then sort rows by all columns for a stable compare
+def canon(df, ordered=False):
+    # sort columns by name; for queries whose contract includes a final
+    # ORDER BY, compare rows positionally (the declared order is part of
+    # the result) — only unordered results get the row re-sort
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    if not ordered:
+        df = df.sort_values(by=list(df.columns))
+    return df.reset_index(drop=True)
 
 
 def main(sf_dir, out_dir):
@@ -38,7 +41,8 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1
             continue
-        s, d = canon(spark_df), canon(duck_df)
+        ordered = "order by" in sql.lower()
+        s, d = canon(spark_df, ordered), canon(duck_df, ordered)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}"); n_fail += 1
             continue
