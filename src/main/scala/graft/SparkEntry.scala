@@ -39,10 +39,15 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.ivf(s, d)),
     "ann_pq_encode" -> ((s, d) => Ann.pqEncode(s, d)),
     "ann_pq_search" -> ((s, d) => Ann.pqSearch(s, d)),
+    "ann_lsh_filtered" -> ((s, d) => Ann.lshFiltered(s, d)),
+    "ann_ivf_filtered" -> ((s, d) => Ann.ivfFiltered(s, d)),
     // Retrieval evaluation
     "eval_precision_at_k" -> ((s, d) => Eval.precisionAtK(s, d)),
     "eval_recall_at_k" -> ((s, d) => Eval.recallAtK(s, d)),
     "eval_map" -> ((s, d) => Eval.meanAveragePrecision(s, d)),
+    "eval_ann_recall_lsh" -> ((s, d) => Eval.annRecallLsh(s, d)),
+    "eval_ann_recall_ivf" -> ((s, d) => Eval.annRecallIvf(s, d)),
+    "eval_ann_recall_pq" -> ((s, d) => Eval.annRecallPq(s, d)),
     // Encoders
     "enc_hashing_tf" -> ((s, d) => Encoders.hashingTf(s, d)),
     "enc_tfidf" -> ((s, d) => Encoders.tfIdf(s, d)),
@@ -92,9 +97,14 @@ object SparkEntry {
     "ann_ivf" -> Ann.SqlOracle.ivf,
     "ann_pq_encode" -> Ann.SqlOracle.pqEncode,
     "ann_pq_search" -> Ann.SqlOracle.pqSearch,
+    "ann_lsh_filtered" -> Ann.SqlOracle.lshFiltered,
+    "ann_ivf_filtered" -> Ann.SqlOracle.ivfFiltered,
     "eval_precision_at_k" -> Eval.SqlOracle.precisionAtK,
     "eval_recall_at_k" -> Eval.SqlOracle.recallAtK,
     "eval_map" -> Eval.SqlOracle.meanAveragePrecision,
+    "eval_ann_recall_lsh" -> Eval.SqlOracle.annRecall(Ann.SqlOracle.lshHyperplane),
+    "eval_ann_recall_ivf" -> Eval.SqlOracle.annRecall(Ann.SqlOracle.ivf),
+    "eval_ann_recall_pq" -> Eval.SqlOracle.annRecall(Ann.SqlOracle.pqSearch),
     "enc_hashing_tf" -> Encoders.SqlOracle.hashingTf(),
     "enc_tfidf" -> Encoders.SqlOracle.tfIdf(),
     "enc_mean_pooling" -> Encoders.SqlOracle.meanPooling,

@@ -41,8 +41,12 @@ object Ann {
 
   /** LSH ANN: docs and queries hash to 2 byte-wide band buckets; docs
     * sharing any band bucket with a query are candidates; exact
-    * dot-product top-k re-ranks them. */
-  def lshHyperplane(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    * dot-product top-k re-ranks them. `docFilter` is applied to the doc
+    * side *before* signatures are computed, so it pushes into the
+    * parquet scan — the ref's filtered HNSW query
+    * (weaviate/client.py:82-92 `where` + vector in one query). */
+  def lshHyperplane(spark: SparkSession, dir: String, k: Int = K,
+                    docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame =
       df.withColumn("_sig", signature(col(vecCol)))
         .select(col(idCol), col(vecCol), explode(array(
@@ -51,7 +55,7 @@ object Ann {
             shiftright(col("_sig"), BandBits * bb).bitwiseAND((1 << BandBits) - 1).as("bkt"))): _*)).as("bk"))
         .select(col(idCol), col(vecCol), col("bk.band"), col("bk.bkt"))
     val q = banded(Knn.querySet(spark, dir), "q_id", "q_vec")
-    val d = banded(Knn.docSet(spark, dir), "doc_id", "doc_vec")
+    val d = banded(Knn.docSet(spark, dir).filter(docFilter), "doc_id", "doc_vec")
     // score on the map side (before the dedup shuffle): a duplicate
     // candidate costs one extra dot product, but the dedup groupBy then
     // shuffles only narrow (q_id, doc_id, score) rows — not 64-float
@@ -71,7 +75,8 @@ object Ann {
     * each query probes its top-NProbe centroids and exact-reranks the
     * docs in those lists. [[fitCentroids]] is the Lloyd trainer for
     * real deployments (same plan shape per iteration). */
-  def ivf(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+  def ivf(spark: SparkSession, dir: String, k: Int = K,
+          docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
     // argmax-dot centroid via min_by on a (-score, c_id) struct —
@@ -79,7 +84,7 @@ object Ann {
     // map-side partial aggregation (pqEncode's pattern): the exploded
     // docs×centroids frame never shuffles; only one narrow row per doc
     // does. (A window row_number here would sort-shuffle 16×N rows.)
-    val docs = Knn.docSet(spark, dir).crossJoin(broadcast(cent))
+    val docs = Knn.docSet(spark, dir).filter(docFilter).crossJoin(broadcast(cent))
       .groupBy("doc_id")
       .agg(
         min_by(col("c_id"),
@@ -104,6 +109,16 @@ object Ann {
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
   }
+
+  /** Metadata-filtered ANN: the [[Knn.metaPredicate]] filter pushed
+    * below signature/probe computation (scan-level), combined with the
+    * LSH / IVF index — at 100 TB filtered+indexed is the common query
+    * (ref: weaviate/client.py:82-92). */
+  def lshFiltered(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    lshHyperplane(spark, dir, k, Knn.metaPredicate)
+
+  def ivfFiltered(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    ivf(spark, dir, k, Knn.metaPredicate)
 
   // ---------- Product quantization ----------
   val PqM = 8        // subspaces
@@ -259,9 +274,9 @@ object Ann {
       bits.mkString("(", " + ", ")")
     }
 
-    val lshHyperplane: String =
+    def lshHyperplaneSql(docFilter: String): String =
       s"""WITH q0 AS ${Knn.SqlOracle.queriesCte()},
-         |d0 AS ${Knn.SqlOracle.docsCte()},
+         |d0 AS (SELECT * FROM ${Knn.SqlOracle.docsCte()} d WHERE $docFilter),
          |qs AS (SELECT q_id, q_vec, ${sigExpr("q_vec")} AS sig FROM q0),
          |dsg AS (SELECT doc_id, doc_vec, ${sigExpr("doc_vec")} AS sig FROM d0),
          |qb AS (SELECT q_id, q_vec, b.band, (sig >> ($BandBits * b.band)) & ${(1 << BandBits) - 1} AS bkt
@@ -280,6 +295,9 @@ object Ann {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
+
+    val lshHyperplane: String = lshHyperplaneSql("TRUE")
+    val lshFiltered: String = lshHyperplaneSql(Knn.SqlOracle.metaPredicate)
 
     /** Sequential subspace squared-L2 between two full vectors at a
       * column offset j*sub (j is a plain column — bindable in DuckDB
@@ -347,9 +365,9 @@ object Ann {
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
 
-    val ivf: String =
+    def ivfSql(docFilter: String): String =
       s"""WITH q0 AS ${Knn.SqlOracle.queriesCte()},
-         |d0 AS ${Knn.SqlOracle.docsCte()},
+         |d0 AS (SELECT * FROM ${Knn.SqlOracle.docsCte()} d WHERE $docFilter),
          |cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
          |         WHERE vec_id < $NCentroids),
          |dscore AS (
@@ -381,5 +399,8 @@ object Ann {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
+
+    val ivf: String = ivfSql("TRUE")
+    val ivfFiltered: String = ivfSql(Knn.SqlOracle.metaPredicate)
   }
 }

@@ -25,13 +25,17 @@ import graft.functions.{Sql => S}
   */
 object Eval {
   val K = Knn.K
+  /** Retrieval depth = max evaluated k — the ref evaluates k ∈
+    * {5, 10, 20} (metrics.py:22 `k_values=[5, 10, 20]`). */
+  val Ks: Seq[Int] = Seq(5, 10, 20)
+  val KMax: Int = Ks.max
 
-  /** top-K retrievals annotated with relevance (shared plan). */
+  /** top-KMax retrievals annotated with relevance (shared plan). */
   private def hits(spark: SparkSession, dir: String): DataFrame = {
     val ranked = Knn.topKPerQuery(
       Knn.docSet(spark, dir).crossJoin(broadcast(Knn.querySet(spark, dir)))
         .select(col("q_id"), col("doc_id"),
-          dot(col("q_vec"), col("doc_vec")).as("score")), K)
+          dot(col("q_vec"), col("doc_vec")).as("score")), KMax)
     ranked
       .join(broadcast(Knn.querySet(spark, dir).select("q_id", "q_label")), "q_id")
       .join(broadcast(Knn.docSet(spark, dir).select("doc_id", "doc_label")), "doc_id")
@@ -42,10 +46,11 @@ object Eval {
     hits(spark, dir)
       .groupBy("q_id")
       .agg(
-        (sum(when(col("rank") <= 5, col("rel")).otherwise(0L)) / 5.0).as("p_at_5"),
-        (sum(col("rel")) / lit(K.toDouble)).as("p_at_10"))
-      .select(col("q_id"), rnd(col("p_at_5"), 4).as("p_at_5"),
-        rnd(col("p_at_10"), 4).as("p_at_10"))
+        rnd(sum(when(col("rank") <= Ks.head, col("rel")).otherwise(0L)) / Ks.head.toDouble, 4)
+          .as(s"p_at_${Ks.head}"),
+        Ks.tail.map(k =>
+          rnd(sum(when(col("rank") <= k, col("rel")).otherwise(0L)) / k.toDouble, 4)
+            .as(s"p_at_$k")): _*)
       .orderBy("q_id")
 
   def recallAtK(spark: SparkSession, dir: String): DataFrame = {
@@ -55,14 +60,39 @@ object Eval {
       .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
     hits(spark, dir)
       .groupBy("q_id")
-      .agg(sum(when(col("rank") <= 5, col("rel")).otherwise(0L)).as("hits_5"),
-        sum(col("rel")).as("hits_10"))
+      .agg(
+        sum(when(col("rank") <= Ks.head, col("rel")).otherwise(0L)).as(s"hits_${Ks.head}"),
+        Ks.tail.map(k =>
+          sum(when(col("rank") <= k, col("rel")).otherwise(0L)).as(s"hits_$k")): _*)
       .join(broadcast(relCounts), Seq("q_id"), "left")
-      .select(col("q_id"),
-        rnd(col("hits_5") / col("n_rel"), 4).as("r_at_5"),
-        rnd(col("hits_10") / col("n_rel"), 4).as("r_at_10"))
+      .select(col("q_id") +: Ks.map(k =>
+        rnd(col(s"hits_$k") / col("n_rel"), 4).as(s"r_at_$k")): _*)
       .orderBy("q_id")
   }
+
+  /** ANN quality vs ground truth: fraction of the *exact* dot-product
+    * top-k that an ANN method retrieved (overlap@k — the standard
+    * ANN-recall metric; the ref runs the same evaluate_all over its
+    * HNSW retrievals, evaluation/search_eval.py:20-44). Quantifies the
+    * recall each approximate index trades for its pruning. */
+  def annRecall(spark: SparkSession, dir: String, ann: DataFrame,
+                k: Int = Knn.K): DataFrame = {
+    val exact = Knn.bruteForce(spark, dir, k).select(col("q_id"), col("doc_id"))
+    val hit = exact.join(ann.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    Knn.querySet(spark, dir).select("q_id")
+      .join(hit, Seq("q_id"), "left")
+      .select(col("q_id"),
+        rnd(coalesce(col("n_hit"), lit(0L)) / k.toDouble, 4).as("recall"))
+      .orderBy("q_id")
+  }
+
+  def annRecallLsh(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, Ann.lshHyperplane(spark, dir))
+  def annRecallIvf(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, Ann.ivf(spark, dir))
+  def annRecallPq(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, Ann.pqSearch(spark, dir))
 
   /** Per-query AP then a single MAP row (metrics.py:36-55). */
   def meanAveragePrecision(spark: SparkSession, dir: String): DataFrame = {
@@ -89,13 +119,14 @@ object Eval {
            |  FROM ranked r
            |  JOIN ${Knn.SqlOracle.queriesCte()} q USING (q_id)
            |  JOIN ${Knn.SqlOracle.docsCte()} d USING (doc_id)
-           |  WHERE r.rank <= $K)""".stripMargin
+           |  WHERE r.rank <= $KMax)""".stripMargin
 
     val precisionAtK: String =
       base + s"""
         |SELECT q_id,
-        |  (floor((sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0) * 1e4 + 0.5e0) / 1e4) AS p_at_5,
-        |  (floor((sum(rel) / ${K.toDouble}) * 1e4 + 0.5e0) / 1e4) AS p_at_10
+        |  ${Ks.map(k =>
+             s"(floor((sum(CASE WHEN rank <= $k THEN rel ELSE 0 END) / $k.0) * 1e4 + 0.5e0) / 1e4) AS p_at_$k")
+             .mkString(",\n  ")}
         |FROM h GROUP BY q_id ORDER BY q_id""".stripMargin
 
     val recallAtK: String =
@@ -106,10 +137,26 @@ object Eval {
         |  JOIN ${Knn.SqlOracle.docsCte()} d ON d.doc_label = q.q_label
         |  GROUP BY q.q_id)
         |SELECT h.q_id,
-        |  (floor((sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / CAST(any_value(n_rel) AS DOUBLE)) * 1e4 + 0.5e0) / 1e4) AS r_at_5,
-        |  (floor((sum(rel) / CAST(any_value(n_rel) AS DOUBLE)) * 1e4 + 0.5e0) / 1e4) AS r_at_10
+        |  ${Ks.map(k =>
+             s"(floor((sum(CASE WHEN rank <= $k THEN rel ELSE 0 END) / CAST(any_value(n_rel) AS DOUBLE)) * 1e4 + 0.5e0) / 1e4) AS r_at_$k")
+             .mkString(",\n  ")}
         |FROM h LEFT JOIN rc ON h.q_id = rc.q_id
         |GROUP BY h.q_id ORDER BY h.q_id""".stripMargin
+
+    /** overlap@k of an ANN oracle vs the exact brute-force oracle. */
+    def annRecall(annSql: String, k: Int = Knn.K): String =
+      s"""WITH ex AS (SELECT q_id, doc_id FROM (
+         |${Knn.SqlOracle.bruteForce}) t_ex),
+         |ann AS (SELECT q_id, doc_id FROM (
+         |$annSql) t_ann),
+         |hit AS (
+         |  SELECT q_id, count(*) AS n_hit
+         |  FROM ex JOIN ann USING (q_id, doc_id) GROUP BY q_id)
+         |SELECT q.q_id,
+         |  (floor((coalesce(n_hit, 0) / $k.0) * 1e4 + 0.5e0) / 1e4) AS recall
+         |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < ${Knn.NQueries}) q
+         |LEFT JOIN hit USING (q_id)
+         |ORDER BY q_id""".stripMargin
 
     val meanAveragePrecision: String =
       base + s""",

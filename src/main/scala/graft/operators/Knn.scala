@@ -101,13 +101,17 @@ object Knn {
       .select(col("q_id"), col("doc_id"), rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "doc_id")
 
+  /** The metadata predicate shared by exact and ANN filtered search
+    * (ref's `where` filters on category/id). */
+  val metaPredicate: Column = col("doc_label").isin(1, 2, 3) && col("doc_id") % 2 === 0
+
   /** Metadata-filtered search (ref: evaluation/search_eval.py:30-37
     * `metadata_filter_fn` / weaviate `where` filters): the doc-side
     * predicate is applied *before* scoring so it pushes into the scan. */
   def metadataFilter(spark: SparkSession, dir: String, k: Int = K): DataFrame =
     topKPerQuery(
       scoredFrame(querySet(spark, dir),
-        docSet(spark, dir).filter(col("doc_label").isin(1, 2, 3) && col("doc_id") % 2 === 0),
+        docSet(spark, dir).filter(metaPredicate),
         dot(col("q_vec"), col("doc_vec"))), k)
       .select(col("q_id"), col("rank"), col("doc_id"),
         rnd(col("score"), 4).as("score"))
@@ -145,9 +149,11 @@ object Knn {
     val cosineTopK: String =
       rankedSql(S.cosine("q_vec", "doc_vec", Dim)) + "\n" + topkSelect()
 
+    /** SQL mirror of [[Knn.metaPredicate]]. */
+    val metaPredicate: String = "doc_label IN (1, 2, 3) AND doc_id % 2 = 0"
+
     val metadataFilter: String =
-      rankedSql(S.dot("q_vec", "doc_vec", Dim),
-        "doc_label IN (1, 2, 3) AND doc_id % 2 = 0") + "\n" + topkSelect()
+      rankedSql(S.dot("q_vec", "doc_vec", Dim), metaPredicate) + "\n" + topkSelect()
 
     def rangeSearch(minScore: Double = 0.35): String =
       s"""WITH q AS ${queriesCte()},

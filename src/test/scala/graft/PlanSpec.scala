@@ -72,6 +72,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     "FileScan".r.findAllIn(p).size should be <= 2
   }
 
+  test("filtered ANN: metadata predicate pushed into the doc-side scan") {
+    val p = plan(Ann.lshFiltered(spark, sfDir))
+    p should include("PushedFilters")
+    p should include("In(label")
+    p should not include "Window"
+  }
+
   test("minhash LSH: no cartesian product anywhere") {
     val p = plan(Dedup.minhashLsh(spark, sfDir))
     p should not include "CartesianProduct"
