@@ -53,6 +53,7 @@ object SparkEntry {
     "enc_tfidf" -> ((s, d) => Encoders.tfIdf(s, d)),
     "enc_mean_pooling" -> ((s, d) => Encoders.meanPooling(s, d)),
     "pipeline_hashing_search" -> ((s, d) => Encoders.hashingSearch(s, d)),
+    "pipeline_experiment_summary" -> ((s, d) => Experiment.summary(s, d)),
     // Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "enc_tfidf" -> Encoders.SqlOracle.tfIdf(),
     "enc_mean_pooling" -> Encoders.SqlOracle.meanPooling,
     "pipeline_hashing_search" -> Encoders.SqlOracle.hashingSearch(),
+    "pipeline_experiment_summary" -> Experiment.SqlOracle.summary(),
     "dedup_exact" -> Dedup.SqlOracle.exact,
     "dedup_ngram_jaccard" -> Dedup.SqlOracle.ngramJaccard(),
     "dedup_minhash_lsh" -> Dedup.SqlOracle.minhashLsh(),

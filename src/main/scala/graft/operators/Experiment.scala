@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** The reference's end-to-end experiment flow as ONE composed plan
+  * (ref: experiments/run_experiments.py and auto_run_tests.py:109-160 —
+  * encode corpus → ingest → search top-k → evaluate → group-by summary
+  * row → CSV under experiments/results/).
+  *
+  * [[summary]] is the deterministic core (encode + retrieve + evaluate
+  * → one summary row) and is oracle-verified; [[run]] wraps it with the
+  * wall-clock stage timings the ref also records (timings are
+  * nondeterministic, so that form is test-covered, not oracle-compared)
+  * and writes the ref's summary-CSV shape via Sources.writeSummaryCsv.
+  *
+  * Ground truth mirrors the ref's synthetic qrels (auto_run_tests.py:
+  * 260-268 regenerates queries from docs): a doc is relevant to a query
+  * doc iff it shares the query's `lang`.
+  */
+object Experiment {
+  val K = 10
+  val NQ = 5
+
+  /** One verified summary row: model, dim, corpus/query counts, mean
+    * p@5 / p@10 / MAP of hashing-TF retrieval (the auto_test summary
+    * shape). All means are order-free fixed-point folds. */
+  def summary(spark: SparkSession, dir: String, k: Int = K,
+              nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val ret = Encoders.hashingSearch(spark, dir, k, nq, dim)
+      .select(col("q_id"), col("rank"), col("doc_id"))
+    // retrieved set is nq·k rows — broadcast it against the doc langs
+    val h = broadcast(ret)
+      .join(broadcast(docs.filter(col("doc_id") < nq)
+        .select(col("doc_id").as("q_id"), col("lang").as("q_lang"))), "q_id")
+      .join(docs.select(col("doc_id"), col("lang").as("d_lang")), "doc_id")
+      .withColumn("rel", (col("q_lang") === col("d_lang")).cast("long"))
+    val pq = h.groupBy("q_id").agg(
+      (sum(when(col("rank") <= 5, col("rel")).otherwise(0L)) / 5.0).as("p5"),
+      (sum(when(col("rank") <= k, col("rel")).otherwise(0L)) / k.toDouble).as("p10"))
+    val cum = Window.partitionBy("q_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ap = h.withColumn("cum_rel", sum("rel").over(cum))
+      .filter(col("rel") === 1)
+      .groupBy("q_id")
+      .agg(fxAvg(col("cum_rel") / col("rank"), 6).as("ap"))
+    val perQ = docs.filter(col("doc_id") < nq).select(col("doc_id").as("q_id"))
+      .join(pq, Seq("q_id"), "left")
+      .join(ap, Seq("q_id"), "left")
+    val agg = perQ.agg(
+      count(lit(1)).as("n_queries"),
+      rnd(fxAvg(coalesce(col("p5"), lit(0.0)), 6), 4).as("mean_p_at_5"),
+      rnd(fxAvg(coalesce(col("p10"), lit(0.0)), 6), 4).as("mean_p_at_10"),
+      rnd(fxAvg(coalesce(col("ap"), lit(0.0)), 6), 4).as("map"))
+    agg.crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(lit("hashing_tf").as("model"), lit(dim.toLong).as("dim"),
+        col("n_docs"), col("n_queries"),
+        col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
+  }
+
+  /** Timed experiment run: executes encode and search+eval stages,
+    * appends wall-clock seconds and derived throughput to the summary
+    * row, and (optionally) writes the ref's summary CSV. */
+  def run(spark: SparkSession, dir: String,
+          outCsv: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val nVecs = Encoders.hashingTf(spark, dir).count()
+    val tEnc = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val row = summary(spark, dir).collect()(0)
+    val tSearch = (System.nanoTime() - t1) / 1e9
+    val out = Seq((
+      row.getAs[String]("model"), row.getAs[Long]("dim"),
+      row.getAs[Long]("n_docs"), row.getAs[Long]("n_queries"),
+      row.getAs[Double]("mean_p_at_5"), row.getAs[Double]("mean_p_at_10"),
+      row.getAs[Double]("map"),
+      tEnc, nVecs / math.max(tEnc, 1e-9), tSearch))
+      .toDF("model", "dim", "n_docs", "n_queries",
+        "mean_p_at_5", "mean_p_at_10", "map",
+        "encode_sec", "encode_rows_per_sec", "search_eval_sec")
+    outCsv.foreach(p => graft.sources.Sources.writeSummaryCsv(out, p))
+    out
+  }
+
+  object SqlOracle {
+    def summary(k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): String =
+      s"""WITH ret AS (SELECT q_id, rank, doc_id FROM (
+         |${Encoders.SqlOracle.hashingSearch(k, nq, dim)}) t_ret),
+         |ql AS (SELECT doc_id AS q_id, lang AS q_lang FROM documents WHERE doc_id < $nq),
+         |dl AS (SELECT doc_id, lang AS d_lang FROM documents),
+         |h AS (
+         |  SELECT r.q_id, r.rank, CAST(q_lang = d_lang AS BIGINT) AS rel
+         |  FROM ret r JOIN ql USING (q_id) JOIN dl USING (doc_id)),
+         |pq AS (
+         |  SELECT q_id,
+         |    sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) / 5.0 AS p5,
+         |    sum(CASE WHEN rank <= $k THEN rel ELSE 0 END) / $k.0 AS p10
+         |  FROM h GROUP BY q_id),
+         |cumu AS (
+         |  SELECT q_id, rank, rel,
+         |    sum(rel) OVER (PARTITION BY q_id ORDER BY rank
+         |                   ROWS UNBOUNDED PRECEDING) AS cum_rel
+         |  FROM h),
+         |ap AS (
+         |  SELECT q_id, ${S.fxAvg("CAST(cum_rel AS DOUBLE) / rank", 6)} AS ap
+         |  FROM cumu WHERE rel = 1 GROUP BY q_id),
+         |perq AS (
+         |  SELECT q.q_id, pq.p5, pq.p10, ap.ap
+         |  FROM (SELECT doc_id AS q_id FROM documents WHERE doc_id < $nq) q
+         |  LEFT JOIN pq USING (q_id) LEFT JOIN ap USING (q_id)),
+         |agg AS (
+         |  SELECT count(*) AS n_queries,
+         |    (floor((${S.fxAvg("coalesce(p5, 0.0)", 6)}) * 1e4 + 0.5e0) / 1e4) AS mean_p_at_5,
+         |    (floor((${S.fxAvg("coalesce(p10, 0.0)", 6)}) * 1e4 + 0.5e0) / 1e4) AS mean_p_at_10,
+         |    (floor((${S.fxAvg("coalesce(ap, 0.0)", 6)}) * 1e4 + 0.5e0) / 1e4) AS map
+         |  FROM perq)
+         |SELECT 'hashing_tf' AS model, CAST($dim AS BIGINT) AS dim,
+         |  (SELECT count(*) FROM documents) AS n_docs,
+         |  n_queries, mean_p_at_5, mean_p_at_10, map
+         |FROM agg""".stripMargin
+  }
+}

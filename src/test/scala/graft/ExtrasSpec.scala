@@ -122,6 +122,21 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
       .collect().length shouldBe 1
   }
 
+  test("experiment run: one timed summary row, CSV round-trips") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-exp").toString
+    val out = graft.operators.Experiment.run(spark, sfDir, Some(s"$tmp/summary"))
+    out.count() shouldBe 1
+    val row = out.collect()(0)
+    row.getAs[String]("model") shouldBe "hashing_tf"
+    row.getAs[Long]("n_queries") shouldBe 5L
+    row.getAs[Double]("encode_sec") should be > 0.0
+    val schema = StructType(out.schema.map(f => f.copy(dataType = StringType)))
+    val back = Sources.readSummaryCsv(spark, s"$tmp/summary", schema)
+    back.count() shouldBe 1
+    back.collect()(0).getAs[String]("model") shouldBe "hashing_tf"
+  }
+
   test("capBlocks drops only rows whose blocking key is oversized") {
     import spark.implicits._
     val df = ((1 to 100).map(i => ("hot", i.toLong)) ++
