@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native synthetic corpus/embedding/qrels generation (ref:
+  * main.py:22 `prepare_dataset` + experiments/create_qs.py sample
+  * queries from the docs; auto_run_tests.py:260-268 regenerates
+  * queries+qrels from the corpus), so the engine can run experiments
+  * end-to-end standalone, without pre-generated files.
+  *
+  * Scale design: every generator is `spark.range(n)` plus pure
+  * codegen'd expressions — fully distributed, no driver-side data, no
+  * UDFs, O(n/partitions) per task, any target size. Determinism: all
+  * randomness derives from xxhash64(seed, id, position), so the same
+  * (seed, n) always produces byte-identical tables on any cluster
+  * layout — the property task retries and oracle comparison need
+  * (`rand()` is NOT retry-stable; never use it for data).
+  */
+object DataGen {
+
+  val Vocab: Seq[String] = Seq(
+    "spark", "data", "table", "row", "column", "value", "key", "join",
+    "scan", "filter", "agg", "window", "batch", "stream", "part",
+    "order", "fast", "slow", "small", "large", "hash", "sort", "index",
+    "query", "plan", "node", "shard", "block", "cache", "merge")
+
+  val Langs: Seq[String] = Seq("en", "en", "en", "fr", "de", "es")
+
+  /** Uniform double in [0, 1) from a salted hash of the given columns. */
+  private def u01(seed: Long, cols: Column*): Column =
+    (pmod(xxhash64(lit(seed) +: cols: _*), lit(1L << 40)).cast("double")
+      / lit((1L << 40).toDouble))
+
+  /** documents(doc_id, text, lang, source, n_chars) — the driver-table
+    * shape. ~1/10 docs are exact duplicates and ~1/10 near-duplicates
+    * (same base text ± one token) of an earlier doc, so the dedup
+    * family has real positives to find. */
+  def documents(spark: SparkSession, nDocs: Long, seed: Long = 42L): DataFrame = {
+    val ids = spark.range(nDocs).select(col("id").as("doc_id"))
+    // exact dup: copy text of doc_id-1; near dup: base of doc_id-1 with
+    // one appended token; else fresh content from the doc's own id
+    val baseId = when(col("doc_id") % 10 === 9, col("doc_id") - 1)
+      .when(col("doc_id") % 10 === 5, col("doc_id") - 1)
+      .otherwise(col("doc_id"))
+    val nToks = (pmod(xxhash64(lit(seed), baseId), lit(60)) + lit(20)).cast("int")
+    val words = transform(sequence(lit(1), nToks), i =>
+      element_at(
+        array(Vocab.map(lit): _*),
+        (pmod(xxhash64(lit(seed), baseId, i), lit(Vocab.size)) + 1).cast("int")))
+    val bodyOf = concat_ws(" ", words)
+    val text = when(col("doc_id") % 10 === 5, concat(bodyOf, lit(" extra")))
+      .otherwise(bodyOf)
+    ids.select(
+      col("doc_id"),
+      text.as("text"),
+      element_at(array(Langs.map(lit): _*),
+        (pmod(xxhash64(lit(seed + 1), baseId), lit(Langs.size)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(xxhash64(lit(seed + 2), col("doc_id")), lit(5))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** embeddings(vec_id, embedding array<float>, label int) — clustered
+    * unit-ish vectors: each label has a hash-derived center, each
+    * vector is its label's center plus small per-(id, dim) noise, so
+    * cosine similarity within a label is high (the generative-label
+    * ground truth the eval operators assume). */
+  def embeddings(spark: SparkSession, nVecs: Long, dim: Int = 64,
+                 nLabels: Int = 10, seed: Long = 42L): DataFrame = {
+    val ids = spark.range(nVecs).select(col("id").as("vec_id"))
+    val label = pmod(xxhash64(lit(seed + 3), col("vec_id")), lit(nLabels)).cast("int")
+    val emb = transform(sequence(lit(0), lit(dim - 1)), j =>
+      ((u01(seed + 4, label, j) * 2.0 - 1.0) +
+        (u01(seed + 5, col("vec_id"), j) * 2.0 - 1.0) * 0.3).cast("float"))
+    ids.select(col("vec_id"), emb.as("embedding"), label.as("label"))
+  }
+
+  /** (q_id, doc_id) relevance pairs for the first `nQueries` docs:
+    * a doc is relevant iff it shares the query doc's lang (the ref's
+    * synthetic qrels shape, auto_run_tests.py:509-510). The query side
+    * is broadcast; output is linear in matches. */
+  def qrels(docs: DataFrame, nQueries: Int): DataFrame = {
+    val q = docs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("lang"))
+    docs.select(col("doc_id"), col("lang"))
+      .filter(col("doc_id") >= nQueries)
+      .join(broadcast(q), Seq("lang"))
+      .select(col("q_id"), col("doc_id"))
+  }
+
+  /** Writes a full generated dataset in the driver-table layout, so any
+    * operator runs on it unchanged by pointing its `dir` here. */
+  def writeDataset(spark: SparkSession, dir: String, nDocs: Long,
+                   nVecs: Long, seed: Long = 42L): Unit = {
+    documents(spark, nDocs, seed).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    embeddings(spark, nVecs, seed = seed).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+  }
+}

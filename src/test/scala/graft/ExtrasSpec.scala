@@ -84,6 +84,36 @@ class ApproxSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 }
 
+class DataGenSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  test("generated dataset is deterministic and runs existing operators unchanged") {
+    val tmp = Files.createTempDirectory("graft-gen").toString
+    sources.DataGen.writeDataset(spark, tmp, 2000L, 1000L)
+    // determinism: regenerating yields identical rows (hash-derived, not rand())
+    val a = sources.DataGen.documents(spark, 100L).collect().map(_.toString).sorted
+    val b = sources.DataGen.documents(spark, 100L).collect().map(_.toString).sorted
+    a shouldBe b
+    // the injected duplicates are findable by the dedup family
+    graft.operators.Dedup.exact(spark, tmp)
+      .filter(col("cnt") > 1).count() should be > 0L
+    // verified operators run unchanged against the generated dir
+    graft.operators.Knn.bruteForce(spark, tmp).count() should be > 0L
+    graft.operators.TextAnalysis.langId(spark, tmp).count() shouldBe 2000L
+    graft.operators.Eval.precisionAtK(spark, tmp).count() should be > 0L
+  }
+
+  test("qrels pairs share the query's lang") {
+    import spark.implicits._
+    val docs = sources.DataGen.documents(spark, 500L)
+    val qr = sources.DataGen.qrels(docs, 5)
+    qr.count() should be > 0L
+    val joined = qr
+      .join(docs.select(col("doc_id").as("q_id"), col("lang").as("ql")), "q_id")
+      .join(docs.select(col("doc_id"), col("lang").as("dl")), "doc_id")
+    joined.filter(col("ql") =!= col("dl")).count() shouldBe 0L
+  }
+}
+
 class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("saltedAgg equals plain aggregation") {
