@@ -80,6 +80,23 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Checkpointed parquet sink for the windowed aggregate — the
+    * production exactly-once path: the checkpoint records committed
+    * source offsets + sink batch ids, so a crashed/restarted query
+    * resumes from the last committed batch and the file sink's commit
+    * log makes replayed batches idempotent (no duplicated windows).
+    * Append mode emits each window exactly once, when the watermark
+    * closes it. */
+  def windowedAggToParquet(events: DataFrame, outDir: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedAggStream(events)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long, duration_sec: Long)
   case class SessState(start: Long, last: Long, n: Long)
