@@ -108,19 +108,65 @@ object Encoders {
     * the ref computes — is a sequential in-order fold, bit-identical
     * with the oracle. Stub dim = 8. */
   def meanPooling(spark: SparkSession, dir: String): DataFrame = {
-    val ts = tokens(col("text"))
-    def tokVec(t: Column, j: Int): Column =
-      ((polyHash(t) * (j + 1)) % HashP).cast("double") / lit(HashP.toDouble)
+    // token hashes are projected ONCE per row: the 8 pooled dims then
+    // fold over the materialized long array instead of re-tokenizing/
+    // re-hashing per expression (the recorded O(n²)-per-row lesson,
+    // SURVEY.md §5)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("doc_id"),
+        transform(col("_toks"), t => polyHash(t)).as("_th"))
     val pooled = (0 until 8).map { j =>
       rnd(
-        aggregate(ts, lit(0.0), (acc, t) => acc + tokVec(t, j)) / size(ts),
+        aggregate(col("_th"), lit(0.0), (acc, h) =>
+          acc + ((h * (j + 1)) % HashP).cast("double") / lit(HashP.toDouble))
+          / size(col("_th")),
         4).as(s"e_$j")
     }
-    Tables.documents(spark, dir)
-      .filter(size(tokens(col("text"))) > 0)
-      .select(col("doc_id") +: pooled: _*)
-      .orderBy("doc_id")
+    base.select(col("doc_id") +: pooled: _*).orderBy("doc_id")
   }
+
+  /** Batched-inference encode plumbing (ref: embeddings/real_encoder.py
+    * — the transformer path encodes texts in fixed-size batches so
+    * model invocation is amortized). The Spark shape: `mapPartitions`
+    * with `iterator.grouped(batchSize)`; a real model is loaded once
+    * per partition (before the iterator is consumed) and fed
+    * length-≤batchSize text arrays — the batch geometry Arrow-based
+    * inference wants. The stub model ships deterministic hash-derived
+    * vectors with EXACTLY [[meanPooling]]'s semantics, so the batched
+    * path is asserted equal to the declarative plan (EncodersSpec) and
+    * a real encoder drops into [[stubModelEncode]] with no plan change. */
+  def encodeBatched(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition init point: a real implementation constructs /
+        // memory-maps the model here, once, then streams batches
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = stubModelEncode(batch.map(_._2))
+          batch.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
+        }
+      }
+      .toDF("doc_id", "vec")
+  }
+
+  /** The stub batch "model": per-token polynomial-hash vectors,
+    * mean-pooled — bit-identical to [[meanPooling]]'s per-dim folds
+    * (same hash, same left-to-right accumulation). Empty docs encode to
+    * the zero vector. */
+  def stubModelEncode(texts: Seq[String]): Seq[Array[Double]] =
+    texts.map { t =>
+      val hs = t.split(" ").filter(_.nonEmpty).map(tok =>
+        tok.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % HashP))
+      Array.tabulate(8) { j =>
+        if (hs.isEmpty) 0.0
+        else hs.foldLeft(0.0)((acc, h) =>
+          acc + (h * (j + 1) % HashP).toDouble / HashP) / hs.length
+      }
+    }
 
   /** Dense-vector assembly from exploded (doc_id, bucket, weight) —
     * library API used by the search pipeline and tests. */

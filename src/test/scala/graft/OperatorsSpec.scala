@@ -161,6 +161,19 @@ class EncodersSpec extends AnyFunSuite with Matchers with SharedSpark {
   test("tfIdf vocabulary is capped at dim") {
     Encoders.tfIdf(spark, sfDir).select("term").distinct().count() should be <= Encoders.Dim.toLong
   }
+
+  test("batched mapPartitions encode equals the declarative mean-pooling plan") {
+    val mp = Encoders.meanPooling(spark, sfDir)
+    // batchSize 7 forces ragged final batches in every partition
+    val eb = Encoders.encodeBatched(spark, sfDir, batchSize = 7)
+    val ebCols = eb.select(col("doc_id") +: (0 until 8).map(j =>
+      graft.functions.rnd(Fn.element_at(col("vec"), j + 1), 4).as(s"b_$j")): _*)
+    val joined = mp.join(ebCols, "doc_id")
+    joined.count() shouldBe mp.count() // every pooled doc has a batched vec
+    (0 until 8).foreach { j =>
+      joined.filter(col(s"e_$j") =!= col(s"b_$j")).count() shouldBe 0
+    }
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with Matchers with SharedSpark {
