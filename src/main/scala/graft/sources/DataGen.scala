@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object DataGen {
 
+  /** 130 words: 30 common + 100 synthetic. A too-small vocabulary makes
+    * the 3-gram shingle space collapse (30³) and every doc near-similar
+    * to every other — unrealistically dense for dedup/minhash. */
   val Vocab: Seq[String] = Seq(
     "spark", "data", "table", "row", "column", "value", "key", "join",
     "scan", "filter", "agg", "window", "batch", "stream", "part",
     "order", "fast", "slow", "small", "large", "hash", "sort", "index",
-    "query", "plan", "node", "shard", "block", "cache", "merge")
+    "query", "plan", "node", "shard", "block", "cache", "merge") ++
+    (0 until 100).map(i => f"w$i%02d")
 
   val Langs: Seq[String] = Seq("en", "en", "en", "fr", "de", "es")
 
