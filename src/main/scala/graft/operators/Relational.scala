@@ -68,17 +68,20 @@ object Relational {
   /** Upsert compaction: last write wins per key (the semantics of the
     * ref's vector-store `batch_upsert`, pinecone/client.py:40-66 — a
     * later upsert of the same id replaces the earlier one). Expressed
-    * as argmax-per-key over the events log: one shuffle on the key. */
-  def latestByKey(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts").desc, col("event_id").desc)
+    * as max_by on a (ts, event_id) struct — lexicographic struct max =
+    * latest write, ties to the higher event_id — so each map task
+    * reduces to one row per key before the single shuffle (a window
+    * row_number here would sort-shuffle the whole log). */
+  def latestByKey(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") === 1)
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        rnd(col("value"), 4).as("value"))
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("e"))
+      .select(col("user_id"), col("e.event_id").as("event_id"),
+        col("e.event_type").as("event_type"),
+        rnd(col("e.value"), 4).as("value"))
       .orderBy("user_id")
-  }
 
   /** Exact distinct counts over several columns in one pass. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =

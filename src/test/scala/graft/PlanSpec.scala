@@ -72,6 +72,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     "FileScan".r.findAllIn(p).size should be <= 2
   }
 
+  test("latest-by-key compaction: partial max_by, no window sort of the log") {
+    val p = plan(Relational.latestByKey(spark, sfDir))
+    p should not include "Window"
+    p.toLowerCase should include("partial_max_by")
+  }
+
   test("filtered ANN: metadata predicate pushed into the doc-side scan") {
     val p = plan(Ann.lshFiltered(spark, sfDir))
     p should include("PushedFilters")
