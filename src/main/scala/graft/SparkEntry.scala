@@ -73,6 +73,7 @@ object SparkEntry {
     "run_summary_groupby" -> ((s, d) => PerfStats.runSummary(s, d)),
     // Multimodal plumbing
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "mm_frame_features" -> ((s, d) => Multimodal.frameFeaturesQ(s, d)),
     // Streaming (batch-equivalent verified forms)
     "stream_windowed_agg" -> ((s, d) => graft.streaming.StreamOps.windowedAggBatch(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.sessionizeBatch(s, d)),
@@ -126,6 +127,7 @@ object SparkEntry {
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,
     "mm_binary_meta" -> Multimodal.SqlOracle.binaryMeta,
+    "mm_frame_features" -> Multimodal.SqlOracle.frameFeatures,
     "stream_windowed_agg" -> graft.streaming.StreamOps.SqlOracle.windowedAgg,
     "stream_sessionize" -> graft.streaming.StreamOps.SqlOracle.sessionize,
   )

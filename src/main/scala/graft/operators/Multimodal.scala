@@ -56,6 +56,41 @@ object Multimodal {
     }
   }
 
+  /** Per-frame feature row (frame sampling output). */
+  case class FrameFeature(media_id: Long, frame_no: Long, checksum: Long, feat: Double)
+
+  /** Frame sampling — the video-pipeline shape: the payload is sliced
+    * into fixed `frameBytes` windows and every `step`-th frame is
+    * decoded (stub) into features, exploding one row per sampled frame.
+    * Linear in payload bytes, partition-local (decoder init amortized
+    * per task), output rows carry (media_id, frame_no) so downstream
+    * joins/aggregations stay relational. */
+  def frameFeatures(media: Dataset[MediaRow], frameBytes: Int = 64,
+                    step: Int = 2): Dataset[FrameFeature] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition decoder init would go here (once per task)
+      rows.flatMap { r =>
+        val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by step).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          var s = 0L
+          var i = from
+          while (i < until) { s += r.payload(i) & 0xff; i += 1 }
+          FrameFeature(r.media_id, f.toLong, s, (s % 997).toDouble / 997.0)
+        }
+      }
+    }
+  }
+
+  /** Verified frame-sampling query (every 2nd 64-byte frame). */
+  def frameFeaturesQ(spark: SparkSession, dir: String): DataFrame =
+    frameFeatures(mediaFrame(spark, dir)).toDF()
+      .select(col("media_id"), col("frame_no"), col("checksum"),
+        rnd(col("feat"), 4).as("feat"))
+      .orderBy("media_id", "frame_no")
+
   /** Verified projection: scalar metadata + stub features; the byte-sum
     * checksum is mirrored in SQL over the utf8 payload. */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame =
@@ -77,5 +112,24 @@ object Multimodal {
         |SELECT media_id, n_bytes, checksum,
         |  (floor((CAST(checksum % 997 AS DOUBLE) / 997.0) * 1e4 + 0.5e0) / 1e4) AS feat0
         |FROM f ORDER BY media_id""".stripMargin
+
+    /** ASCII corpus: frame byte-sums == codepoint-sums of substrings. */
+    val frameFeatures: String =
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, unnest(range(0, nf, 2)) AS frame_no, text FROM d),
+        |c AS (
+        |  SELECT media_id, frame_no,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(ch) AS BIGINT)
+        |       for ch in string_split(substr(text, CAST(frame_no * 64 + 1 AS INT), 64), '')]),
+        |      (a, x) -> a + x) AS BIGINT) AS checksum
+        |  FROM fr)
+        |SELECT media_id, frame_no, checksum,
+        |  (floor((CAST(checksum % 997 AS DOUBLE) / 997.0) * 1e4 + 0.5e0) / 1e4) AS feat
+        |FROM c ORDER BY media_id, frame_no""".stripMargin
   }
 }

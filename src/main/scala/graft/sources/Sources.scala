@@ -46,6 +46,15 @@ object Sources {
       .select(col("q_id"), explode(col("docs")).as("doc_id"))
   }
 
+  /** Writes a documents frame in the ref's JSONL corpus layout
+    * (one {"id","text","category","timestamp","source"} object per
+    * line) — the inverse of [[readDocumentsJsonl]], so the engine can
+    * hand corpora back to reference tooling. */
+  def writeDocumentsJsonl(df: DataFrame, path: String): Unit =
+    df.select(col("id"), col("text"), col("category"),
+        col("timestamp"), col("source"))
+      .write.mode("overwrite").json(path)
+
   /** Result summaries as CSV with header (the shape of the ref's
     * experiments/results/h3_summary_by_n_docs.csv). */
   def writeSummaryCsv(df: DataFrame, path: String): Unit =

@@ -97,6 +97,18 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup — the streaming form of `Dedup.exact`: a row
+    * whose content hash was already seen within the watermark horizon
+    * is dropped. State is bounded BY the watermark (full-history dedup
+    * state cannot exist on an unbounded stream; the batch operator is
+    * the full-history form), which is exactly the training-data
+    * ingest-dedup contract: duplicates arrive close together. */
+  def dedupStream(docs: DataFrame, horizon: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long, duration_sec: Long)
   case class SessState(start: Long, last: Long, n: Long)

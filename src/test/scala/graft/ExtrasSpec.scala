@@ -61,6 +61,29 @@ class SourcesSpec extends AnyFunSuite with Matchers with SharedSpark {
         org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType))))
     back.count() shouldBe 2
   }
+
+  test("JSONL corpus staged as driver tables runs verified operators unchanged") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString
+    // export the real documents table in the ref's JSONL layout
+    val docs = graft.Tables.documents(spark, sfDir)
+    Sources.writeDocumentsJsonl(
+      docs.select(col("doc_id").cast("string").as("id"), col("text"),
+        col("lang").as("category"), lit("2024-01-01").as("timestamp"),
+        col("source")),
+      s"$dir/corpus.jsonl")
+    // import it back and stage as a driver-layout dir
+    val staged = Sources.readDocumentsJsonl(spark, s"$dir/corpus.jsonl")
+      .select(col("id").cast("long").as("doc_id"), col("text"),
+        col("category").as("lang"), col("source"),
+        Fn.length(col("text")).cast("long").as("n_chars"))
+    staged.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // text content survives the JSON round-trip bit-for-bit: a verified
+    // operator produces identical results on the staged dir
+    val a = graft.operators.TextAnalysis.fingerprint(spark, sfDir)
+    val b = graft.operators.TextAnalysis.fingerprint(spark, dir)
+    a.exceptAll(b).count() shouldBe 0
+    b.exceptAll(a).count() shouldBe 0
+  }
 }
 
 class ApproxSpec extends AnyFunSuite with Matchers with SharedSpark {

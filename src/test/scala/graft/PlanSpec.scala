@@ -85,6 +85,23 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p should not include "Window"
   }
 
+  test("bucketed tables: equi-join on the bucket key plans zero Exchange") {
+    val e = Tables.embeddings(spark, sfDir)
+    Bucketing.writeBucketed(e.select("vec_id", "label"), "b_meta", "vec_id", 8)
+    Bucketing.writeBucketed(e.select("vec_id", "embedding"), "b_vecs", "vec_id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(Bucketing.join(spark, "b_meta", "b_vecs", "vec_id"))
+      p should include("SortMergeJoin")
+      p should not include "Exchange"
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_meta")
+      spark.sql("DROP TABLE IF EXISTS b_vecs")
+    }
+  }
+
   test("minhash LSH: no cartesian product anywhere") {
     val p = plan(Dedup.minhashLsh(spark, sfDir))
     p should not include "CartesianProduct"

@@ -128,6 +128,25 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     streamed.count() should be > 0L
   }
 
+  test("dedupStream drops re-seen content within the watermark horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = StreamOps.dedupStream(input.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), "alpha beta"), (ts(1), "gamma delta"),
+        (ts(2), "alpha beta"), (ts(3), "alpha beta"), (ts(4), "epsilon"))
+      q.processAllAvailable()
+      val out = spark.table("sdedup")
+      out.count() shouldBe 3 // one row per distinct content
+      out.select("text").distinct().count() shouldBe 3
+    } finally q.stop()
+  }
+
   test("batch sessionize: session boundaries respect the 30-minute gap") {
     val r = StreamOps.sessionizeBatch(spark, sfDir)
     r.count() should be > 0L
