@@ -67,6 +67,7 @@ object SparkEntry {
     "text_quality_score" -> ((s, d) => TextAnalysis.qualityScore(s, d)),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
+    "text_ngram_freq" -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
     // Perf/ops analytics
     "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
     "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "text_quality_score" -> TextAnalysis.SqlOracle.qualityScore,
     "text_fingerprint" -> TextAnalysis.SqlOracle.fingerprint,
     "text_normalize" -> TextAnalysis.SqlOracle.normalize,
+    "text_ngram_freq" -> TextAnalysis.SqlOracle.ngramFreq(),
     "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,

@@ -84,6 +84,21 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: payload downsampled by `factor` (every factor-th
+    * byte), metadata updated — stands in for an image resize/thumbnail
+    * pass. Same mapPartitions batch plumbing as [[extractFeatures]];
+    * a real resampler replaces only the array construction. */
+  def resizePayload(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = Array.tabulate(r.payload.length / factor)(i => r.payload(i * factor))
+        r.copy(payload = out, n_bytes = out.length.toLong)
+      }
+    }
+  }
+
   /** Verified frame-sampling query (every 2nd 64-byte frame). */
   def frameFeaturesQ(spark: SparkSession, dir: String): DataFrame =
     frameFeatures(mediaFrame(spark, dir)).toDF()

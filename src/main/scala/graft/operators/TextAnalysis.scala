@@ -30,6 +30,24 @@ object TextAnalysis {
         regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
       .orderBy("doc_id")
 
+  /** Corpus bigram frequency: top `topN` word 2-grams by count — the
+    * corpus-analysis query a training-data pipeline runs for
+    * boilerplate/contamination detection. Explode + groupBy with
+    * map-side combine; the global top-N is orderBy+limit, which Spark
+    * executes as TakeOrdered (per-partition heap + driver merge of N),
+    * not a full sort shuffle. */
+  def ngramFreq(spark: SparkSession, dir: String, topN: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(tokens(col("text")).as("_toks"))
+      .select(explode(when(size(col("_toks")) >= 2,
+        transform(sequence(lit(1), size(col("_toks")) - 1), i =>
+          concat(element_at(col("_toks"), i), lit(" "),
+            element_at(col("_toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("gram"))
+      .limit(topN)
+
   /** n-gram/stopword-heuristic language ID: per-language marker hit
     * counts, argmax with ties resolved in marker-list order, all-zero
     * → 'und'. */
@@ -137,6 +155,13 @@ object TextAnalysis {
          |    0.2e0 * (1.0e0 - n_stop / CAST(n_toks AS DOUBLE))) * 1e4 + 0.5e0) / 1e4) AS quality
          |FROM s ORDER BY doc_id""".stripMargin
     }
+
+    def ngramFreq(topN: Int = 100): String =
+      s"""WITH t AS (SELECT ${S.tokens("text")} AS toks FROM documents),
+         |g AS (SELECT unnest([toks[i] || ' ' || toks[i+1]
+         |                     for i in range(1, len(toks))]) AS gram FROM t)
+         |SELECT gram, count(*) AS cnt FROM g
+         |GROUP BY gram ORDER BY cnt DESC, gram LIMIT $topN""".stripMargin
 
     val normalize: String =
       """SELECT doc_id,

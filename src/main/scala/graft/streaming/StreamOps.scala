@@ -109,6 +109,23 @@ object StreamOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-stream inner join: events of two streams for the same user
+    * within a ±10-minute event-time bound. Both sides carry watermarks
+    * so the join state is GC'd once the bound passes — the unbounded-
+    * state failure mode of a naive stream join is designed out. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val a = left.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("a_ts"), col("value").as("a_value"))
+    val b = right.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("b_value"))
+    a.join(b, col("user_id") === col("b_user") &&
+      col("b_ts") >= col("a_ts") - expr("INTERVAL 10 MINUTES") &&
+      col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("a_ts"), col("b_ts"),
+        col("a_value"), col("b_value"))
+  }
+
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
   case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long, duration_sec: Long)
   case class SessState(start: Long, last: Long, n: Long)

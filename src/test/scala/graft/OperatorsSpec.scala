@@ -187,4 +187,25 @@ class MultimodalSpec extends AnyFunSuite with Matchers with SharedSpark {
       feats(r.media_id) shouldBe r.payload.map(_ & 0xff).map(_.toLong).sum
     }
   }
+
+  test("resizePayload downsamples bytes and updates metadata") {
+    val sample = Multimodal.mediaFrame(spark, sfDir).limit(5)
+    val orig = sample.collect().map(r => r.media_id -> r.payload).toMap
+    Multimodal.resizePayload(sample, 4).collect().foreach { r =>
+      val o = orig(r.media_id)
+      r.n_bytes shouldBe (o.length / 4).toLong
+      r.payload shouldBe Array.tabulate(o.length / 4)(i => o(i * 4))
+    }
+  }
+
+  test("frame features cover every sampled frame, linear in payload size") {
+    val sample = Multimodal.mediaFrame(spark, sfDir).limit(5)
+    val orig = sample.collect().map(r => r.media_id -> r.payload).toMap
+    val frames = Multimodal.frameFeatures(sample).collect().groupBy(_.media_id)
+    orig.foreach { case (id, p) =>
+      val nFrames = (p.length + 63) / 64
+      val expected = (0 until nFrames by 2).map(_.toLong)
+      frames(id).map(_.frame_no).sorted shouldBe expected
+    }
+  }
 }

@@ -147,6 +147,29 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     } finally q.stop()
   }
 
+  test("stream-stream join matches pairs within the time bound only") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val la = MemoryStream[(Long, Timestamp, Double)]
+    val lb = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.streamStreamJoin(
+        la.toDF().toDF("user_id", "ts", "value"),
+        lb.toDF().toDF("user_id", "ts", "value"))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      la.addData((1L, ts(30), 1.0), (2L, ts(30), 2.0))
+      lb.addData((1L, ts(35), 10.0), // within ±10 min -> joins
+        (1L, ts(55), 11.0), // outside the bound -> no pair
+        (3L, ts(30), 12.0)) // no matching user -> no pair
+      q.processAllAvailable()
+      val out = spark.table("ssj")
+      out.count() shouldBe 1
+      out.select("user_id").as[Long].head() shouldBe 1L
+    } finally q.stop()
+  }
+
   test("batch sessionize: session boundaries respect the 30-minute gap") {
     val r = StreamOps.sessionizeBatch(spark, sfDir)
     r.count() should be > 0L
