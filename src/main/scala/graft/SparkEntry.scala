@@ -54,6 +54,7 @@ object SparkEntry {
     "enc_mean_pooling" -> ((s, d) => Encoders.meanPooling(s, d)),
     "pipeline_hashing_search" -> ((s, d) => Encoders.hashingSearch(s, d)),
     "pipeline_experiment_summary" -> ((s, d) => Experiment.summary(s, d)),
+    "pipeline_tfidf_search" -> ((s, d) => Encoders.tfIdfSearch(s, d)),
     // Deduplication
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -113,6 +114,7 @@ object SparkEntry {
     "enc_mean_pooling" -> Encoders.SqlOracle.meanPooling,
     "pipeline_hashing_search" -> Encoders.SqlOracle.hashingSearch(),
     "pipeline_experiment_summary" -> Experiment.SqlOracle.summary(),
+    "pipeline_tfidf_search" -> Encoders.SqlOracle.tfIdfSearch(),
     "dedup_exact" -> Dedup.SqlOracle.exact,
     "dedup_ngram_jaccard" -> Dedup.SqlOracle.ngramJaccard(),
     "dedup_minhash_lsh" -> Dedup.SqlOracle.minhashLsh(),

@@ -76,9 +76,14 @@ object Ann {
     * docs in those lists. [[fitCentroids]] is the Lloyd trainer for
     * real deployments (same plan shape per iteration). */
   def ivf(spark: SparkSession, dir: String, k: Int = K,
-          docFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
-    val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+          docFilter: org.apache.spark.sql.Column = lit(true),
+          centroids: Option[DataFrame] = None): DataFrame = {
+    // default: fixed seed centroids (oracle-mirrorable); production
+    // passes Lloyd-trained centroids from [[fitCentroids]] — (c_id,
+    // c_vec array<float>) — and the probe plan is identical
+    val cent = centroids.getOrElse(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
     // argmax-dot centroid via min_by on a (-score, c_id) struct —
     // lexicographic struct min = best score, ties by c_id — with
     // map-side partial aggregation (pqEncode's pattern): the exploded

@@ -78,11 +78,9 @@ object Encoders {
       .orderBy("q_id", "rank")
   }
 
-  /** TF-IDF with a capped vocabulary (ref encoder.py:76-116
-    * DummyEncoder/TfidfVectorizer): vocabulary = top `dim` terms by
-    * total corpus frequency (ties: term asc), smoothed idf
-    * ln((1+N)/(1+df))+1, row L2-normalized tf·idf. */
-  def tfIdf(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
+  /** (doc_id, tok, weight) unrounded TF-IDF weights — shared by
+    * [[tfIdf]] (verified rounded projection) and [[tfIdfSearch]]. */
+  private def tfIdfWeights(spark: SparkSession, dir: String, dim: Int): DataFrame = {
     val docTerm = toks(spark, dir).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val vocab = docTerm.groupBy("tok")
@@ -90,11 +88,53 @@ object Encoders {
       .orderBy(desc("total"), col("tok"))
       .limit(dim)
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("doc_id")
     docTerm.join(broadcast(vocab), "tok")
       .crossJoin(broadcast(nDocs))
-      .withColumn("weight",
-        col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)))
+          .as("weight"))
+  }
+
+  /** The reference's PRIMARY encoder flow end-to-end (DummyEncoder
+    * defaults to TfidfVectorizer, encoder.py:76-92): encode every doc
+    * as a capped-vocabulary TF-IDF vector, retrieve cosine top-k of
+    * query docs via an inverted-index join on the term — only shared
+    * terms contribute, so the join moves sparse postings, never dense
+    * vectors. Determinism: numerators and norms are sorted-struct folds
+    * (an unordered double sum is accumulation-order-dependent), exactly
+    * mirrored in the oracle via list_sort + list_reduce. */
+  def tfIdfSearch(spark: SparkSession, dir: String, k: Int = 10,
+                  nq: Int = 5, dim: Int = Dim): DataFrame = {
+    val w = tfIdfWeights(spark, dir, dim)
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(aggregate(
+        array_sort(collect_list(struct(col("tok").as("t"), col("weight").as("w")))),
+        lit(0.0), (a, s) => a + s.getField("w") * s.getField("w"))).as("nrm"))
+    val qw = w.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("tok"), col("weight").as("qweight"))
+    val ip = w.filter(col("doc_id") >= nq)
+      .join(broadcast(qw), "tok")
+      .groupBy("q_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("tok").as("t"),
+          (col("qweight") * col("weight")).as("p")))),
+        lit(0.0), (a, s) => a + s.getField("p")).as("ip"))
+    val scored = ip
+      .join(broadcast(norms.select(col("doc_id").as("q_id"), col("nrm").as("qn"))), "q_id")
+      .join(norms.select(col("doc_id"), col("nrm").as("dn")), "doc_id")
+      .select(col("q_id"), col("doc_id"), (col("ip") / (col("qn") * col("dn"))).as("score"))
+    Knn.topKPerQuery(scored, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** TF-IDF with a capped vocabulary (ref encoder.py:76-116
+    * DummyEncoder/TfidfVectorizer): vocabulary = top `dim` terms by
+    * total corpus frequency (ties: term asc), smoothed idf
+    * ln((1+N)/(1+df))+1, row L2-normalized tf·idf. */
+  def tfIdf(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
+    val w = Window.partitionBy("doc_id")
+    tfIdfWeights(spark, dir, dim)
       .withColumn("norm", sqrt(sum(col("weight") * col("weight")).over(w)))
       .select(col("doc_id"), col("tok").as("term"),
         rnd(col("weight") / col("norm"), 4).as("w"))
@@ -221,6 +261,41 @@ object Encoders {
          |  FROM ip
          |  JOIN n qn ON qn.doc_id = ip.q_id
          |  JOIN n dn ON dn.doc_id = ip.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+
+    def tfIdfSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim): String =
+      s"""WITH t AS $toksCte,
+         |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+         |vocab AS (SELECT tok, sum(tf) AS total, count(*) AS df FROM dt
+         |          GROUP BY tok ORDER BY total DESC, tok LIMIT $dim),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |w AS (
+         |  SELECT doc_id, dt.tok,
+         |    dt.tf * (ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) AS weight
+         |  FROM dt JOIN vocab USING (tok) CROSS JOIN nd),
+         |n2 AS (
+         |  SELECT doc_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    [s['w'] * s['w'] for s in list_sort(list({'t': tok, 'w': weight}))]),
+         |    (a, x) -> a + x)) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |qw AS (SELECT doc_id AS q_id, tok, weight AS qweight FROM w WHERE doc_id < $nq),
+         |dw AS (SELECT doc_id, tok, weight FROM w WHERE doc_id >= $nq),
+         |ip AS (
+         |  SELECT q_id, doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    [s['p'] for s in list_sort(list({'t': tok, 'p': qweight * weight}))]),
+         |    (a, x) -> a + x) AS ip
+         |  FROM dw JOIN qw USING (tok) GROUP BY q_id, doc_id),
+         |scored AS (
+         |  SELECT ip.q_id, ip.doc_id, ip.ip / (qn.nrm * dn.nrm) AS score
+         |  FROM ip
+         |  JOIN n2 qn ON qn.doc_id = ip.q_id
+         |  JOIN n2 dn ON dn.doc_id = ip.doc_id),
          |ranked AS (
          |  SELECT q_id, doc_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank

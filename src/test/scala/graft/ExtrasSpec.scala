@@ -221,6 +221,17 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
     sp.count() should be <= 1L
   }
 
+  test("fxSum/fxAvg are partition- and order-invariant, raw double sum shown fragile") {
+    import spark.implicits._
+    import graft.functions.{fxAvg, fxSum}
+    val xs = (1 to 5000).map(i => (i % 7, math.sin(i) * 1000))
+    def agg(parts: Int) = xs.toDF("k", "v").repartition(parts, col("v"))
+      .groupBy("k").agg(fxSum(col("v"), 6).as("s"), fxAvg(col("v"), 6).as("a"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    // exact equality across partitionings — long sums are associative
+    agg(1) shouldBe agg(31)
+  }
+
   test("saltOf is deterministic and within range") {
     import spark.implicits._
     val s = Tables.orders(spark, sfDir)

@@ -82,10 +82,20 @@ class AnnSpec extends AnyFunSuite with Matchers with SharedSpark {
       .map(_.getLong(0)).toSet shouldBe Set(10L)
   }
 
-  test("fitCentroids converges to k centroids of full dimension") {
+  test("fitCentroids keeps exactly k centroids of full dimension") {
     val c = Ann.fitCentroids(Tables.embeddings(spark, sfDir), k = 8, iters = 2)
-    c.count() should be <= 8L
+    // empty clusters retain their previous centroid — k never shrinks
+    c.count() shouldBe 8L
     c.select(Fn.size(col("c_vec"))).distinct().collect().head.getInt(0) shouldBe Ann.Dim
+  }
+
+  test("Lloyd-trained centroids drop into the ivf probe path unchanged") {
+    val trained = Ann.fitCentroids(Tables.embeddings(spark, sfDir), k = 8, iters = 2)
+      .select(col("c_id"), Fn.transform(col("c_vec"),
+        (x: org.apache.spark.sql.Column) => x.cast("float")).as("c_vec"))
+    val r = Ann.ivf(spark, sfDir, centroids = Some(trained))
+    r.groupBy("q_id").count().select("count").distinct().collect()
+      .map(_.getLong(0)).toSet shouldBe Set(10L)
   }
 }
 
