@@ -26,4 +26,24 @@ object Bucketing {
   def join(spark: SparkSession, left: String, right: String,
            key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Day-partitioned layout for append-only logs: a time-range query
+    * against this layout prunes whole day directories at PLANNING time
+    * (PartitionFilters) — zero IO for out-of-range days, the first
+    * thing a 100 TB event store needs. */
+  def writePartitionedByDay(events: DataFrame, path: String,
+                            tsCol: String = "ts"): Unit =
+    events
+      .withColumn("day", org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col(tsCol), "yyyy-MM-dd"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+
+  /** Inclusive day-range read; the range predicate is a partition
+    * filter, never a data filter. */
+  def readDayRange(spark: SparkSession, path: String,
+                   fromDay: String, toDay: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .filter(col("day") >= fromDay && col("day") <= toDay)
+  }
 }

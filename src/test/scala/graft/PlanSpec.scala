@@ -102,6 +102,23 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("day-partitioned layout: range predicate prunes partitions at planning time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Bucketing.writePartitionedByDay(Tables.events(spark, sfDir), tmp)
+    val all = spark.read.parquet(tmp)
+    val days = all.select("day").distinct().orderBy("day")
+      .collect().map(_.get(0).toString) // partition col may infer as DATE
+    days.length should be > 1
+    val one = Bucketing.readDayRange(spark, tmp, days.head, days.head)
+    // the day predicate is a PARTITION filter (planning-time pruning),
+    // not a data filter pushed into row groups
+    val p = plan(one)
+    p should include("PartitionFilters: [isnotnull(day")
+    p should not include "PushedFilters: [IsNotNull(day"
+    one.count() should be > 0L
+    one.count() should be < all.count()
+  }
+
   test("minhash LSH: no cartesian product anywhere") {
     val p = plan(Dedup.minhashLsh(spark, sfDir))
     p should not include "CartesianProduct"
