@@ -100,25 +100,20 @@ object Encoders {
     * as a capped-vocabulary TF-IDF vector, retrieve cosine top-k of
     * query docs via an inverted-index join on the term — only shared
     * terms contribute, so the join moves sparse postings, never dense
-    * vectors. Determinism: numerators and norms are sorted-struct folds
-    * (an unordered double sum is accumulation-order-dependent), exactly
-    * mirrored in the oracle via list_sort + list_reduce. */
+    * vectors. Determinism: numerators and norms are fixed-point long
+    * sums (fxSum — associative, so accumulation-order-free; an
+    * unordered double sum is not), mirrored exactly in the oracle. */
   def tfIdfSearch(spark: SparkSession, dir: String, k: Int = 10,
                   nq: Int = 5, dim: Int = Dim): DataFrame = {
     val w = tfIdfWeights(spark, dir, dim)
     val norms = w.groupBy("doc_id")
-      .agg(sqrt(aggregate(
-        array_sort(collect_list(struct(col("tok").as("t"), col("weight").as("w")))),
-        lit(0.0), (a, s) => a + s.getField("w") * s.getField("w"))).as("nrm"))
+      .agg(sqrt(fxSum(col("weight") * col("weight"), 9)).as("nrm"))
     val qw = w.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("tok"), col("weight").as("qweight"))
     val ip = w.filter(col("doc_id") >= nq)
       .join(broadcast(qw), "tok")
       .groupBy("q_id", "doc_id")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("tok").as("t"),
-          (col("qweight") * col("weight")).as("p")))),
-        lit(0.0), (a, s) => a + s.getField("p")).as("ip"))
+      .agg(fxSum(col("qweight") * col("weight"), 9).as("ip"))
     val scored = ip
       .join(broadcast(norms.select(col("doc_id").as("q_id"), col("nrm").as("qn"))), "q_id")
       .join(norms.select(col("doc_id"), col("nrm").as("dn")), "doc_id")
@@ -280,16 +275,12 @@ object Encoders {
          |    dt.tf * (ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) AS weight
          |  FROM dt JOIN vocab USING (tok) CROSS JOIN nd),
          |n2 AS (
-         |  SELECT doc_id, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    [s['w'] * s['w'] for s in list_sort(list({'t': tok, 'w': weight}))]),
-         |    (a, x) -> a + x)) AS nrm
+         |  SELECT doc_id, sqrt(${S.fxSum("weight * weight", 9)}) AS nrm
          |  FROM w GROUP BY doc_id),
          |qw AS (SELECT doc_id AS q_id, tok, weight AS qweight FROM w WHERE doc_id < $nq),
          |dw AS (SELECT doc_id, tok, weight FROM w WHERE doc_id >= $nq),
          |ip AS (
-         |  SELECT q_id, doc_id, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    [s['p'] for s in list_sort(list({'t': tok, 'p': qweight * weight}))]),
-         |    (a, x) -> a + x) AS ip
+         |  SELECT q_id, doc_id, ${S.fxSum("qweight * weight", 9)} AS ip
          |  FROM dw JOIN qw USING (tok) GROUP BY q_id, doc_id),
          |scored AS (
          |  SELECT ip.q_id, ip.doc_id, ip.ip / (qn.nrm * dn.nrm) AS score
