@@ -78,6 +78,7 @@ object SparkEntry {
     "mm_frame_features" -> ((s, d) => Multimodal.frameFeaturesQ(s, d)),
     // Streaming (batch-equivalent verified forms)
     "stream_windowed_agg" -> ((s, d) => graft.streaming.StreamOps.windowedAggBatch(s, d)),
+    "stream_sliding_agg" -> ((s, d) => graft.streaming.StreamOps.slidingAggBatch(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.sessionizeBatch(s, d)),
   )
 
@@ -133,6 +134,7 @@ object SparkEntry {
     "mm_binary_meta" -> Multimodal.SqlOracle.binaryMeta,
     "mm_frame_features" -> Multimodal.SqlOracle.frameFeatures,
     "stream_windowed_agg" -> graft.streaming.StreamOps.SqlOracle.windowedAgg,
+    "stream_sliding_agg" -> graft.streaming.StreamOps.SqlOracle.slidingAgg,
     "stream_sessionize" -> graft.streaming.StreamOps.SqlOracle.sessionize,
   )
 }

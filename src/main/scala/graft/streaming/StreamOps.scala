@@ -34,6 +34,18 @@ object StreamOps {
         col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Sliding-window counts/sums (1-hour windows, 30-minute slide):
+    * every event contributes to exactly two windows. Spark expands the
+    * window set at the map side; the oracle mirrors the expansion with
+    * an explicit two-start unnest. */
+  def slidingAggBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), rnd(fxSum(col("value"), 6), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
   /** Sessionization with a 30-minute inactivity gap: batch equivalent
     * via lag + cumulative session starts (single shuffle on user_id). */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
@@ -177,6 +189,22 @@ object StreamOps {
         |  count(*) AS n, (floor((${graft.functions.Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS sum_value
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin
+
+    val slidingAgg: String =
+      s"""WITH ev AS (SELECT * FROM ${graft.functions.Sql.eventsUs} e),
+         |x AS (
+         |  SELECT event_type, value,
+         |    date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+         |      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b
+         |  FROM ev),
+         |w AS (
+         |  SELECT unnest([b - INTERVAL 30 MINUTE, b]) AS window_start,
+         |    event_type, value
+         |  FROM x)
+         |SELECT window_start, event_type, count(*) AS n,
+         |  (floor((${graft.functions.Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS sum_value
+         |FROM w GROUP BY window_start, event_type
+         |ORDER BY window_start, event_type""".stripMargin
 
     val sessionize: String =
       s"""WITH x AS (
