@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions._
 
@@ -58,6 +59,40 @@ object PerfStats {
         rnd(max("value"), 4).as("max_v"))
       .orderBy("event_type", "hr")
 
+  /** Paired statistical comparison of two metric populations (ref:
+    * experiments/stats.py `paired_tests` — scipy ttest_rel + wilcoxon):
+    * per-user mean 'click' latency vs mean 'view' latency, paired on
+    * users having both. Emits the paired t statistic (+ df) and the
+    * Wilcoxon signed-rank W⁺ (average ranks over |d| ties, zero
+    * differences dropped — scipy's defaults). p-values need a t/normal
+    * CDF and are left to the caller (no scipy in-engine); the
+    * statistics themselves are exact. All moments are fixed-point sums
+    * so results are accumulation-order-free. */
+  def pairedTests(spark: SparkSession, dir: String,
+                  typeA: String = "click", typeB: String = "view"): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def meanOf(t: String, as: String) =
+      e.filter(col("event_type") === t).groupBy("user_id")
+        .agg(fxAvg(col("value"), 6).as(as))
+    val d = meanOf(typeA, "a").join(meanOf(typeB, "b"), "user_id")
+      .select(col("user_id"), (col("a") - col("b")).as("d"))
+      .filter(col("d") =!= 0.0)
+    // average ranks of |d| (ties share (min+max)/2) for Wilcoxon W+
+    val byAbs = Window.orderBy(abs(col("d")))
+    val ranked = d
+      .withColumn("r_min", rank().over(byAbs))
+      .withColumn("n_tie", count(lit(1)).over(Window.partitionBy(abs(col("d")))))
+      .withColumn("r_avg", col("r_min") + (col("n_tie") - 1) / 2.0)
+    ranked.agg(
+      count(lit(1)).as("n"),
+      rnd(fxSum(col("d"), 6) / count(lit(1)) /
+        sqrt((fxSum(col("d") * col("d"), 6) -
+          fxSum(col("d"), 6) * fxSum(col("d"), 6) / count(lit(1))) /
+          (count(lit(1)) - 1) / count(lit(1))), 4).as("t_stat"),
+      (count(lit(1)) - 1).as("t_df"),
+      rnd(sum(when(col("d") > 0, col("r_avg")).otherwise(0.0)), 4).as("wilcoxon_w"))
+  }
+
   /** Sketch-based summaries for cardinalities/quantiles too big for
     * exact computation (library API; approx values are engine-specific
     * so they are test-covered rather than oracle-compared). HLL++ and
@@ -89,6 +124,29 @@ object PerfStats {
         |  (floor((${Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS batch_time,
         |  (floor((count(*) / ${Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS throughput_vps
         |FROM events GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
+    def pairedTests(typeA: String = "click", typeB: String = "view"): String =
+      s"""WITH a AS (
+         |  SELECT user_id, ${Sql.fxAvg("value", 6)} AS a
+         |  FROM events WHERE event_type = '$typeA' GROUP BY user_id),
+         |b AS (
+         |  SELECT user_id, ${Sql.fxAvg("value", 6)} AS b
+         |  FROM events WHERE event_type = '$typeB' GROUP BY user_id),
+         |d0 AS (
+         |  SELECT user_id, a.a - b.b AS d
+         |  FROM a JOIN b USING (user_id) WHERE a.a - b.b <> 0),
+         |r AS (
+         |  SELECT d, rank() OVER (ORDER BY abs(d)) AS r_min,
+         |    count(*) OVER (PARTITION BY abs(d)) AS n_tie
+         |  FROM d0),
+         |x AS (SELECT d, r_min + (n_tie - 1) / 2.0 AS r_avg FROM r)
+         |SELECT count(*) AS n,
+         |  (floor((${Sql.fxSum("d", 6)} / count(*) /
+         |    sqrt((${Sql.fxSum("d * d", 6)} - ${Sql.fxSum("d", 6)} * ${Sql.fxSum("d", 6)} / count(*)) /
+         |      (count(*) - 1) / count(*))) * 1e4 + 0.5e0) / 1e4) AS t_stat,
+         |  count(*) - 1 AS t_df,
+         |  (floor((sum(CASE WHEN d > 0 THEN r_avg ELSE 0.0 END)) * 1e4 + 0.5e0) / 1e4) AS wilcoxon_w
+         |FROM x""".stripMargin
 
     val runSummary: String =
       s"""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
