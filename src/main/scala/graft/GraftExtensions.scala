@@ -54,6 +54,17 @@ object GraftExtensions {
     "graft_topk_by" -> { args =>
       TopKByScore(args(0), args(1), longArg(args(2), "k").toInt)
         .toAggregateExpression()
+    },
+    // index kernels with the library's fixed seed-42 constants, so the
+    // full signature path is reachable from pure SQL
+    "graft_simhash62" -> { args => SimHashExpr(args(0), HashP) },
+    "graft_minhash_sigs" -> { args =>
+      val perms = graft.operators.Dedup.perms
+      MinHashSigsExpr(args(0),
+        perms.map(_._1).toArray, perms.map(_._2).toArray, HashP)
+    },
+    "graft_hyperplane_sig" -> { args =>
+      HyperplaneSigExpr(args(0), graft.operators.Ann.planes)
     })
 
   /** Registers the functions on an already-built session. */

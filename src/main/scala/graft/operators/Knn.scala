@@ -101,6 +101,24 @@ object Knn {
       .select(col("q_id"), col("doc_id"), rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "doc_id")
 
+  /** The ref's `query_vector_search` API shape (local_db/mock.py:29):
+    * caller-supplied query vectors against any doc frame (doc_id,
+    * doc_vec). Queries become a broadcast literal frame — same plan as
+    * the table-sourced search. */
+  def searchVectors(docs: DataFrame, queries: Seq[(Long, Array[Float])],
+                    k: Int = K): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("q_id", "q_vec")
+    topKPerQuery(
+      docs.crossJoin(broadcast(q))
+        .select(col("q_id"), col("doc_id"),
+          dot(col("q_vec"), col("doc_vec")).as("score")), k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** The metadata predicate shared by exact and ANN filtered search
     * (ref's `where` filters on category/id). */
   val metaPredicate: Column = col("doc_label").isin(1, 2, 3) && col("doc_id") % 2 === 0

@@ -161,6 +161,22 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
     capped.select("key").as[String].head() shouldBe "a"
   }
 
+  test("index kernels are callable from pure SQL with the library constants") {
+    GraftExtensions.register(spark)
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("embeddings")
+    val fp = spark.sql(
+      """SELECT graft_simhash62(filter(split(text, ' '), t -> length(t) > 0)) AS fp
+        |FROM documents LIMIT 5""".stripMargin)
+    fp.count() shouldBe 5
+    val mh = spark.sql(
+      """SELECT graft_minhash_sigs(graft_shingle_hashes(filter(split(text, ' '), t -> length(t) > 0))) AS sig
+        |FROM documents WHERE size(filter(split(text, ' '), t -> length(t) > 0)) >= 3 LIMIT 3""".stripMargin)
+    mh.select(Fn.size(col("sig"))).distinct().collect().map(_.getInt(0)).toSet shouldBe Set(16)
+    val hs = spark.sql("SELECT graft_hyperplane_sig(embedding) AS sig FROM embeddings LIMIT 3")
+    hs.collect().foreach(r => r.getLong(0) should be >= 0L)
+  }
+
   test("graft_topk_by validates inputs at analysis time") {
     GraftExtensions.register(spark)
     spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")

@@ -89,6 +89,16 @@ class AnnSpec extends AnyFunSuite with Matchers with SharedSpark {
     c.select(Fn.size(col("c_vec"))).distinct().collect().head.getInt(0) shouldBe Ann.Dim
   }
 
+  test("searchVectors: caller-supplied query vectors match the table-sourced search") {
+    val qs = Knn.querySet(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1).take(3)
+    val r = Knn.searchVectors(Knn.docSet(spark, sfDir), qs)
+    val expected = Knn.bruteForce(spark, sfDir)
+      .filter(col("q_id").isin(qs.map(_._1): _*))
+    r.exceptAll(expected).count() shouldBe 0
+    expected.exceptAll(r).count() shouldBe 0
+  }
+
   test("Lloyd-trained centroids drop into the ivf probe path unchanged") {
     val trained = Ann.fitCentroids(Tables.embeddings(spark, sfDir), k = 8, iters = 2)
       .select(col("c_id"), Fn.transform(col("c_vec"),
