@@ -105,18 +105,22 @@ object Encoders {
     * unordered double sum is not), mirrored exactly in the oracle. */
   def tfIdfSearch(spark: SparkSession, dir: String, k: Int = 10,
                   nq: Int = 5, dim: Int = Dim): DataFrame = {
-    val w = tfIdfWeights(spark, dir, dim)
-    val norms = w.groupBy("doc_id")
-      .agg(sqrt(fxSum(col("weight") * col("weight"), 9)).as("nrm"))
-    val qw = w.filter(col("doc_id") < nq)
-      .select(col("doc_id").as("q_id"), col("tok"), col("weight").as("qweight"))
-    val ip = w.filter(col("doc_id") >= nq)
+    // norms ride along as a window over the weights frame, so the plan
+    // needs no separate norm aggregate and — crucially — no shuffle
+    // join of the scored pairs back against a norm table
+    val byDoc = Window.partitionBy("doc_id")
+    val wn = tfIdfWeights(spark, dir, dim)
+      .withColumn("nrm", sqrt(
+        sum(floor(col("weight") * col("weight") * 1e9 + 0.5).cast("long"))
+          .over(byDoc) / 1e9))
+    val qw = wn.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("tok"),
+        col("weight").as("qweight"), col("nrm").as("qn"))
+    val scored = wn.filter(col("doc_id") >= nq)
       .join(broadcast(qw), "tok")
       .groupBy("q_id", "doc_id")
-      .agg(fxSum(col("qweight") * col("weight"), 9).as("ip"))
-    val scored = ip
-      .join(broadcast(norms.select(col("doc_id").as("q_id"), col("nrm").as("qn"))), "q_id")
-      .join(norms.select(col("doc_id"), col("nrm").as("dn")), "doc_id")
+      .agg(fxSum(col("qweight") * col("weight"), 9).as("ip"),
+        first(col("qn")).as("qn"), first(col("nrm")).as("dn"))
       .select(col("q_id"), col("doc_id"), (col("ip") / (col("qn") * col("dn"))).as("score"))
     Knn.topKPerQuery(scored, k)
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
@@ -274,19 +278,18 @@ object Encoders {
          |  SELECT doc_id, dt.tok,
          |    dt.tf * (ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) AS weight
          |  FROM dt JOIN vocab USING (tok) CROSS JOIN nd),
-         |n2 AS (
-         |  SELECT doc_id, sqrt(${S.fxSum("weight * weight", 9)}) AS nrm
-         |  FROM w GROUP BY doc_id),
-         |qw AS (SELECT doc_id AS q_id, tok, weight AS qweight FROM w WHERE doc_id < $nq),
-         |dw AS (SELECT doc_id, tok, weight FROM w WHERE doc_id >= $nq),
-         |ip AS (
-         |  SELECT q_id, doc_id, ${S.fxSum("qweight * weight", 9)} AS ip
-         |  FROM dw JOIN qw USING (tok) GROUP BY q_id, doc_id),
+         |wn AS (
+         |  SELECT doc_id, tok, weight,
+         |    sqrt(CAST(sum(CAST(floor(weight * weight * 1e9 + 0.5e0) AS BIGINT))
+         |      OVER (PARTITION BY doc_id) AS BIGINT) / 1e9) AS nrm
+         |  FROM w),
+         |qw AS (SELECT doc_id AS q_id, tok, weight AS qweight, nrm AS qn
+         |       FROM wn WHERE doc_id < $nq),
+         |dw AS (SELECT doc_id, tok, weight, nrm FROM wn WHERE doc_id >= $nq),
          |scored AS (
-         |  SELECT ip.q_id, ip.doc_id, ip.ip / (qn.nrm * dn.nrm) AS score
-         |  FROM ip
-         |  JOIN n2 qn ON qn.doc_id = ip.q_id
-         |  JOIN n2 dn ON dn.doc_id = ip.doc_id),
+         |  SELECT q_id, doc_id,
+         |    ${S.fxSum("qweight * weight", 9)} / (any_value(qn) * any_value(nrm)) AS score
+         |  FROM dw JOIN qw USING (tok) GROUP BY q_id, doc_id),
          |ranked AS (
          |  SELECT q_id, doc_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
