@@ -62,6 +62,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingLsh(s, d)),
     // Text analysis
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.SqlOracle.simhash,
     "dedup_simhash_pairs" -> Dedup.SqlOracle.simhashPairs(),
     "dedup_embedding_cosine" -> Dedup.SqlOracle.embeddingCosine(),
+    "dedup_embedding_lsh" -> Dedup.SqlOracle.embeddingLsh(),
     "text_token_count" -> TextAnalysis.SqlOracle.tokenCount,
     "text_lang_id" -> TextAnalysis.SqlOracle.langId,
     "text_quality_score" -> TextAnalysis.SqlOracle.qualityScore,

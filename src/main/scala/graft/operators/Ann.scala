@@ -269,7 +269,7 @@ object Ann {
       }.mkString("[", ", ", "]")
 
     /** Signature bits via the same sequential fold the kernel runs. */
-    private def sigExpr(vec: String): String = {
+    private[operators] def sigExpr(vec: String): String = {
       val bits = (0 until NPlanes).map { j =>
         val d = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"[CAST(($vec)[i] AS DOUBLE) * (${planeList(j)})[i] for i in range(1, ${Dim + 1})]), " +

@@ -203,6 +203,41 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding near-dup pairs WITHOUT labels — the 100 TB path the
+    * label-blocked [[embeddingCosine]] defers to: random-hyperplane LSH
+    * bands bucket the vectors (one pass over the data, shuffle on the
+    * bucket key only), bucket-local pair expansion (capped), exact
+    * cosine verify ≥ threshold. Candidate generation is linear in data
+    * + bucket-pair output; no labels, no all-pairs. */
+  def embeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
+                   maxBucket: Int = MaxBlock): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val banded = e
+      .withColumn("_sig", Ann.signature(col("embedding")))
+      .select(col("vec_id"), explode(array(
+        (0 until Ann.NBands).map(bb => struct(
+          lit(bb).as("band"),
+          shiftright(col("_sig"), Ann.BandBits * bb)
+            .bitwiseAND((1 << Ann.BandBits) - 1).as("bkt"))): _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band"), col("bk.bkt"))
+    val buckets = banded.groupBy("band", "bkt")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = Skew.capBuckets(buckets, "ids", maxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i.cast("int") + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("pr"))
+      .select(col("pr.id_a"), col("pr.id_b"))
+      .distinct()
+    cands
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), rnd(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   object SqlOracle {
     /** Shingle list in SQL (empty when < 3 tokens). */
     def shinglesSql(toksExpr: String): String =
@@ -296,6 +331,24 @@ object Dedup {
          |FROM fp a JOIN fp b
          |  ON (a.fp >> 46) = (b.fp >> 46) AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+         |ORDER BY id_a, id_b""".stripMargin
+
+    def embeddingLsh(threshold: Double = 0.4): String =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |sg AS (SELECT vec_id, ${Ann.SqlOracle.sigExpr("embedding")} AS sig FROM e),
+         |b AS (
+         |  SELECT vec_id, band,
+         |    (sig >> (${Ann.BandBits} * band)) & ${(1 << Ann.BandBits) - 1} AS bkt
+         |  FROM sg CROSS JOIN (SELECT unnest(range(${Ann.NBands})) AS band)),
+         |cands AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM b x JOIN b y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |s AS (
+         |  SELECT id_a, id_b, ${S.cosine("a.embedding", "b.embedding", VectorCore.Dim)} AS c
+         |  FROM cands JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)
+         |SELECT id_a, id_b, ${S.rnd("c", 4)} AS cos
+         |FROM s WHERE c >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
 
     def embeddingCosine(threshold: Double = 0.3): String =
