@@ -123,4 +123,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     val p = plan(Dedup.minhashLsh(spark, sfDir))
     p should not include "CartesianProduct"
   }
+
+  test("embedding LSH dedup: no cartesian product, single signature pass") {
+    val p = plan(Dedup.embeddingLsh(spark, sfDir))
+    p should not include "CartesianProduct"
+    p should not include "Window"
+  }
 }
