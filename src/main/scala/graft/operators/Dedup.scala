@@ -112,10 +112,26 @@ object Dedup {
     * shingle Jaccard ≥ threshold. The only shuffle that touches the
     * full corpus is the explode-to-(band, key) groupBy. */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                 maxBucket: Int = MaxBlock): DataFrame = {
-    val hashed = hashedShingles(spark, dir)
+                 maxBucket: Int = MaxBlock,
+                 stopDf: Option[Double] = None): DataFrame = {
+    val raw = hashedShingles(spark, dir)
       .select(col("doc_id"), col("shh"))
       .filter(size(col("shh")) > 0)
+    // optional doc-frequency stoplist: shingles present in more than
+    // stopDf of all docs (boilerplate) carry no discriminating signal
+    // and concentrate candidates — drop them before signatures. Off by
+    // default (it changes results, so the verified oracle runs without)
+    val hashed = stopDf.fold(raw) { f =>
+      val nd = raw.agg(count(lit(1)).as("_nd"))
+      val exploded = raw.select(col("doc_id"), explode(col("shh")).as("h"))
+      val stops = exploded.groupBy("h")
+        .agg(countDistinct("doc_id").as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") > lit(f) * col("_nd"))
+        .select("h")
+      exploded.join(broadcast(stops), Seq("h"), "left_anti")
+        .groupBy("doc_id").agg(collect_list("h").as("shh"))
+    }
     val sigs = hashed.select(col("doc_id"),
       graft.functions.native.minhashSigs(col("shh"), perms, P).as("sig"))
     val banded = sigs.select(col("doc_id"), explode(array(

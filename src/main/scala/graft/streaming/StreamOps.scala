@@ -142,6 +142,26 @@ object StreamOps {
   case class SessionOut(user_id: Long, session_start: Timestamp, n_events: Long, duration_sec: Long)
   case class SessState(start: Long, last: Long, n: Long)
 
+  case class LatestOut(user_id: Long, event_id: Long, event_type: String, value: Double)
+
+  /** Streaming upsert compaction — the streaming form of
+    * Relational.latestByKey (the ref's batch_upsert replace-by-id
+    * semantics, applied continuously): state holds the max-(ts,
+    * event_id) row per key; every micro-batch emits the current winner
+    * for keys it touched (update output mode). State is one row per
+    * key — the same footprint any streaming upsert view needs. */
+  def latestByKeyStream(events: Dataset[Ev]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Ev, LatestOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[Ev]) =>
+          val best = (evs ++ state.getOption.iterator)
+            .maxBy(e => (e.ts.getTime, e.event_id))
+          state.update(best)
+          LatestOut(user, best.event_id, best.event_type, best.value)
+      }
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: a session is
     * emitted when a later event for the user passes the inactivity gap,
     * or (with ProcessingTimeTimeout, the production default) when the

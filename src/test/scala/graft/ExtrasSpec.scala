@@ -248,6 +248,24 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
     agg(1) shouldBe agg(31)
   }
 
+  test("minhash doc-frequency stoplist keeps true near-dups") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stop").toString
+    val boiler = "terms and conditions apply to everything here"
+    val docs = (0L until 40L).map(i =>
+      (i, s"unique$i content$i token$i " + boiler, "en")) ++
+      Seq((100L, "alpha beta gamma delta epsilon theta iota kappa lambda mu nu xi zeta " + boiler, "en"),
+        (101L, "alpha beta gamma delta epsilon theta iota kappa lambda mu nu xi eta " + boiler, "en"))
+    docs.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // boilerplate shingles sit in 100% of docs; with the stoplist they
+    // are dropped before signatures, and the genuine near-dup survives
+    val pairs = Dedup.minhashLsh(spark, tmp, threshold = 0.3, stopDf = Some(0.5))
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    pairs should contain((100L, 101L))
+    pairs.foreach { case (a, b) => (a, b) shouldBe ((100L, 101L)) }
+  }
+
   test("saltOf is deterministic and within range") {
     import spark.implicits._
     val s = Tables.orders(spark, sfDir)

@@ -170,6 +170,30 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     } finally q.stop()
   }
 
+  test("latestByKeyStream: state tracks the max-(ts, event_id) row across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[StreamOps.Ev]
+    val q = StreamOps.latestByKeyStream(input.toDS())
+      .writeStream.format("memory").queryName("latest")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamOps.Ev(1, ts(10), 1, "a", 1.0))
+      q.processAllAvailable()
+      // a newer event wins; an older straggler in the same batch must not
+      input.addData(StreamOps.Ev(2, ts(50), 1, "b", 2.0),
+        StreamOps.Ev(3, ts(5), 1, "c", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("latest").as[StreamOps.LatestOut].collect()
+      rows.length shouldBe 2 // one emission per touched batch
+      rows.map(_.event_id).toSet shouldBe Set(1L, 2L)
+      rows.last // the final emission is the true latest
+      val fin = rows.filter(_.event_id == 2L).head
+      fin.event_type shouldBe "b"
+    } finally q.stop()
+  }
+
   test("batch sessionize: session boundaries respect the 30-minute gap") {
     val r = StreamOps.sessionizeBatch(spark, sfDir)
     r.count() should be > 0L
