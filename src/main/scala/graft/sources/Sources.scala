@@ -55,6 +55,28 @@ object Sources {
         col("timestamp"), col("source"))
       .write.mode("overwrite").json(path)
 
+  /** Events-log CSV layout (interchange with the ref's timing-log CSV
+    * exports): microsecond timestamp format on both sides so a
+    * round-trip is lossless against the µs-pinned parquet reader. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  def writeEventsCsv(df: DataFrame, path: String): Unit =
+    df.select(eventSchema.fieldNames.map(col): _*)
+      .write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", TsFmt).csv(path)
+
+  def readEventsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(eventSchema).option("header", "true")
+      .option("timestampFormat", TsFmt).csv(path)
+
   /** Result summaries as CSV with header (the shape of the ref's
     * experiments/results/h3_summary_by_n_docs.csv). */
   def writeSummaryCsv(df: DataFrame, path: String): Unit =

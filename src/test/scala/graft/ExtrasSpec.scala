@@ -62,6 +62,21 @@ class SourcesSpec extends AnyFunSuite with Matchers with SharedSpark {
     back.count() shouldBe 2
   }
 
+  test("events CSV round-trips losslessly into the verified operators") {
+    val dir = Files.createTempDirectory("graft-evcsv").toString
+    val orig = graft.Tables.events(spark, sfDir)
+    Sources.writeEventsCsv(orig, s"$dir/events_csv")
+    val staged = Sources.readEventsCsv(spark, s"$dir/events_csv")
+    staged.count() shouldBe orig.count()
+    // a verified operator produces identical results on the staged copy
+    staged.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // runSummary exercises ts (hour buckets) AND value through the CSV
+    val a = graft.operators.PerfStats.runSummary(spark, sfDir)
+    val b = graft.operators.PerfStats.runSummary(spark, dir)
+    a.exceptAll(b).count() shouldBe 0
+    b.exceptAll(a).count() shouldBe 0
+  }
+
   test("JSONL corpus staged as driver tables runs verified operators unchanged") {
     val dir = Files.createTempDirectory("graft-jsonl").toString
     // export the real documents table in the ref's JSONL layout
