@@ -38,7 +38,8 @@ object Bench {
     val scaleJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK", "1") != "1") ""
       else {
-        val base = java.nio.file.Files.createTempDirectory("graft-scale").toString
+        val basePath = java.nio.file.Files.createTempDirectory("graft-scale")
+        val base = basePath.toString
         val d1 = s"$base/x1"; val d10 = s"$base/x10"
         sources.DataGen.writeDataset(spark, d1, 5000L, 2000L)
         sources.DataGen.writeDataset(spark, d10, 50000L, 20000L)
@@ -47,19 +48,32 @@ object Bench {
           "ann_lsh_hyperplane", "ann_ivf", "ann_pq_encode",
           "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
           "text_quality_score")
-        // min of two runs per point: single-run wall times on the dense
-        // generated corpus carry multi-second GC/AQE noise that could
-        // fake a super-linear exponent
-        def timed2(n: String, dir: String): Double =
-          math.min(timed(n, dir), timed(n, dir))
+        // Warmup both sizes, then interleave x1/x10 timings and take the
+        // min per size: single-run wall times on a long-lived bench JVM
+        // carry multi-second GC/AQE/codegen outliers (BENCH_r02 recorded
+        // 34.6s for dedup_simhash_pairs that measured 1.1s reproduced in
+        // isolation), and sequential x1-then-x10 timing lets secular JVM
+        // drift masquerade as a scaling exponent; interleaving spreads
+        // drift across both sizes.
         val entries = subset.map { n =>
-          val t1 = timed2(n, d1)
-          val t10 = timed2(n, d10)
+          timed(n, d1); timed(n, d10)
+          var t1 = Double.MaxValue
+          var t10 = Double.MaxValue
+          for (_ <- 0 until 2) {
+            t1 = math.min(t1, timed(n, d1))
+            t10 = math.min(t10, timed(n, d10))
+          }
           val exp =
             if (t1 > 0 && t10 > 0) (math.log(t10 / t1) / math.log(10.0)).toString
             else "null"
           s""""$n":{"t1":$t1,"t10":$t10,"exp":$exp}"""
         }
+        // the generated corpora are bench-local scratch — remove them so
+        // repeated runs don't accumulate parquet under /tmp
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(basePath).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
         s""","scale":{${entries.mkString(",")}}"""
       }
 

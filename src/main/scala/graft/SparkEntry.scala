@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingLsh(s, d)),
+    "dedup_cross_corpus" -> ((s, d) => Dedup.crossCorpus(s, d)),
     // Text analysis
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -70,6 +71,11 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "text_ngram_freq" -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
+    "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    // Corpus shaping
+    "sample_stratified" -> ((s, d) => Shaping.stratifiedSample(s, d)),
+    "pack_sequences" -> ((s, d) => Shaping.packSequences(s, d)),
+    "pipeline_quality_filter" -> ((s, d) => Shaping.qualityFilterPipeline(s, d)),
     // Perf/ops analytics
     "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
     "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
@@ -125,12 +131,17 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.SqlOracle.simhashPairs(),
     "dedup_embedding_cosine" -> Dedup.SqlOracle.embeddingCosine(),
     "dedup_embedding_lsh" -> Dedup.SqlOracle.embeddingLsh(),
+    "dedup_cross_corpus" -> Dedup.SqlOracle.crossCorpus(),
     "text_token_count" -> TextAnalysis.SqlOracle.tokenCount,
     "text_lang_id" -> TextAnalysis.SqlOracle.langId,
     "text_quality_score" -> TextAnalysis.SqlOracle.qualityScore,
     "text_fingerprint" -> TextAnalysis.SqlOracle.fingerprint,
     "text_normalize" -> TextAnalysis.SqlOracle.normalize,
     "text_ngram_freq" -> TextAnalysis.SqlOracle.ngramFreq(),
+    "text_pii_scrub" -> TextAnalysis.SqlOracle.piiScrub,
+    "sample_stratified" -> Shaping.SqlOracle.stratifiedSample,
+    "pack_sequences" -> Shaping.SqlOracle.packSequences,
+    "pipeline_quality_filter" -> Shaping.SqlOracle.qualityFilterPipeline(),
     "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,

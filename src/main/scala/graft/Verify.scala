@@ -23,6 +23,18 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // The dedup oracles are UNCAPPED SQL while the Spark operators cap
+    // pathological blocks at Dedup.MaxBlock — oracle equality therefore
+    // requires every observed block at this sf to be under the cap.
+    // Check it explicitly so a data refresh shows up as this line, not
+    // as a confusing row-count diff (ADVICE r2).
+    try operators.Dedup.maxBlockSizes(spark, sfDir).foreach { case (k, v) =>
+      val verdict = if (v > operators.Dedup.MaxBlock) "VIOLATED" else "ok"
+      System.err.println(
+        s"[verify] block-cap $verdict: $k max=$v cap=${operators.Dedup.MaxBlock}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] block-cap check failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

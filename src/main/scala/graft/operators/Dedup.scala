@@ -81,10 +81,14 @@ object Dedup {
         .select(col("doc_id"), col("lang"), col("t0"),
           array_distinct(col("shh")).as("sh")),
       Seq("lang", "t0"), maxBlock)
-    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("t0"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("lang"), col("t0"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "t0"))
-      .filter(col("id_a") < col("id_b"))
+    // alias self-join (not two renamed projections): both sides are the
+    // SAME canonical subplan, so the band shuffle is a ReusedExchange —
+    // the shingle hashing runs once, not once per side
+    d.as("a").join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.t0") === col("b.t0") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("j", col("n_int") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_int")).cast("double"))
@@ -190,11 +194,12 @@ object Dedup {
       simhashFingerprints(spark, dir)
         .select(col("doc_id"), col("fp"), shiftright(col("fp"), 46).as("band")),
       Seq("band"), maxBlock)
-    val a = fp.select(col("doc_id").as("id_a"), col("fp").as("fa"), col("band"))
-    val b = fp.select(col("doc_id").as("id_b"), col("fp").as("fb"), col("band"))
-    a.join(b, Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", expr("bit_count(fa ^ fb)").cast("long"))
+    // alias self-join → ReusedExchange: the fingerprint kernel runs
+    // once; both join sides read the same band-partitioned shuffle
+    fp.as("a").join(fp.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
@@ -209,10 +214,11 @@ object Dedup {
         .filter(col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("label"), col("embedding")),
       Seq("label"), maxBlock)
-    val a = e.select(col("vec_id").as("id_a"), col("label"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("label"), col("embedding").as("vb"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
+    // alias self-join → ReusedExchange (one scan feeds both sides)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("a.embedding").as("va"), col("b.embedding").as("vb"))
       .withColumn("cos", cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), rnd(col("cos"), 4).as("cos"))
@@ -252,6 +258,69 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), rnd(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Benchmark decontamination (cross-corpus n-gram overlap): flag each
+    * training doc that shares any word-3-gram shingle with the held-out
+    * eval set — the standard contamination scan run before LLM
+    * training. Here the "eval set" is the first `nEval` doc ids
+    * standing in for a benchmark suite.
+    *
+    * Scale shape: the eval side is tiny by construction (benchmarks are
+    * KBs against a 100 TB corpus), so its distinct shingle hashes are
+    * broadcast; the training side is one explode + broadcast hash join
+    * + map-side-combined groupBy — linear in corpus size, no shuffle of
+    * the corpus, no self-join. */
+  def crossCorpus(spark: SparkSession, dir: String, nEval: Long = 50): DataFrame = {
+    val sh = hashedShingles(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("shh"))).as("h"))
+    val evalSh = sh.filter(col("doc_id") < nEval).select("h").distinct()
+    sh.filter(col("doc_id") >= nEval)
+      .join(broadcast(evalSh), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Max observed members per blocking key for every capped blocking,
+    * at the given sf dir. The verified oracles are UNCAPPED SQL, so
+    * oracle equality silently depends on every observed block staying
+    * under [[MaxBlock]] — Verify calls this and fails loudly if the
+    * contract is violated (ADVICE r2), instead of surfacing as a
+    * confusing row-count diff. */
+  def maxBlockSizes(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    def maxCnt(df: DataFrame, keys: String*): Long =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(max("c")).collect()(0).getLong(0)
+    val simBands = simhashFingerprints(spark, dir)
+      .select(shiftright(col("fp"), 46).as("band"))
+    val ngramBlocks = hashedShingles(spark, dir).select(col("lang"), col("t0"))
+    val labelBlocks = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0).select(col("label"))
+    val mhBuckets = {
+      val sigs = hashedShingles(spark, dir)
+        .select(col("doc_id"), col("shh")).filter(size(col("shh")) > 0)
+        .select(col("doc_id"),
+          graft.functions.native.minhashSigs(col("shh"), perms, P).as("sig"))
+      sigs.select(col("doc_id"), explode(array(
+        (0 until NBands).map(bb =>
+          struct(lit(bb).as("band"),
+            (col("sig").getItem(2 * bb) * P + col("sig").getItem(2 * bb + 1)).as("key"))): _*)).as("bk"))
+        .select(col("bk.band"), col("bk.key"))
+    }
+    val lshBuckets = Tables.embeddings(spark, dir)
+      .withColumn("_sig", Ann.signature(col("embedding")))
+      .select(explode(array(
+        (0 until Ann.NBands).map(bb => struct(
+          lit(bb).as("band"),
+          shiftright(col("_sig"), Ann.BandBits * bb)
+            .bitwiseAND((1 << Ann.BandBits) - 1).as("bkt"))): _*)).as("bk"))
+      .select(col("bk.band"), col("bk.bkt"))
+    Seq(
+      "simhash_band" -> maxCnt(simBands, "band"),
+      "ngram_lang_t0" -> maxCnt(ngramBlocks, "lang", "t0"),
+      "embedding_label" -> maxCnt(labelBlocks, "label"),
+      "minhash_bucket" -> maxCnt(mhBuckets, "band", "key"),
+      "embedding_lsh_bucket" -> maxCnt(lshBuckets, "band", "bkt"))
   }
 
   object SqlOracle {
@@ -309,6 +378,16 @@ object Dedup {
          |WHERE j >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
     }
+
+    def crossCorpus(nEval: Long = 50): String =
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct([${S.polyHash("s")} for s in sh])) AS h
+         |  FROM $docShingles),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE doc_id < $nEval)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM sh JOIN ev USING (h)
+         |WHERE doc_id >= $nEval
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     val simhash: String =
       s"""WITH tok AS (

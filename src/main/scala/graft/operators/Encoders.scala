@@ -194,10 +194,12 @@ object Encoders {
 
   /** The stub batch "model": per-token polynomial-hash vectors,
     * mean-pooled — bit-identical to [[meanPooling]]'s per-dim folds
-    * (same hash, same left-to-right accumulation). Empty docs encode to
-    * the zero vector. */
+    * (same hash, same left-to-right accumulation). Empty (or null) docs
+    * encode to the zero vector — a null must not NPE inside an executor
+    * when the declarative path degrades gracefully. */
   def stubModelEncode(texts: Seq[String]): Seq[Array[Double]] =
-    texts.map { t =>
+    texts.map { t0 =>
+      val t = if (t0 == null) "" else t0
       val hs = t.split(" ").filter(_.nonEmpty).map(tok =>
         tok.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % HashP))
       Array.tabulate(8) { j =>

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions._
 
@@ -77,20 +76,31 @@ object PerfStats {
     val d = meanOf(typeA, "a").join(meanOf(typeB, "b"), "user_id")
       .select(col("user_id"), (col("a") - col("b")).as("d"))
       .filter(col("d") =!= 0.0)
-    // average ranks of |d| (ties share (min+max)/2) for Wilcoxon W+
-    val byAbs = Window.orderBy(abs(col("d")))
-    val ranked = d
-      .withColumn("r_min", rank().over(byAbs))
-      .withColumn("n_tie", count(lit(1)).over(Window.partitionBy(abs(col("d")))))
-      .withColumn("r_avg", col("r_min") + (col("n_tie") - 1) / 2.0)
-    ranked.agg(
+    // Average ranks of |d| (ties share (min+max)/2) for Wilcoxon W+,
+    // computed WITHOUT an unpartitioned window: a global sort (range-
+    // partitioned, distributed) + zipWithIndex gives each row its
+    // 0-based position; min(position)+1 per distinct |d| is the exact
+    // min-rank regardless of how ties were split across partitions.
+    // Shuffle volume is one (ad, d) pair per row — no single-partition
+    // coalesce anywhere.
+    import spark.implicits._
+    val ranked = d.select(abs(col("d")).as("ad"), col("d")).as[(Double, Double)]
+      .orderBy("ad").rdd.zipWithIndex
+      .map { case ((ad, dv), i) => (ad, dv, i + 1L) }
+      .toDF("ad", "d", "r")
+    val w = ranked.groupBy("ad")
+      .agg(min("r").as("r_min"), count(lit(1)).as("n_tie"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_pos"))
+      .agg(coalesce(sum((col("r_min") + (col("n_tie") - 1) / 2.0) * col("n_pos")),
+        lit(0.0)).as("w_plus"))
+    d.agg(
       count(lit(1)).as("n"),
       rnd(fxSum(col("d"), 6) / count(lit(1)) /
         sqrt((fxSum(col("d") * col("d"), 6) -
           fxSum(col("d"), 6) * fxSum(col("d"), 6) / count(lit(1))) /
           (count(lit(1)) - 1) / count(lit(1))), 4).as("t_stat"),
-      (count(lit(1)) - 1).as("t_df"),
-      rnd(sum(when(col("d") > 0, col("r_avg")).otherwise(0.0)), 4).as("wilcoxon_w"))
+      (count(lit(1)) - 1).as("t_df"))
+      .crossJoin(w.select(rnd(col("w_plus"), 4).as("wilcoxon_w")))
   }
 
   /** Sketch-based summaries for cardinalities/quantiles too big for

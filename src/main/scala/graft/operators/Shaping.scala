@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Corpus-shaping operators for training-data pipelines (additions
+  * beyond the reference surface — SURVEY.md §2): language-quota
+  * sampling and token-budget sequence packing.
+  *
+  * Scale design: sampling is a pure per-row filter (no shuffle, pushes
+  * to the scan); packing is a prefix sum *within hash shards*, so the
+  * inherently-sequential greedy fill parallelizes across shards — the
+  * shard count is the parallelism knob (64 here; thousands on a real
+  * cluster), and no window ever sees more than one shard.
+  */
+object Shaping {
+
+  /** Per-mille keep-quota per language: downsample dominant English,
+    * keep the long tail (the standard language-balancing step ahead of
+    * training). Unlisted languages keep everything. */
+  val quotas: Seq[(String, Int)] = Seq(
+    "en" -> 300, "zh" -> 700, "fr" -> 1000, "de" -> 1000, "es" -> 1000)
+
+  /** Deterministic sampling key in [0, 1000): an explicit polynomial
+    * hash of the salted doc id — NOT rand() (not retry-stable) and NOT
+    * an engine hash builtin (not portable). The same doc is kept or
+    * dropped on every engine, every retry, every partitioning. */
+  private def sampleKey(id: org.apache.spark.sql.Column) =
+    polyHash(concat(lit("smp"), id.cast("string"))) % 1000
+
+  /** Stratified (language-quota) downsample: keep a doc iff its hash
+    * key falls under its language's per-mille quota. Pure filter —
+    * no shuffle, codegen'd, the predicate arithmetic runs at scan. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val quota = quotas.foldRight(lit(1000)) { case ((l, q), els) =>
+      when(col("lang") === l, lit(q)).otherwise(els)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(sampleKey(col("doc_id")) < quota)
+      .orderBy("doc_id")
+  }
+
+  val NShards = 64
+  val BinCapacity = 512L
+
+  /** Token-budget sequence packing: docs are greedily packed, in doc_id
+    * order within each of [[NShards]] hash shards, into bins targeting
+    * [[BinCapacity]] tokens (the LLM-pretraining "sequence packing"
+    * step). A doc belongs to the bin where its shard-local token prefix
+    * sum starts, so a doc straddling a boundary overflows its bin
+    * rather than splitting — greedy contiguous fill semantics. Output
+    * is one row per bin with its fill stats. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        pmod(col("doc_id"), lit(NShards.toLong)).as("shard"))
+    val prior = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("_prefix", coalesce(sum("n_toks").over(prior), lit(0L)))
+      .withColumn("bin", floor(col("_prefix") / BinCapacity))
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("bin_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard", "bin")
+  }
+
+  /** The composed corpus-cleaning pipeline a training-data run executes
+    * end-to-end, as ONE declarative plan: quality gate (token count +
+    * [[TextAnalysis.qualityScore]]'s formula) → exact dedup on the
+    * normalized text hash (min-doc_id survivor via min_by — no window)
+    * → language-quota sampling. Catalyst sees the whole chain, so the
+    * quality filter and the n_toks computation collapse into the scan
+    * projection, and the only shuffle is the dedup groupBy. */
+  def qualityFilterPipeline(spark: SparkSession, dir: String,
+                            minToks: Long = 20L, minQuality: Double = 0.6): DataFrame = {
+    val ts = tokens(col("text"))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val stop = TextAnalysis.markers.head._2
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(ts).cast("long").as("n_toks"),
+        size(array_distinct(ts)).cast("long").as("n_uniq"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(ts, t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"),
+        md5(norm.cast("binary")).as("norm_hash"))
+      .withColumn("quality", rnd(
+        lit(0.25) * least(lit(1.0), col("n_toks") / lit(100.0)) +
+          lit(0.35) * (col("n_uniq") / col("n_toks").cast("double")) +
+          lit(0.2) * least(lit(1.0),
+            ((col("n_chars") - (col("n_toks") - 1)) / col("n_toks").cast("double")) / lit(8.0)) +
+          lit(0.2) * (lit(1.0) - col("n_stop") / col("n_toks").cast("double")), 4))
+    val gated = base.filter(col("n_toks") >= minToks && col("quality") >= minQuality)
+    val survivors = gated.groupBy("norm_hash")
+      .agg(min_by(
+        struct(col("doc_id"), col("lang"), col("n_toks"), col("quality")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.lang"), col("r.n_toks"), col("r.quality"))
+    val quota = quotas.foldRight(lit(1000)) { case ((l, q), els) =>
+      when(col("lang") === l, lit(q)).otherwise(els)
+    }
+    survivors.filter(sampleKey(col("doc_id")) < quota)
+      .orderBy("doc_id")
+  }
+
+  object SqlOracle {
+    val stratifiedSample: String = {
+      val quota = quotas.foldRight("1000") { case ((l, q), els) =>
+        s"CASE WHEN lang = '$l' THEN $q ELSE $els END"
+      }
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${S.polyHash("'smp' || CAST(doc_id AS VARCHAR)")} % 1000 < $quota
+         |ORDER BY doc_id""".stripMargin
+    }
+
+    def qualityFilterPipeline(minToks: Long = 20L, minQuality: Double = 0.6): String = {
+      val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString(", ")
+      val toksE = S.tokens("text")
+      val quota = quotas.foldRight("1000") { case ((l, q), els) =>
+        s"CASE WHEN lang = '$l' THEN $q ELSE $els END"
+      }
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($toksE) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct($toksE)) AS BIGINT) AS n_uniq,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter($toksE, t -> t IN ($stop))) AS BIGINT) AS n_stop,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, n_toks, norm_hash,
+         |    (floor((
+         |      0.25e0 * least(1.0e0, n_toks / 100.0e0) +
+         |      0.35e0 * (n_uniq / CAST(n_toks AS DOUBLE)) +
+         |      0.2e0 * least(1.0e0, ((n_chars - (n_toks - 1)) / CAST(n_toks AS DOUBLE)) / 8.0e0) +
+         |      0.2e0 * (1.0e0 - n_stop / CAST(n_toks AS DOUBLE))) * 1e4 + 0.5e0) / 1e4) AS quality
+         |  FROM s),
+         |f AS (SELECT * FROM q WHERE n_toks >= $minToks AND quality >= $minQuality),
+         |d AS (SELECT norm_hash, min(doc_id) AS doc_id FROM f GROUP BY norm_hash),
+         |k AS (SELECT f.doc_id, f.lang, f.n_toks, f.quality
+         |      FROM f JOIN d ON f.norm_hash = d.norm_hash AND f.doc_id = d.doc_id)
+         |SELECT doc_id, lang, n_toks, quality FROM k
+         |WHERE ${S.polyHash("'smp' || CAST(doc_id AS VARCHAR)")} % 1000 < $quota
+         |ORDER BY doc_id""".stripMargin
+    }
+
+    val packSequences: String =
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(${S.tokens("text")}) AS BIGINT) AS n_toks,
+         |    doc_id % $NShards AS shard
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, n_toks, shard,
+         |    COALESCE(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         |  FROM d)
+         |SELECT shard, CAST(floor(prefix / $BinCapacity) AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+         |  min(doc_id) AS first_doc,
+         |  max(doc_id) AS last_doc
+         |FROM p GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
+  }
+}

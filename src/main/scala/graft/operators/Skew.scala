@@ -26,6 +26,22 @@ object Skew {
       .groupBy(col("_k"))
       .agg(merge(col("_pv")).as("value"))
 
+  /** Skew-safe equi-join of a big frame (skewed key distribution)
+    * against a small-but-not-broadcastable frame: the big side gets a
+    * deterministic salt from its row id, the small side is replicated
+    * once per salt value, and the join key becomes (key, salt) — a hot
+    * key's rows spread over `n` reducers instead of one straggler.
+    * Use when AQE's skew-join split doesn't apply (e.g. the join is
+    * feeding an aggregation that must stay co-partitioned). Cost: the
+    * small side is shuffled n×. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 bigId: Column, n: Int): DataFrame = {
+    val salted = big.withColumn("_salt", saltOf(bigId, n))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until n).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
   /** Caps pathological buckets for pair-expansion operators: buckets
     * larger than `maxBucket` are dropped (a bucket shared by a huge
     * fraction of the corpus carries no discriminating signal for

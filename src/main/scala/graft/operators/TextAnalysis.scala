@@ -115,6 +115,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII patterns shared by the Spark plan and the oracle — restricted
+    * to the regex subset Java and RE2 interpret identically (character
+    * classes + bounded quantifiers; no backrefs, no lookaround). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing (emails/phones → placeholder tokens) — the redaction
+    * pass a training-data pipeline runs before anything else. The
+    * driver corpus contains no PII-shaped strings (verified), so the
+    * query PLANTS deterministic synthetic PII derived from doc_id and
+    * then must scrub exactly what it planted — both engines run the
+    * same plant + scrub, so a regex-dialect or replace-semantics
+    * divergence fails the hash match. Pure per-row map, no shuffle. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(planted, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(planted, lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(planted, lit(PhoneRe)).cast("long").as("n_phone"),
+        length(scrubbed).cast("long").as("n_chars_scrubbed"),
+        md5(scrubbed.cast("binary")).as("scrub_hash"))
+      .orderBy("doc_id")
+  }
+
   object SqlOracle {
     private def toksE = S.tokens("text")
 
@@ -171,6 +200,18 @@ object TextAnalysis {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin
+
+    val piiScrub: String = {
+      val planted = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      val scrubbed = s"regexp_replace(regexp_replace($planted, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all($planted, '$EmailRe')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all($planted, '$PhoneRe')) AS BIGINT) AS n_phone,
+         |  CAST(length($scrubbed) AS BIGINT) AS n_chars_scrubbed,
+         |  md5($scrubbed) AS scrub_hash
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
 
     val fingerprint: String =
       s"""SELECT doc_id,

@@ -19,15 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object DataGen {
 
-  /** 130 words: 30 common + 100 synthetic. A too-small vocabulary makes
-    * the 3-gram shingle space collapse (30³) and every doc near-similar
-    * to every other — unrealistically dense for dedup/minhash. */
+  /** 30 common (stopword-like) words, drawn ~30% of the time; the other
+    * ~70% of tokens come from a synthetic 4096-word tail ("w0".."w4095",
+    * derived arithmetically — no 4k-literal array in the plan). A
+    * too-small vocabulary makes every doc near-similar to every other:
+    * with the original 130-word vocab, corpus-homogeneity bias drove
+    * EVERY generated doc into the same 16-bit SimHash band (measured),
+    * so dedup scale checks exercised nothing but the skew cap. */
   val Vocab: Seq[String] = Seq(
     "spark", "data", "table", "row", "column", "value", "key", "join",
     "scan", "filter", "agg", "window", "batch", "stream", "part",
     "order", "fast", "slow", "small", "large", "hash", "sort", "index",
-    "query", "plan", "node", "shard", "block", "cache", "merge") ++
-    (0 until 100).map(i => f"w$i%02d")
+    "query", "plan", "node", "shard", "block", "cache", "merge")
+  val TailVocab = 4096
 
   val Langs: Seq[String] = Seq("en", "en", "en", "fr", "de", "es")
 
@@ -48,10 +52,13 @@ object DataGen {
       .when(col("doc_id") % 10 === 5, col("doc_id") - 1)
       .otherwise(col("doc_id"))
     val nToks = (pmod(xxhash64(lit(seed), baseId), lit(60)) + lit(20)).cast("int")
-    val words = transform(sequence(lit(1), nToks), i =>
-      element_at(
-        array(Vocab.map(lit): _*),
-        (pmod(xxhash64(lit(seed), baseId, i), lit(Vocab.size)) + 1).cast("int")))
+    val words = transform(sequence(lit(1), nToks), i => {
+      val h = pmod(xxhash64(lit(seed), baseId, i), lit(10L * TailVocab))
+      when(h < lit(3L * TailVocab), // ~30% common words
+        element_at(array(Vocab.map(lit): _*),
+          (pmod(h, lit(Vocab.size)) + 1).cast("int")))
+        .otherwise(concat(lit("w"), pmod(h, lit(TailVocab))))
+    })
     val bodyOf = concat_ws(" ", words)
     val text = when(col("doc_id") % 10 === 5, concat(bodyOf, lit(" extra")))
       .otherwise(bodyOf)

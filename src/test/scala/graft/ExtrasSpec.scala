@@ -166,6 +166,20 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
     plain.exceptAll(salted).count() shouldBe 0
   }
 
+  test("saltedJoin equals plain join on a skewed key") {
+    import spark.implicits._
+    // 10k rows all sharing one hot key + a long tail
+    val big = spark.range(10000).select(col("id"),
+      when(col("id") < 9000, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"))
+    val small = spark.range(100)
+      .select(concat(lit("k"), col("id") + 9000).as("k"), col("id").as("v"))
+      .union(Seq(("hot", -1L)).toDF("k", "v"))
+    val plain = big.join(small, Seq("k")).select("id", "v")
+    val salted = Skew.saltedJoin(big, small, "k", col("id"), 8).select("id", "v")
+    salted.exceptAll(plain).count() shouldBe 0
+    plain.exceptAll(salted).count() shouldBe 0
+  }
+
   test("capBuckets drops oversized buckets only") {
     import spark.implicits._
     val buckets = Seq(
@@ -291,5 +305,77 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
     val a = s.groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val b = s.groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     a shouldBe b
+  }
+}
+
+class ShapingSpec extends AnyFunSuite with Matchers with SharedSpark {
+  import graft.operators.{Shaping, TextAnalysis}
+
+  test("stratified sample honors per-language quotas and is deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Shaping.stratifiedSample(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // full-quota languages keep everything; en is downsampled to ~30%
+    Shaping.quotas.filter(_._2 == 1000).foreach { case (l, _) =>
+      kept.getOrElse(l, 0L) shouldBe total.getOrElse(l, 0L)
+    }
+    // en is downsampled: strictly fewer kept than present (the exact
+    // fraction ~0.3 is only meaningful at larger corpus sizes)
+    kept("en") should be < total("en")
+    kept("en") should be > 0L
+    // deterministic: same rows on a second run
+    val again = Shaping.stratifiedSample(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    again shouldBe kept
+  }
+
+  test("sequence packing conserves tokens and fills bins contiguously") {
+    val d = Tables.documents(spark, sfDir)
+      .select(Fn.size(graft.functions.tokens(col("text"))).cast("long").as("n"))
+    val totalToks = d.agg(sum("n")).collect()(0).getLong(0)
+    val bins = Shaping.packSequences(spark, sfDir).cache()
+    bins.agg(sum("bin_tokens")).collect()(0).getLong(0) shouldBe totalToks
+    // per shard: bins are 0..max contiguous and non-empty
+    val bad = bins.groupBy("shard")
+      .agg(Fn.count(lit(1)).as("n_bins"), Fn.max("bin").as("max_bin"),
+        Fn.min("n_docs").as("min_docs"))
+      .filter(col("n_bins") =!= col("max_bin") + 1 || col("min_docs") < 1)
+    bad.count() shouldBe 0
+    bins.unpersist()
+  }
+
+  test("pii scrub redacts exactly the planted email and phone") {
+    val r = TextAnalysis.piiScrub(spark, sfDir).cache()
+    r.filter(col("n_email") =!= 1 || col("n_phone") =!= 1).count() shouldBe 0
+    // scrubbed text ends with the placeholders, not the planted PII
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com call +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Fn.length(regexp_replace(regexp_replace(planted, TextAnalysis.EmailRe, "<EMAIL>"),
+          TextAnalysis.PhoneRe, "<PHONE>")).cast("long").as("n_expect"))
+    r.join(expected, "doc_id").filter(col("n_chars_scrubbed") =!= col("n_expect"))
+      .count() shouldBe 0
+    r.unpersist()
+  }
+
+  test("cross-corpus decontamination flags only true shingle overlaps") {
+    val hits = Dedup.crossCorpus(spark, sfDir, nEval = 50).cache()
+    hits.filter(col("doc_id") < 50).count() shouldBe 0
+    hits.filter(col("n_hits") < 1).count() shouldBe 0
+    // spot-verify: a flagged doc really shares a shingle with the eval set
+    val sh = Dedup.hashedShingles(spark, sfDir)
+      .select(col("doc_id"), explode(col("shh")).as("h"))
+    val ev = sh.filter(col("doc_id") < 50).select("h").distinct()
+    val flagged = hits.select("doc_id")
+    val verified = sh.join(ev, Seq("h")).filter(col("doc_id") >= 50)
+      .select("doc_id").distinct()
+    flagged.exceptAll(verified).count() shouldBe 0
+    verified.exceptAll(flagged).count() shouldBe 0
+    hits.unpersist()
   }
 }

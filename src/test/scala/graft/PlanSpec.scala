@@ -129,4 +129,47 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p should not include "CartesianProduct"
     p should not include "Window"
   }
+
+  test("block self-joins reuse one exchange: the expensive input computes once") {
+    // the alias self-join makes both join sides the same canonical
+    // subplan; once the join is a shuffle join (as it is at scale — at
+    // test size AQE broadcasts instead, so force it), the adaptive plan
+    // must contain a ReusedExchange — i.e. shingling/fingerprinting ran
+    // once, not once per side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (df <- Seq(Dedup.simhashPairs(spark, sfDir),
+          Dedup.ngramJaccard(spark, sfDir))) {
+        df.collect()
+        val p = plan(df)
+        p should include("ReusedExchange")
+        p should not include "CartesianProduct"
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("stratified sample: pure scan-side filter, no exchange before the sort") {
+    val p = plan(Shaping.stratifiedSample(spark, sfDir))
+    // the quota filter is per-row arithmetic: nothing may shuffle except
+    // the final presentation orderBy (one range exchange)
+    "Exchange".r.findAllIn(p).size should be <= 1
+    p should not include "Window"
+  }
+
+  test("sequence packing: the only window is shard-partitioned") {
+    val df = Shaping.packSequences(spark, sfDir)
+    val p = plan(df)
+    p should include("Window")
+    // the window must be keyed by shard — never an unpartitioned sort
+    p should include("windowspecdefinition(shard")
+    df.count() should be > 0L
+  }
+
+  test("decontamination: eval shingles broadcast, corpus never self-joins") {
+    val p = plan(Dedup.crossCorpus(spark, sfDir))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
 }

@@ -5,11 +5,27 @@ same sf tables, and compares (row count, sorted-by-name columns, values).
 
 Usage: python3 tools/crosscheck.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def has_top_level_order_by(sql):
+    # Only a final ORDER BY at paren depth 0 makes the result ordered;
+    # ORDER BY inside OVER(...) or a parenthesized subquery does not.
+    depth = 0
+    low = sql.lower()
+    for m in re.finditer(r"[()]|order\s+by", low):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            return True
+    return False
 
 
 def canon(df, ordered=False):
@@ -41,7 +57,7 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1
             continue
-        ordered = "order by" in sql.lower()
+        ordered = has_top_level_order_by(sql)
         s, d = canon(spark_df, ordered), canon(duck_df, ordered)
         if list(s.columns) != list(d.columns):
             print(f"FAIL {name}: columns {list(s.columns)} vs {list(d.columns)}"); n_fail += 1
