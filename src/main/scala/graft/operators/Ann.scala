@@ -204,6 +204,50 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** Materializes the IVF index in the layout a 100 TB deployment
+    * serves from: the corpus stored ONCE as a `c_id`-partitioned
+    * parquet table (one directory per centroid). A probe query then
+    * touches only its nprobe partitions — the scan skips the rest of
+    * the corpus at the source, which is the entire point of IVF. */
+  def writeIvfIndex(spark: SparkSession, dir: String, out: String): Unit = {
+    val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    Knn.docSet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("doc_id")
+      .agg(
+        min_by(col("c_id"),
+          struct(-dot(col("doc_vec"), col("c_vec")), col("c_id"))).as("c_id"),
+        first(col("doc_vec")).as("doc_vec"))
+      .write.mode("overwrite").partitionBy("c_id").parquet(out)
+  }
+
+  /** Probe-side search over a [[writeIvfIndex]] layout: queries pick
+    * their top-NProbe centroids (broadcast), and the join against the
+    * partitioned index triggers DYNAMIC PARTITION PRUNING — Spark
+    * plans a pruning subquery from the broadcast side and the fact
+    * scan reads only the probed `c_id=` directories. Asserted in
+    * PlanSpec (`dynamicpruning`). Same results as [[ivf]]. */
+  def ivfIndexed(spark: SparkSession, dir: String, indexPath: String,
+                 k: Int = K): DataFrame = {
+    val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val idx = spark.read.parquet(indexPath)
+    val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("q_id")
+      .agg(
+        graft.functions.TopKAgg.topKBy(
+          dot(col("q_vec"), col("c_vec")), col("c_id"), NProbe).as("tk"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("q_vec"), col("e.id").as("c_id"))
+    val cands = idx.join(broadcast(qs), Seq("c_id"))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score"))
+    Knn.topKPerQuery(cands, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Lloyd k-means fit over an embedding frame: each iteration is one
     * broadcast-assign + one groupBy-mean (two shuffle-free/one-shuffle
     * stages) — the scale path for real centroid training. Returns

@@ -82,16 +82,20 @@ object Shaping {
     * projection, and the only shuffle is the dedup groupBy. */
   def qualityFilterPipeline(spark: SparkSession, dir: String,
                             minToks: Long = 20L, minQuality: Double = 0.6): DataFrame = {
-    val ts = tokens(col("text"))
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     val stop = TextAnalysis.markers.head._2
+    // token array projected ONCE per row; the four token statistics
+    // then read the materialized array (SURVEY §5: a computed array
+    // referenced by several expressions re-runs the tokenizer per use)
     val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        tokens(col("text")).as("_toks"))
       .select(col("doc_id"), col("lang"),
-        size(ts).cast("long").as("n_toks"),
-        size(array_distinct(ts)).cast("long").as("n_uniq"),
+        size(col("_toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("_toks"))).cast("long").as("n_uniq"),
         length(col("text")).cast("long").as("n_chars"),
-        size(filter(ts, t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"),
+        size(filter(col("_toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"),
         md5(norm.cast("binary")).as("norm_hash"))
       .withColumn("quality", rnd(
         lit(0.25) * least(lit(1.0), col("n_toks") / lit(100.0)) +

@@ -52,12 +52,13 @@ object TextAnalysis {
     * counts, argmax with ties resolved in marker-list order, all-zero
     * → 'und'. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val ts = tokens(col("text"))
+    // one tokenize per row, five marker scans over the materialized array
     val scoreCols = markers.map { case (l, ws) =>
-      size(filter(ts, t => t.isin(ws.map(lit): _*))).cast("long").as(s"s_$l")
+      size(filter(col("_toks"), t => t.isin(ws.map(lit): _*))).cast("long").as(s"s_$l")
     }
     // first matching branch wins -> ties resolve in markers order
     Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
       .select(col("doc_id") +: scoreCols: _*)
       .withColumn("pred_lang",
         markers.reverse.foldLeft(lit("und")) { case (els, (l, _)) =>
@@ -70,14 +71,14 @@ object TextAnalysis {
   /** Deterministic quality score from token statistics
     * (length / distinct-ratio / token-length / stopword components). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val ts = tokens(col("text"))
     val stop = markers.head._2 // english stopwords
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("_toks"))
       .select(col("doc_id"),
-        size(ts).cast("long").as("n_toks"),
-        size(array_distinct(ts)).cast("long").as("n_uniq"),
+        size(col("_toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("_toks"))).cast("long").as("n_uniq"),
         length(col("text")).cast("long").as("n_chars"),
-        size(filter(ts, t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
+        size(filter(col("_toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"))
       .withColumn("uniq_ratio", rnd(col("n_uniq") / col("n_toks").cast("double"), 4))
       .withColumn("quality", rnd(
         lit(0.25) * least(lit(1.0), col("n_toks") / lit(100.0)) +

@@ -166,6 +166,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     df.count() should be > 0L
   }
 
+  test("partitioned IVF index: probes prune partitions dynamically, results equal ivf") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    Ann.writeIvfIndex(spark, sfDir, tmp)
+    val indexed = Ann.ivfIndexed(spark, sfDir, tmp)
+    val p = plan(indexed)
+    // the index scan must carry a runtime pruning subquery on c_id —
+    // i.e. only the probed centroid directories are read
+    p.toLowerCase should include("dynamicpruning")
+    val direct = Ann.ivf(spark, sfDir)
+    indexed.exceptAll(direct).count() shouldBe 0
+    direct.exceptAll(indexed).count() shouldBe 0
+  }
+
   test("decontamination: eval shingles broadcast, corpus never self-joins") {
     val p = plan(Dedup.crossCorpus(spark, sfDir))
     p should include("BroadcastHashJoin")
