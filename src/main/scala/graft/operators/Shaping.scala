@@ -80,29 +80,37 @@ object Shaping {
     * → language-quota sampling. Catalyst sees the whole chain, so the
     * quality filter and the n_toks computation collapse into the scan
     * projection, and the only shuffle is the dedup groupBy. */
-  def qualityFilterPipeline(spark: SparkSession, dir: String,
-                            minToks: Long = 20L, minQuality: Double = 0.6): DataFrame = {
+  /** Adds (n_toks, quality, norm_hash) to any frame with a `text`
+    * column — the shared gate columns of the batch pipeline and its
+    * streaming form ([[graft.streaming.StreamOps.cleanDocsStream]]).
+    * Token array projected ONCE per row; the four token statistics
+    * then read the materialized array (SURVEY §5: a computed array
+    * referenced by several expressions re-runs the tokenizer per use). */
+  def withQualityColumns(df: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     val stop = TextAnalysis.markers.head._2
-    // token array projected ONCE per row; the four token statistics
-    // then read the materialized array (SURVEY §5: a computed array
-    // referenced by several expressions re-runs the tokenizer per use)
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("text"),
-        tokens(col("text")).as("_toks"))
-      .select(col("doc_id"), col("lang"),
-        size(col("_toks")).cast("long").as("n_toks"),
-        size(array_distinct(col("_toks"))).cast("long").as("n_uniq"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(filter(col("_toks"), t => t.isin(stop.map(lit): _*))).cast("long").as("n_stop"),
-        md5(norm.cast("binary")).as("norm_hash"))
+    df.withColumn("_toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("_toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("_toks"))).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("_toks"), t => t.isin(stop.map(lit): _*))).cast("long"))
+      .withColumn("norm_hash", md5(norm.cast("binary")))
       .withColumn("quality", rnd(
         lit(0.25) * least(lit(1.0), col("n_toks") / lit(100.0)) +
           lit(0.35) * (col("n_uniq") / col("n_toks").cast("double")) +
           lit(0.2) * least(lit(1.0),
             ((col("n_chars") - (col("n_toks") - 1)) / col("n_toks").cast("double")) / lit(8.0)) +
           lit(0.2) * (lit(1.0) - col("n_stop") / col("n_toks").cast("double")), 4))
+      .drop("_toks", "n_uniq", "n_chars", "n_stop")
+  }
+
+  def qualityFilterPipeline(spark: SparkSession, dir: String,
+                            minToks: Long = 20L, minQuality: Double = 0.6): DataFrame = {
+    val base = withQualityColumns(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")))
+      .drop("text")
     val gated = base.filter(col("n_toks") >= minToks && col("quality") >= minQuality)
     val survivors = gated.groupBy("norm_hash")
       .agg(min_by(

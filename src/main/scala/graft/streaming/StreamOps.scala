@@ -121,6 +121,22 @@ object StreamOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming corpus cleaning — the ingest-side form of
+    * [[graft.operators.Shaping.qualityFilterPipeline]]: the same
+    * quality gate (stateless per-row map, shared expression via
+    * `Shaping.withQualityColumns`) followed by exact dedup on the
+    * normalized-text hash within the watermark horizon. Gate state: 0;
+    * dedup state: bounded by the watermark — the pipeline runs forever
+    * on an unbounded ingest stream. Input needs (doc_id, ts, text,
+    * lang); output is the kept docs with their gate columns. */
+  def cleanDocsStream(docs: DataFrame, horizon: String = "2 hours",
+                      minToks: Long = 20L, minQuality: Double = 0.6): DataFrame =
+    graft.operators.Shaping.withQualityColumns(docs)
+      .filter(col("n_toks") >= minToks && col("quality") >= minQuality)
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("norm_hash")
+      .select(col("doc_id"), col("ts"), col("lang"), col("n_toks"), col("quality"))
+
   /** Stream-stream inner join: events of two streams for the same user
     * within a ±10-minute event-time bound. Both sides carry watermarks
     * so the join state is GC'd once the bound passes — the unbounded-

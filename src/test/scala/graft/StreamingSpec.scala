@@ -201,4 +201,27 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     // have duration 0; all durations are non-negative
     r.filter(col("duration_ms") < 0).count() shouldBe 0
   }
+
+  test("cleanDocsStream gates quality and dedups within the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text", "lang")
+    val q = StreamOps.cleanDocsStream(docs, minToks = 5L, minQuality = 0.0)
+      .writeStream.format("memory").queryName("clean")
+      .outputMode("append").start()
+    try {
+      val good = (1 to 8).map(i => s"alpha bravo charlie delta echo foxtrot golf unique$i").mkString(" ")
+      input.addData(
+        (1L, ts(0), good, "en"),                  // kept
+        (2L, ts(1), good, "en"),                  // exact dup of 1 -> dropped
+        (3L, ts(2), good.toUpperCase, "en"),      // same normalized text -> dropped
+        (4L, ts(3), "too short", "en"),           // fails the token gate
+        (5L, ts(4), good + " different tail now here", "en")) // kept
+      q.processAllAvailable()
+      val kept = spark.table("clean").select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(1L, 5L)
+    } finally q.stop()
+  }
 }
