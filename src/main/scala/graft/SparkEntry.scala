@@ -80,6 +80,7 @@ object SparkEntry {
     "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
     "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
     "run_summary_groupby" -> ((s, d) => PerfStats.runSummary(s, d)),
+    "run_summary_rollup" -> ((s, d) => PerfStats.runSummaryRollup(s, d)),
     "stats_paired_tests" -> ((s, d) => PerfStats.pairedTests(s, d)),
     // Multimodal plumbing
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,
+    "run_summary_rollup" -> PerfStats.SqlOracle.runSummaryRollup,
     "stats_paired_tests" -> PerfStats.SqlOracle.pairedTests(),
     "mm_binary_meta" -> Multimodal.SqlOracle.binaryMeta,
     "mm_frame_features" -> Multimodal.SqlOracle.frameFeatures,

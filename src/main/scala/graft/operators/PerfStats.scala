@@ -58,6 +58,24 @@ object PerfStats {
         rnd(max("value"), 4).as("max_v"))
       .orderBy("event_type", "hr")
 
+  /** Rollup summary — both of the reference's summary granularities
+    * (per (event_type, hour) AND per event_type AND grand total, the
+    * by-n_docs/by-model shapes of produce_h3_summary_and_plots.py) in
+    * ONE pass: `rollup` plans a single shuffle with map-side partial
+    * aggregation for every grouping set; `gid` disambiguates levels.
+    * Null ordering is pinned (asc_nulls_first ≡ DuckDB NULLS FIRST). */
+  def runSummaryRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(
+        grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        rnd(fxAvg(col("value"), 6), 4).as("mean_v"),
+        rnd(min("value"), 4).as("min_v"),
+        rnd(max("value"), 4).as("max_v"))
+      .orderBy(col("gid"), col("event_type").asc_nulls_first,
+        col("hr").asc_nulls_first)
+
   /** Paired statistical comparison of two metric populations (ref:
     * experiments/stats.py `paired_tests` — scipy ttest_rel + wilcoxon):
     * per-user mean 'click' latency vs mean 'view' latency, paired on
@@ -85,7 +103,7 @@ object PerfStats {
     // coalesce anywhere.
     import spark.implicits._
     val ranked = d.select(abs(col("d")).as("ad"), col("d")).as[(Double, Double)]
-      .orderBy("ad").rdd.zipWithIndex
+      .orderBy("ad").rdd.zipWithIndex()
       .map { case ((ad, dv), i) => (ad, dv, i + 1L) }
       .toDF("ad", "d", "r")
     val w = ranked.groupBy("ad")
@@ -157,6 +175,17 @@ object PerfStats {
          |  count(*) - 1 AS t_df,
          |  (floor((sum(CASE WHEN d > 0 THEN r_avg ELSE 0.0 END)) * 1e4 + 0.5e0) / 1e4) AS wilcoxon_w
          |FROM x""".stripMargin
+
+    val runSummaryRollup: String =
+      s"""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+        |  CAST(GROUPING(event_type, hour(ts)) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  (floor((${Sql.fxAvg("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS mean_v,
+        |  (floor((min(value)) * 1e4 + 0.5e0) / 1e4) AS min_v,
+        |  (floor((max(value)) * 1e4 + 0.5e0) / 1e4) AS max_v
+        |FROM events
+        |GROUP BY ROLLUP (event_type, hour(ts))
+        |ORDER BY gid, event_type NULLS FIRST, hr NULLS FIRST""".stripMargin
 
     val runSummary: String =
       s"""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
