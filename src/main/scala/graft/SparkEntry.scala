@@ -76,6 +76,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Shaping.stratifiedSample(s, d)),
     "pack_sequences" -> ((s, d) => Shaping.packSequences(s, d)),
     "pipeline_quality_filter" -> ((s, d) => Shaping.qualityFilterPipeline(s, d)),
+    "corpus_source_stats" -> ((s, d) => Shaping.sourceStats(s, d)),
     // Perf/ops analytics
     "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
     "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "sample_stratified" -> Shaping.SqlOracle.stratifiedSample,
     "pack_sequences" -> Shaping.SqlOracle.packSequences,
     "pipeline_quality_filter" -> Shaping.SqlOracle.qualityFilterPipeline(),
+    "corpus_source_stats" -> Shaping.SqlOracle.sourceStats,
     "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,

@@ -38,6 +38,15 @@ object Dedup {
     * unaffected; real deployments tune it per operator. */
   val MaxBlock = 4096
 
+  /** Tighter cap for the COLLECT-LIST bucket expansions (minhash LSH,
+    * embedding LSH): those materialize all b·(b−1)/2 pair structs of a
+    * bucket in ONE row before exploding, so the cap bounds per-row
+    * memory, not just work — 1024 ⇒ ≤ ~524k pair structs (~8 MB) per
+    * bucket row. The join-based expansions stream and keep the looser
+    * [[MaxBlock]]. Observed sf0.1 maxima (Verify's block-cap lines):
+    * minhash 9, embedding-LSH 202 — oracles unaffected. */
+  val MaxBucket = 1024
+
   /** Word 3-gram shingles, in token order (empty when < 3 tokens).
     * NOTE: `text` should be a *materialized token array reference* in
     * hot paths — see [[shinglesOf]]; passing `tokens(col)` directly
@@ -122,7 +131,7 @@ object Dedup {
     * shingle Jaccard ≥ threshold. The only shuffle that touches the
     * full corpus is the explode-to-(band, key) groupBy. */
   def minhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5,
-                 maxBucket: Int = MaxBlock,
+                 maxBucket: Int = MaxBucket,
                  stopDf: Option[Double] = None): DataFrame = {
     val raw = hashedShingles(spark, dir)
       .select(col("doc_id"), col("shh"))
@@ -238,7 +247,7 @@ object Dedup {
     * cosine verify ≥ threshold. Candidate generation is linear in data
     * + bucket-pair output; no labels, no all-pairs. */
   def embeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
-                   maxBucket: Int = MaxBlock): DataFrame = {
+                   maxBucket: Int = MaxBucket): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val banded = e
       .withColumn("_sig", Ann.signature(col("embedding")))

@@ -124,6 +124,23 @@ object Shaping {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus health: doc counts, language spread, mean
+    * quality and exact-dup counts in ONE pass — the dashboard query a
+    * data-pipeline team runs per ingest source. Two distinct
+    * aggregates share one shuffle (Spark plans them via expand);
+    * mean quality is a fixed-point sum (order-free). */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    withQualityColumns(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        rnd(fxAvg(col("quality"), 6), 4).as("mean_quality"),
+        (count(lit(1)) - countDistinct(col("norm_hash"))).as("n_dups"))
+      .orderBy("source")
+
   object SqlOracle {
     val stratifiedSample: String = {
       val quota = quotas.foldRight("1000") { case ((l, q), els) =>
@@ -163,6 +180,32 @@ object Shaping {
          |SELECT doc_id, lang, n_toks, quality FROM k
          |WHERE ${S.polyHash("'smp' || CAST(doc_id AS VARCHAR)")} % 1000 < $quota
          |ORDER BY doc_id""".stripMargin
+    }
+
+    val sourceStats: String = {
+      val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString(", ")
+      val toksE = S.tokens("text")
+      s"""WITH s AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(len($toksE) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct($toksE)) AS BIGINT) AS n_uniq,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter($toksE, t -> t IN ($stop))) AS BIGINT) AS n_stop,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+         |  FROM documents),
+         |q AS (
+         |  SELECT source, lang, norm_hash,
+         |    (floor((
+         |      0.25e0 * least(1.0e0, n_toks / 100.0e0) +
+         |      0.35e0 * (n_uniq / CAST(n_toks AS DOUBLE)) +
+         |      0.2e0 * least(1.0e0, ((n_chars - (n_toks - 1)) / CAST(n_toks AS DOUBLE)) / 8.0e0) +
+         |      0.2e0 * (1.0e0 - n_stop / CAST(n_toks AS DOUBLE))) * 1e4 + 0.5e0) / 1e4) AS quality
+         |  FROM s)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  (floor((${S.fxAvg("quality", 6)}) * 1e4 + 0.5e0) / 1e4) AS mean_quality,
+         |  CAST(count(*) - count(DISTINCT norm_hash) AS BIGINT) AS n_dups
+         |FROM q GROUP BY source ORDER BY source""".stripMargin
     }
 
     val packSequences: String =

@@ -346,6 +346,19 @@ class ShapingSpec extends AnyFunSuite with Matchers with SharedSpark {
     bins.unpersist()
   }
 
+  test("source stats conserve totals across sources") {
+    val stats = Shaping.sourceStats(spark, sfDir).cache()
+    val totalDocs = Tables.documents(spark, sfDir).count()
+    stats.agg(Fn.sum("n_docs")).collect()(0).getLong(0) shouldBe totalDocs
+    // dup counts are bounded by doc counts and non-negative
+    stats.filter(col("n_dups") < 0 || col("n_dups") >= col("n_docs"))
+      .count() shouldBe 0
+    // quality is a [0,1]-ish score
+    stats.filter(col("mean_quality") < 0.0 || col("mean_quality") > 1.2)
+      .count() shouldBe 0
+    stats.unpersist()
+  }
+
   test("pii scrub redacts exactly the planted email and phone") {
     val r = TextAnalysis.piiScrub(spark, sfDir).cache()
     r.filter(col("n_email") =!= 1 || col("n_phone") =!= 1).count() shouldBe 0
