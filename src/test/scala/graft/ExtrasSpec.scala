@@ -392,3 +392,30 @@ class ShapingSpec extends AnyFunSuite with Matchers with SharedSpark {
     hits.unpersist()
   }
 }
+
+class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
+  test("every query family degrades to empty output on an empty corpus") {
+    // zero-row tables with the production schemas: aggregations over
+    // empty groups, window functions over empty partitions and LSH
+    // banding over nothing must all plan and return cleanly at 100 TB
+    // scale, partitions WILL be empty
+    val tmp = Files.createTempDirectory("graft-empty").toString
+    for (t <- Seq("documents", "embeddings", "events")) {
+      spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    val perFamily = Seq(
+      "q_latest_by_key", "v_cosine_similarity", "knn_bruteforce",
+      "ann_lsh_hyperplane", "ann_ivf", "enc_hashing_tf", "enc_tfidf",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+      "dedup_cross_corpus", "text_lang_id", "text_pii_scrub",
+      "sample_stratified", "pack_sequences", "pipeline_quality_filter",
+      "corpus_source_stats", "latency_percentiles", "run_summary_rollup",
+      "stream_windowed_agg", "mm_binary_meta")
+    val failures = perFamily.flatMap { n =>
+      try { SparkEntry.queries(n)(spark, tmp).count(); None }
+      catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
+    }
+    withClue(failures.mkString("\n")) { failures shouldBe empty }
+  }
+}
