@@ -179,6 +179,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     direct.exceptAll(indexed).count() shouldBe 0
   }
 
+  test("quality-filter pipeline: dedup via partial min_by, no window, no cartesian") {
+    val p = plan(Shaping.qualityFilterPipeline(spark, sfDir))
+    p should not include "Window"
+    p should not include "CartesianProduct"
+    // the min-doc_id survivor per norm_hash is a map-side combined
+    // aggregate, not a sort
+    p.toLowerCase should include("partial_min_by")
+  }
+
   test("decontamination: eval shingles broadcast, corpus never self-joins") {
     val p = plan(Dedup.crossCorpus(spark, sfDir))
     p should include("BroadcastHashJoin")
