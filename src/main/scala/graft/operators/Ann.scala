@@ -184,13 +184,15 @@ object Ann {
       .join(broadcast(cb), Seq("j"))
       .select(col("q_id"), col("j"), col("c_id").as("code"),
         dot(col("qvec"), col("cvec")).as("part"))
-    // fold the 8 parts in subspace order: the ADC score is then
-    // bit-identical with the oracle (an unordered double sum is not)
+    // ADC score via an order-free FIXED-POINT sum of the 8 parts: each
+    // part is rounded to 9 decimals and summed as a long, so the result
+    // is independent of accumulation order AND the aggregate is
+    // map-side partial-combinable — unlike the round-1 shape
+    // (collect_list + sorted fold), which shuffled all 8 rows per
+    // (query, doc) pair to preserve an order a double sum needed
     val adc = codes.join(broadcast(lut), Seq("j", "code"))
       .groupBy("q_id", "doc_id")
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("j"), col("part")))),
-        lit(0.0), (a, s) => a + s.getField("part")).as("adc_score"))
+      .agg(fxSum(col("part"), 9).as("adc_score"))
     val cand = Knn.topKPerQuery(
       adc.select(col("q_id"), col("doc_id"), col("adc_score").as("score")), 3 * k)
       .select(col("q_id"), col("doc_id"))
@@ -392,9 +394,7 @@ object Ann {
          |  CROSS JOIN cb),
          |adc AS (
          |  SELECT lut.q_id, c.vec_id AS doc_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      [s['p'] for s in list_sort(list({'j': lut.j, 'p': lut.part}))]),
-         |    (x, y) -> x + y) AS score
+         |    ${S.fxSum("lut.part", 9)} AS score
          |  FROM codes c JOIN lut ON c.j = lut.j AND c.code = lut.code
          |  WHERE c.vec_id >= ${Knn.NQueries}
          |  GROUP BY lut.q_id, c.vec_id),

@@ -72,6 +72,13 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     "FileScan".r.findAllIn(p).size should be <= 2
   }
 
+  test("pq search: ADC scores partial-aggregate map-side, no per-pair collect_list") {
+    val p = plan(Ann.pqSearch(spark, sfDir))
+    p.toLowerCase should include("partial_sum")
+    p should not include "collect_list"
+    p should not include "Window"
+  }
+
   test("latest-by-key compaction: partial max_by, no window sort of the log") {
     val p = plan(Relational.latestByKey(spark, sfDir))
     p should not include "Window"
