@@ -418,4 +418,29 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
     withClue(failures.mkString("\n")) { failures shouldBe empty }
   }
+
+  test("null text rows propagate as nulls, never executor exceptions") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-nulls").toString
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val rows = java.util.Arrays.asList(
+      Row(1L, "a normal document with several tokens inside", "en", "s0", 44L),
+      Row(2L, null, "en", "s0", 0L),
+      Row(3L, "", "fr", "s1", 0L))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val subset = Seq("text_token_count", "text_lang_id", "text_normalize",
+      "text_fingerprint", "text_pii_scrub", "dedup_exact",
+      "dedup_simhash", "sample_stratified", "pack_sequences")
+    val failures = subset.flatMap { n =>
+      try { SparkEntry.queries(n)(spark, tmp).count(); None }
+      catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName}") }
+    }
+    withClue(failures.mkString("\n")) { failures shouldBe empty }
+    // batched encoder path: the stub must also survive the null
+    graft.operators.Encoders.encodeBatched(spark, tmp).count() shouldBe 3
+  }
 }
