@@ -24,6 +24,7 @@ object SparkEntry {
     "q_window_topn" -> ((s, d) => Relational.windowTopN(s, d)),
     "q_distinct_count" -> ((s, d) => Relational.distinctCounts(s, d)),
     "q_latest_by_key" -> ((s, d) => Relational.latestByKey(s, d)),
+    "q_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     // Vector core
     "v_dot_product" -> ((s, d) => VectorCore.dotProduct(s, d)),
     "v_cosine_similarity" -> ((s, d) => VectorCore.cosineSim(s, d)),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_window_topn" -> Relational.SqlOracle.windowTopN,
     "q_distinct_count" -> Relational.SqlOracle.distinctCounts,
     "q_latest_by_key" -> Relational.SqlOracle.latestByKey,
+    "q_asof_join" -> Relational.SqlOracle.asofJoin(),
     "v_dot_product" -> VectorCore.SqlOracle.dotProduct,
     "v_cosine_similarity" -> VectorCore.SqlOracle.cosineSim,
     "v_l2_norm" -> VectorCore.SqlOracle.l2Norm,

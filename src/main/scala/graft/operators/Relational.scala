@@ -83,6 +83,31 @@ object Relational {
         rnd(col("e.value"), 4).as("value"))
       .orderBy("user_id")
 
+  /** As-of join: for every 'click' event, the most recent 'view' of
+    * the same user at-or-before its timestamp (NULLs when none) — the
+    * classic event-attribution query Spark has no native operator for.
+    *
+    * Expressed WITHOUT a range self-join (whose per-user expansion is
+    * clicks×views): both event kinds flow through ONE user-keyed
+    * window, and each click reads the running `last` non-null view via
+    * ignoreNulls — one shuffle of the filtered log, O(1) state per row,
+    * no pair expansion at any skew. Ties break on (ts, event_id). */
+  def asofJoin(spark: SparkSession, dir: String,
+               kindA: String = "click", kindB: String = "view"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin(kindA, kindB))
+      .withColumn("_pv",
+        last(when(col("event_type") === kindB,
+          struct(col("event_id"), col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === kindA)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("_pv.event_id").as("view_id"),
+        (unix_millis(col("ts")) - unix_millis(col("_pv.ts"))).as("gap_ms"))
+      .orderBy("click_id")
+  }
+
   /** Exact distinct counts over several columns in one pass. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -126,6 +151,22 @@ object Relational {
         |  FROM orders)
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk""".stripMargin
+
+    def asofJoin(kindA: String = "click", kindB: String = "view"): String =
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, ts, event_type FROM ${Sql.eventsUs} ev
+         |  WHERE event_type IN ('$kindA', '$kindB')),
+         |x AS (
+         |  SELECT event_id, user_id, ts, event_type,
+         |    last_value(CASE WHEN event_type = '$kindB'
+         |        THEN {'id': event_id, 'ts': ts} END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+         |  FROM e)
+         |SELECT event_id AS click_id, user_id, pv.id AS view_id,
+         |  CAST(epoch_ms(ts) - epoch_ms(pv.ts) AS BIGINT) AS gap_ms
+         |FROM x WHERE event_type = '$kindA'
+         |ORDER BY click_id""".stripMargin
 
     val latestByKey: String =
       s"""SELECT user_id, event_id, event_type,
