@@ -25,6 +25,7 @@ object SparkEntry {
     "q_distinct_count" -> ((s, d) => Relational.distinctCounts(s, d)),
     "q_latest_by_key" -> ((s, d) => Relational.latestByKey(s, d)),
     "q_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
+    "q_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
     // Vector core
     "v_dot_product" -> ((s, d) => VectorCore.dotProduct(s, d)),
     "v_cosine_similarity" -> ((s, d) => VectorCore.cosineSim(s, d)),
@@ -101,6 +102,7 @@ object SparkEntry {
     "q_distinct_count" -> Relational.SqlOracle.distinctCounts,
     "q_latest_by_key" -> Relational.SqlOracle.latestByKey,
     "q_asof_join" -> Relational.SqlOracle.asofJoin(),
+    "q_range_join" -> Relational.SqlOracle.rangeJoin(),
     "v_dot_product" -> VectorCore.SqlOracle.dotProduct,
     "v_cosine_similarity" -> VectorCore.SqlOracle.cosineSim,
     "v_l2_norm" -> VectorCore.SqlOracle.l2Norm,

@@ -108,6 +108,36 @@ object Relational {
       .orderBy("click_id")
   }
 
+  /** Range join: all (click, view) pairs of the same user within
+    * ±`boundMin` minutes. A raw |Δt| ≤ W join predicate plans a
+    * nested-loop/cartesian in Spark; instead the click side emits its
+    * time bucket and both neighbors (bucket width = W, so any in-range
+    * pair differs by ≤ 1 bucket and each pair meets in EXACTLY one —
+    * no dedup pass), making the join a plain equi-join on
+    * (user, bucket) with a final |Δt| filter. PlanSpec asserts no
+    * CartesianProduct/BroadcastNestedLoopJoin. */
+  def rangeJoin(spark: SparkSession, dir: String, kindA: String = "click",
+                kindB: String = "view", boundMin: Int = 10): DataFrame = {
+    val W = boundMin * 60000L
+    val e = Tables.events(spark, dir)
+    val a = e.filter(col("event_type") === kindA)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_millis(col("ts")).as("a_ms"))
+      .withColumn("bucket", explode(array(
+        floor(col("a_ms") / W).cast("long") - 1,
+        floor(col("a_ms") / W).cast("long"),
+        floor(col("a_ms") / W).cast("long") + 1)))
+    val b = e.filter(col("event_type") === kindB)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_millis(col("ts")).as("b_ms"))
+      .withColumn("bucket", floor(col("b_ms") / W).cast("long"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(abs(col("a_ms") - col("b_ms")) <= W)
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        (col("a_ms") - col("b_ms")).as("delta_ms"))
+      .orderBy("click_id", "view_id")
+  }
+
   /** Exact distinct counts over several columns in one pass. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -167,6 +197,22 @@ object Relational {
          |  CAST(epoch_ms(ts) - epoch_ms(pv.ts) AS BIGINT) AS gap_ms
          |FROM x WHERE event_type = '$kindA'
          |ORDER BY click_id""".stripMargin
+
+    def rangeJoin(kindA: String = "click", kindB: String = "view",
+                  boundMin: Int = 10): String = {
+      val w = boundMin * 60000L
+      s"""WITH a AS (
+         |  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS a_ms
+         |  FROM ${Sql.eventsUs} ev WHERE event_type = '$kindA'),
+         |b AS (
+         |  SELECT event_id AS view_id, user_id, epoch_ms(ts) AS b_ms
+         |  FROM ${Sql.eventsUs} ev WHERE event_type = '$kindB')
+         |SELECT click_id, user_id, view_id,
+         |  CAST(a_ms - b_ms AS BIGINT) AS delta_ms
+         |FROM a JOIN b USING (user_id)
+         |WHERE abs(a_ms - b_ms) <= $w
+         |ORDER BY click_id, view_id""".stripMargin
+    }
 
     val latestByKey: String =
       s"""SELECT user_id, event_id, event_type,

@@ -186,6 +186,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     direct.exceptAll(indexed).count() shouldBe 0
   }
 
+  test("range join plans as an equi-join on time buckets, never a nested loop") {
+    val p = plan(Relational.rangeJoin(spark, sfDir))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
   test("quality-filter pipeline: dedup via partial min_by, no window, no cartesian") {
     val p = plan(Shaping.qualityFilterPipeline(spark, sfDir))
     p should not include "Window"
