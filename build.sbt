@@ -15,6 +15,10 @@ run / fork := true
 // it through sbt's logger: Bench/Verify print machine-read JSON lines
 // and the "[info] " prefix breaks the caller's parse.
 run / outputStrategy := Some(StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line: the bench
+// caller parses a JSON line from the tail of stdout, and the success
+// banner is the last thing sbt would otherwise print after it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

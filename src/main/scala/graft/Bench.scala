@@ -40,7 +40,18 @@ object Bench {
     val warm = names.map(n => n -> timed(n, sfDir)).toMap
     def js(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = js(warm)
+    // The caller keeps only the LAST ~2000 chars of stdout and parses
+    // the JSON line from that window — full-precision times for 60+
+    // queries blow past it and the line never parses (BENCH_r01-r03 all
+    // recorded parsed:null). The final line therefore carries 2-decimal
+    // times only; full precision + cold breakdown + the scale section
+    // go to BENCH_DETAIL.json and an earlier (scrolled-off) stdout line.
+    def r2(v: Double): String = {
+      val s = "%.2f".format(v)
+      if (s.endsWith("0")) s.dropRight(1) else s
+    }
+    def jsShort(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
     val total = if (warm.nonEmpty) warm.values.sum else 0.0
     val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
 
@@ -86,7 +97,16 @@ object Bench {
         s""","scale":{${entries.mkString(",")}}"""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$scaleJson}""")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$scaleJson}"""
+    // Full-precision record for the repo (and for later rounds' diffing);
+    // also printed on an earlier stdout line, which scrolls out of the
+    // caller's tail window but survives in a full log.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
+    catch { case _: Throwable => }
+    println(detail)
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${jsShort(warm)},"total_cold":${r2(totalCold)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
