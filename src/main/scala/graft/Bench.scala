@@ -63,30 +63,37 @@ object Bench {
         val d1 = s"$base/x1"; val d10 = s"$base/x10"
         sources.DataGen.writeDataset(spark, d1, 5000L, 2000L)
         sources.DataGen.writeDataset(spark, d10, 50000L, 20000L)
-        val subset = Seq(
-          "enc_hashing_tf", "pipeline_hashing_search", "knn_bruteforce",
-          "ann_lsh_hyperplane", "ann_ivf", "ann_pq_encode",
-          "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-          "text_quality_score")
-        // Warmup both sizes, then interleave x1/x10 timings and take the
-        // min per size: single-run wall times on a long-lived bench JVM
-        // carry multi-second GC/AQE/codegen outliers (BENCH_r02 recorded
-        // 34.6s for dedup_simhash_pairs that measured 1.1s reproduced in
-        // isolation), and sequential x1-then-x10 timing lets secular JVM
-        // drift masquerade as a scaling exponent; interleaving spreads
-        // drift across both sizes.
-        val entries = subset.map { n =>
-          timed(n, d1); timed(n, d10)
-          var t1 = Double.MaxValue
-          var t10 = Double.MaxValue
-          for (_ <- 0 until 2) {
-            t1 = math.min(t1, timed(n, d1))
-            t10 = math.min(t10, timed(n, d10))
-          }
-          val exp =
-            if (t1 > 0 && t10 > 0) (math.log(t10 / t1) / math.log(10.0)).toString
-            else "null"
-          s""""$n":{"t1":$t1,"t10":$t10,"exp":$exp}"""
+        // The scale timings run in a FRESH child JVM (tools.ScaleRun):
+        // after the 60+-query × 2-pass marathon above, this JVM's
+        // GC/metaspace/codegen churn makes wall times meaningless —
+        // r02/r03 recorded 34-44 s min-of-2 for queries that measure
+        // 0.7-1.0 s in a fresh JVM on byte-identical data, and those
+        // phantom exponents read as quadratic blowups. The child gets
+        // this JVM's exact startup flags (add-opens, -Xmx, -D) and
+        // classpath; on any spawn/parse failure we fall back in-process.
+        val body: String = {
+          val childOut =
+            try {
+              val jvmArgs = java.lang.management.ManagementFactory
+                .getRuntimeMXBean.getInputArguments
+              val cmd = new java.util.ArrayList[String]()
+              cmd.add(s"${System.getProperty("java.home")}/bin/java")
+              jvmArgs.forEach(a => cmd.add(a))
+              cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+              cmd.add("graft.tools.ScaleRun"); cmd.add(d1); cmd.add(d10)
+              val pb = new ProcessBuilder(cmd)
+              // discard child stderr (Spark logging): letting it pipe
+              // while we block on stdout would deadlock once the pipe
+              // buffer fills
+              pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+              val p = pb.start()
+              val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+              if (p.waitFor() != 0) None
+              else out.linesIterator.map(_.trim)
+                .filter(l => l.startsWith("{\"scale\":") && l.endsWith("}"))
+                .toSeq.lastOption
+            } catch { case _: Throwable => None }
+          childOut.getOrElse(tools.ScaleRun.scaleJson(spark, d1, d10))
         }
         // the generated corpora are bench-local scratch — remove them so
         // repeated runs don't accumulate parquet under /tmp
@@ -94,7 +101,8 @@ object Bench {
         import java.util.Comparator
         Files.walk(basePath).sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p))
-        s""","scale":{${entries.mkString(",")}}"""
+        // body is {"scale":{...}} — splice its inner object
+        "," + body.stripPrefix("{").stripSuffix("}")
       }
 
     val detail =

@@ -26,6 +26,7 @@ object SparkEntry {
     "q_latest_by_key" -> ((s, d) => Relational.latestByKey(s, d)),
     "q_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "q_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
+    "q_semi_anti_join" -> ((s, d) => Relational.semiAntiJoin(s, d)),
     // Vector core
     "v_dot_product" -> ((s, d) => VectorCore.dotProduct(s, d)),
     "v_cosine_similarity" -> ((s, d) => VectorCore.cosineSim(s, d)),
@@ -43,6 +44,7 @@ object SparkEntry {
     "ann_pq_search" -> ((s, d) => Ann.pqSearch(s, d)),
     "ann_lsh_filtered" -> ((s, d) => Ann.lshFiltered(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Ann.ivfFiltered(s, d)),
+    "ann_ivf_pq" -> ((s, d) => Ann.ivfPq(s, d)),
     // Retrieval evaluation
     "eval_precision_at_k" -> ((s, d) => Eval.precisionAtK(s, d)),
     "eval_recall_at_k" -> ((s, d) => Eval.recallAtK(s, d)),
@@ -50,6 +52,8 @@ object SparkEntry {
     "eval_ann_recall_lsh" -> ((s, d) => Eval.annRecallLsh(s, d)),
     "eval_ann_recall_ivf" -> ((s, d) => Eval.annRecallIvf(s, d)),
     "eval_ann_recall_pq" -> ((s, d) => Eval.annRecallPq(s, d)),
+    "eval_ndcg_at_k" -> ((s, d) => Eval.ndcgAtK(s, d)),
+    "eval_mrr" -> ((s, d) => Eval.mrr(s, d)),
     // Encoders
     "enc_hashing_tf" -> ((s, d) => Encoders.hashingTf(s, d)),
     "enc_tfidf" -> ((s, d) => Encoders.tfIdf(s, d)),
@@ -88,10 +92,15 @@ object SparkEntry {
     // Multimodal plumbing
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_frame_features" -> ((s, d) => Multimodal.frameFeaturesQ(s, d)),
+    "mm_embed_search" -> ((s, d) => Multimodal.embedSearch(s, d)),
     // Streaming (batch-equivalent verified forms)
     "stream_windowed_agg" -> ((s, d) => graft.streaming.StreamOps.windowedAggBatch(s, d)),
     "stream_sliding_agg" -> ((s, d) => graft.streaming.StreamOps.slidingAggBatch(s, d)),
     "stream_sessionize" -> ((s, d) => graft.streaming.StreamOps.sessionizeBatch(s, d)),
+    "stream_topk_trending" -> ((s, d) => graft.streaming.StreamOps.trendingTopKBatch(s, d)),
+    // Source round-trips (CSV / JSONL wired through verified plans)
+    "source_roundtrip_events_csv" -> ((s, d) => graft.sources.Sources.roundTripEventsCsv(s, d)),
+    "source_roundtrip_docs_jsonl" -> ((s, d) => graft.sources.Sources.roundTripDocsJsonl(s, d)),
   )
 
   /** DuckDB oracle SQL per query key (same column names, same math). */
@@ -103,6 +112,7 @@ object SparkEntry {
     "q_latest_by_key" -> Relational.SqlOracle.latestByKey,
     "q_asof_join" -> Relational.SqlOracle.asofJoin(),
     "q_range_join" -> Relational.SqlOracle.rangeJoin(),
+    "q_semi_anti_join" -> Relational.SqlOracle.semiAntiJoin,
     "v_dot_product" -> VectorCore.SqlOracle.dotProduct,
     "v_cosine_similarity" -> VectorCore.SqlOracle.cosineSim,
     "v_l2_norm" -> VectorCore.SqlOracle.l2Norm,
@@ -124,6 +134,9 @@ object SparkEntry {
     "eval_ann_recall_lsh" -> Eval.SqlOracle.annRecall(Ann.SqlOracle.lshHyperplane),
     "eval_ann_recall_ivf" -> Eval.SqlOracle.annRecall(Ann.SqlOracle.ivf),
     "eval_ann_recall_pq" -> Eval.SqlOracle.annRecall(Ann.SqlOracle.pqSearch),
+    "eval_ndcg_at_k" -> Eval.SqlOracle.ndcgAtK,
+    "eval_mrr" -> Eval.SqlOracle.mrr,
+    "ann_ivf_pq" -> Ann.SqlOracle.ivfPq,
     "enc_hashing_tf" -> Encoders.SqlOracle.hashingTf(),
     "enc_tfidf" -> Encoders.SqlOracle.tfIdf(),
     "enc_mean_pooling" -> Encoders.SqlOracle.meanPooling,
@@ -156,8 +169,12 @@ object SparkEntry {
     "stats_paired_tests" -> PerfStats.SqlOracle.pairedTests(),
     "mm_binary_meta" -> Multimodal.SqlOracle.binaryMeta,
     "mm_frame_features" -> Multimodal.SqlOracle.frameFeatures,
+    "mm_embed_search" -> Multimodal.SqlOracle.embedSearch,
     "stream_windowed_agg" -> graft.streaming.StreamOps.SqlOracle.windowedAgg,
     "stream_sliding_agg" -> graft.streaming.StreamOps.SqlOracle.slidingAgg,
     "stream_sessionize" -> graft.streaming.StreamOps.SqlOracle.sessionize,
+    "stream_topk_trending" -> graft.streaming.StreamOps.SqlOracle.trendingTopK,
+    "source_roundtrip_events_csv" -> graft.sources.Sources.SqlOracle.roundTripEventsCsv,
+    "source_roundtrip_docs_jsonl" -> graft.sources.Sources.SqlOracle.roundTripDocsJsonl,
   )
 }

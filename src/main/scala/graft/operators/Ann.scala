@@ -206,6 +206,58 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF+PQ composed search — the standard billion-scale ANN
+    * architecture (FAISS IndexIVFPQ): the coarse quantizer prunes the
+    * corpus to each query's NProbe inverted lists, ADC scores the
+    * survivors from their 8 PQ codes alone (no doc vector is read in
+    * the scoring pass), and an exact top-k re-rank of the 3k ADC
+    * leaders finishes. At 100 TB the scored side touches only the
+    * (doc_id, c_id, codes) index — 8 bytes of codes per doc — and only
+    * in the probed lists; both pruning levels compose multiplicatively.
+    * All joins against query-derived frames broadcast (Q ≪ N). */
+  def ivfPq(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val cb = pqCodebook(spark, dir)
+    // coarse assignment: narrow (doc_id, c_id) rows, min_by partial agg
+    val docAssign = Knn.docSet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("doc_id")
+      .agg(min_by(col("c_id"),
+        struct(-dot(col("doc_vec"), col("c_vec")), col("c_id"))).as("c_id"))
+    val codes = pqEncode(spark, dir, Some(cb))
+      .filter(col("vec_id") >= Knn.NQueries)
+      .select(col("vec_id").as("doc_id"), col("subspace").as("j"), col("code"))
+    // query side: probe lists + ADC lookup tables (both tiny, broadcast)
+    val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topKBy(
+        dot(col("q_vec"), col("c_vec")), col("c_id"), NProbe).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("c_id"))
+    val lut = Knn.querySet(spark, dir)
+      .select(col("q_id"), posexplode(array(
+        (0 until PqM).map(j => slice(col("q_vec"), j * PqSub + 1, PqSub)): _*))
+        .as(Seq("j", "qvec")))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("q_id"), col("j"), col("c_id").as("code"),
+        dot(col("qvec"), col("cvec")).as("part"))
+    val cands = docAssign.join(broadcast(qs), Seq("c_id"))
+      .select(col("q_id"), col("doc_id"))
+    val adc = cands.join(codes, Seq("doc_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "doc_id")
+      .agg(fxSum(col("part"), 9).as("score"))
+    val lead = Knn.topKPerQuery(adc, 3 * k).select(col("q_id"), col("doc_id"))
+    val exact = lead
+      .join(broadcast(Knn.querySet(spark, dir)), Seq("q_id"))
+      .join(Knn.docSet(spark, dir), Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score"))
+    Knn.topKPerQuery(exact, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Materializes the IVF index in the layout a 100 TB deployment
     * serves from: the corpus stored ONCE as a `c_id`-partitioned
     * parquet table (one directory per centroid). A probe query then
@@ -451,5 +503,56 @@ object Ann {
 
     val ivf: String = ivfSql("TRUE")
     val ivfFiltered: String = ivfSql(Knn.SqlOracle.metaPredicate)
+
+    val ivfPq: String =
+      s"""WITH $encodeCtes,
+         |q0 AS ${Knn.SqlOracle.queriesCte()},
+         |d0 AS ${Knn.SqlOracle.docsCte()},
+         |cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+         |         WHERE vec_id < $NCentroids),
+         |dscore AS (
+         |  SELECT doc_id, c_id, ${S.dot("doc_vec", "c_vec", Dim)} AS s
+         |  FROM d0 CROSS JOIN cent),
+         |dassign AS (
+         |  SELECT doc_id, c_id FROM (
+         |    SELECT doc_id, c_id,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c_id) AS r
+         |    FROM dscore) WHERE r = 1),
+         |qscore AS (
+         |  SELECT q_id, c_id, ${S.dot("q_vec", "c_vec", Dim)} AS s
+         |  FROM q0 CROSS JOIN cent),
+         |qprobe AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS r
+         |    FROM qscore) WHERE r <= $NProbe),
+         |lut AS (
+         |  SELECT s.q_id, s.j, cb.c_id AS code, ${subDot("s.qv", "cb.vc")} AS part
+         |  FROM (SELECT q_id, j, q_vec AS qv
+         |        FROM q0 CROSS JOIN (SELECT unnest(range($PqM)) AS j)) s
+         |  CROSS JOIN cb),
+         |cands AS (
+         |  SELECT q_id, doc_id FROM dassign JOIN qprobe USING (c_id)),
+         |adc AS (
+         |  SELECT ca.q_id, ca.doc_id, ${S.fxSum("lut.part", 9)} AS score
+         |  FROM cands ca
+         |  JOIN codes c ON c.vec_id = ca.doc_id
+         |  JOIN lut ON lut.q_id = ca.q_id AND lut.j = c.j AND lut.code = c.code
+         |  GROUP BY ca.q_id, ca.doc_id),
+         |lead AS (
+         |  SELECT q_id, doc_id FROM (
+         |    SELECT q_id, doc_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r
+         |    FROM adc) WHERE r <= ${3 * K}),
+         |exact AS (
+         |  SELECT l.q_id, l.doc_id, ${S.dot("q.q_vec", "d.doc_vec", Dim)} AS score
+         |  FROM lead l JOIN q0 q USING (q_id) JOIN d0 d USING (doc_id)),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM exact)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
   }
 }

@@ -94,6 +94,58 @@ object Eval {
   def annRecallPq(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.pqSearch(spark, dir))
 
+  /** Position-discount table 1/log2(p+1) for p = 1..KMax, computed ONCE
+    * in Scala and embedded as the same literal array in the Spark plan
+    * and the oracle SQL — neither engine evaluates a log, so the math
+    * is bit-identical by construction (the plane-literal technique). */
+  val discounts: IndexedSeq[Double] =
+    (1 to KMax).map(p => 1.0 / (math.log(p + 1.0) / math.log(2.0)))
+  /** Ideal-DCG prefix sums: idcg(m) = sum of the first m discounts. */
+  val idcgTable: IndexedSeq[Double] = discounts.scanLeft(0.0)(_ + _).tail
+
+  /** NDCG@k per query, k ∈ {5, 10, 20} (binary relevance — the ref's
+    * qrels are binary): DCG sums the literal discount at each relevant
+    * rank (order-free fixed-point fold), IDCG is the literal prefix-sum
+    * table indexed at min(n_rel, k), NDCG = DCG/IDCG (0 if no
+    * relevant docs exist). The standard ranking metric alongside the
+    * ref's p/r/MAP (evaluation/metrics.py). */
+  def ndcgAtK(spark: SparkSession, dir: String): DataFrame = {
+    val discLit = array(discounts.map(lit): _*)
+    val idcgLit = array(idcgTable.map(lit): _*)
+    val relCounts = Knn.docSet(spark, dir)
+      .join(broadcast(Knn.querySet(spark, dir).select("q_id", "q_label")),
+        col("doc_label") === col("q_label"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    def dcg(k: Int) = fxSum(
+      when(col("rank") <= k && col("rel") === 1,
+        element_at(discLit, col("rank").cast("int"))).otherwise(0.0), 9)
+    hits(spark, dir)
+      .groupBy("q_id")
+      .agg(dcg(Ks.head).as(s"dcg_${Ks.head}"),
+        Ks.tail.map(k => dcg(k).as(s"dcg_$k")): _*)
+      .join(broadcast(relCounts), Seq("q_id"), "left")
+      .select(col("q_id") +: Ks.map { k =>
+        val m = least(coalesce(col("n_rel"), lit(0L)), lit(k.toLong)).cast("int")
+        rnd(when(m > 0, col(s"dcg_$k") / element_at(idcgLit, m))
+          .otherwise(0.0), 4).as(s"ndcg_$k")
+      }: _*)
+      .orderBy("q_id")
+  }
+
+  /** Mean reciprocal rank over the query set (single summary row, the
+    * MAP shape): rr = 1/rank of the first relevant retrieved doc within
+    * the top-KMax, 0 when none. */
+  def mrr(spark: SparkSession, dir: String): DataFrame = {
+    val firstRel = hits(spark, dir)
+      .filter(col("rel") === 1)
+      .groupBy("q_id").agg(min("rank").as("first_rel"))
+    Knn.querySet(spark, dir).select("q_id")
+      .join(firstRel, Seq("q_id"), "left")
+      .agg(
+        rnd(fxAvg(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 9), 4).as("mrr"),
+        count(lit(1)).as("n_queries"))
+  }
+
   /** Per-query AP then a single MAP row (metrics.py:36-55). */
   def meanAveragePrecision(spark: SparkSession, dir: String): DataFrame = {
     val cum = Window.partitionBy("q_id").orderBy("rank")
@@ -157,6 +209,48 @@ object Eval {
          |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < ${Knn.NQueries}) q
          |LEFT JOIN hit USING (q_id)
          |ORDER BY q_id""".stripMargin
+
+    /** Round-trip double literal (exponent marker forces DOUBLE). */
+    private def dbl(x: Double): String = {
+      val r = java.lang.Double.toString(x)
+      if (r.contains("E") || r.contains("e")) r else r + "e0"
+    }
+    private def dblList(xs: Seq[Double]): String =
+      xs.map(dbl).mkString("[", ", ", "]")
+
+    val ndcgAtK: String = {
+      val disc = dblList(discounts)
+      val idcg = dblList(idcgTable)
+      base + s""",
+        |rc AS (
+        |  SELECT q.q_id, count(*) AS n_rel
+        |  FROM ${Knn.SqlOracle.queriesCte()} q
+        |  JOIN ${Knn.SqlOracle.docsCte()} d ON d.doc_label = q.q_label
+        |  GROUP BY q.q_id),
+        |dc AS (
+        |  SELECT q_id,
+        |    ${Ks.map(k =>
+             S.fxSum(s"CASE WHEN rank <= $k AND rel = 1 THEN ($disc)[CAST(rank AS INT)] ELSE 0.0e0 END", 9) +
+               s" AS dcg_$k").mkString(",\n    ")}
+        |  FROM h GROUP BY q_id)
+        |SELECT dc.q_id,
+        |  ${Ks.map(k =>
+             S.rnd(s"CASE WHEN least(coalesce(n_rel, 0), $k) > 0 " +
+               s"THEN dcg_$k / ($idcg)[CAST(least(coalesce(n_rel, 0), $k) AS INT)] " +
+               s"ELSE 0.0e0 END", 4) + s" AS ndcg_$k").mkString(",\n  ")}
+        |FROM dc LEFT JOIN rc ON dc.q_id = rc.q_id
+        |ORDER BY dc.q_id""".stripMargin
+    }
+
+    val mrr: String =
+      base + s""",
+        |fr AS (
+        |  SELECT q_id, min(rank) AS first_rel
+        |  FROM h WHERE rel = 1 GROUP BY q_id)
+        |SELECT ${S.rnd(S.fxAvg("coalesce(1.0e0 / first_rel, 0.0e0)", 9), 4)} AS mrr,
+        |  count(*) AS n_queries
+        |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < ${Knn.NQueries}) q
+        |LEFT JOIN fr USING (q_id)""".stripMargin
 
     val meanAveragePrecision: String =
       base + s""",

@@ -99,6 +99,54 @@ object Multimodal {
     }
   }
 
+  /** A media embedding row (stub modality encoder output). */
+  case class MediaVec(media_id: Long, m_vec: Array[Float])
+
+  /** STUB modality encoder: payload → 64-dim vector of strided byte
+    * sums (v[j] = Σ of unsigned bytes at positions ≡ j mod 64). Sums
+    * are integer-valued and < 2²⁴, so the float cast is exact and the
+    * oracle's double arithmetic matches bit-for-bit. A real CLIP-style
+    * encoder replaces this one function; the batched plumbing and the
+    * retrieval plan are unchanged. */
+  def stubEmbed(payload: Array[Byte], dim: Int = 64): Array[Float] = {
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) { acc(i % dim) += payload(i) & 0xff; i += 1 }
+    val v = new Array[Float](dim)
+    i = 0
+    while (i < dim) { v(i) = acc(i).toFloat; i += 1 }
+    v
+  }
+
+  /** Batched media → embedding encoding (per-partition model init,
+    * same mapPartitions shape as [[extractFeatures]]). */
+  def embedMedia(media: Dataset[MediaRow], dim: Int = 64): Dataset[MediaVec] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition encoder/model init would go here (once per task)
+      rows.map(r => MediaVec(r.media_id, stubEmbed(r.payload, dim)))
+    }
+  }
+
+  /** Cross-modal retrieval, end-to-end: stub-encode the first `nMedia`
+    * media payloads into vectors, then exact top-k dot-product search
+    * against the embedding corpus — the media side is tiny and
+    * broadcast, the corpus side is the standard scored scan, so the
+    * plan is identical to [[Knn.bruteForce]] with an encoder in front
+    * (and the ANN operators drop in the same way at 100 TB). */
+  def embedSearch(spark: SparkSession, dir: String, k: Int = Knn.K,
+                  nMedia: Int = 20): DataFrame = {
+    val q = embedMedia(mediaFrame(spark, dir).filter(col("media_id") < nMedia))
+      .toDF().select(col("media_id").as("q_id"), col("m_vec"))
+    val scored = Knn.docSet(spark, dir).crossJoin(broadcast(q))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("m_vec"), col("doc_vec")).as("score"))
+    Knn.topKPerQuery(scored, k)
+      .select(col("q_id").as("media_id"), col("rank"), col("doc_id"),
+        rnd(col("score"), 4).as("score"))
+      .orderBy("media_id", "rank")
+  }
+
   /** Verified frame-sampling query (every 2nd 64-byte frame). */
   def frameFeaturesQ(spark: SparkSession, dir: String): DataFrame =
     frameFeatures(mediaFrame(spark, dir)).toDF()
@@ -127,6 +175,32 @@ object Multimodal {
         |SELECT media_id, n_bytes, checksum,
         |  (floor((CAST(checksum % 997 AS DOUBLE) / 997.0) * 1e4 + 0.5e0) / 1e4) AS feat0
         |FROM f ORDER BY media_id""".stripMargin
+
+    /** Strided byte-sum embedding + exact top-k (ASCII corpus: byte ==
+      * codepoint; stepped-range nested comprehension mirrors the stub
+      * encoder's i % 64 accumulation exactly). */
+    val embedSearch: String = {
+      val dim = 64
+      val mvec = s"[CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"[CAST(unicode(t[i]) AS BIGINT) for i in range(j+1, len(t)+1, $dim)]), " +
+        s"(a,x) -> a + x) AS DOUBLE) for j in range(0, $dim)]"
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, $mvec AS m_vec
+         |  FROM (SELECT doc_id, string_split(text, '') AS t FROM documents)
+         |  WHERE doc_id < ${Knn.NQueries}),
+         |d AS ${Knn.SqlOracle.docsCte()},
+         |scored AS (
+         |  SELECT media_id, doc_id, ${graft.functions.Sql.dot("m_vec", "doc_vec", dim)} AS score
+         |  FROM d CROSS JOIN m),
+         |ranked AS (
+         |  SELECT media_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY media_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT media_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         |  (floor((score) * 1e4 + 0.5e0) / 1e4) AS score
+         |FROM ranked WHERE rank <= ${Knn.K}
+         |ORDER BY media_id, rank""".stripMargin
+    }
 
     /** ASCII corpus: frame byte-sums == codepoint-sums of substrings. */
     val frameFeatures: String =

@@ -138,6 +138,29 @@ object Relational {
       .orderBy("click_id", "view_id")
   }
 
+  /** Semi/anti-join surface (TPC-H Q22's customers-without-orders
+    * shape): per market segment, how many customers have vs have no
+    * orders, plus the idle segment's total account balance. Both
+    * existence checks run in ONE left-semi-style pass: the DISTINCT
+    * order custkeys aggregate first (map-side combined, far smaller
+    * than the order log), then a single left join classifies each
+    * customer — no row multiplication (custkey is unique on the right
+    * after the distinct), no second scan of orders. */
+  def semiAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val withOrders = Tables.orders(spark, dir)
+      .select(col("o_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .join(withOrders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(
+        sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).as("n_with_orders"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_without_orders"),
+        rnd(fxSum(when(col("o_custkey").isNull, col("c_acctbal")).otherwise(0.0)), 2)
+          .as("idle_acctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Exact distinct counts over several columns in one pass. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -224,6 +247,15 @@ object Relational {
         |  FROM ${graft.functions.Sql.eventsUs} events)
         |WHERE r = 1
         |ORDER BY user_id""".stripMargin
+
+    val semiAntiJoin: String =
+      s"""WITH wo AS (SELECT DISTINCT o_custkey FROM orders)
+         |SELECT c_mktsegment,
+         |  CAST(sum(CASE WHEN wo.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_orders,
+         |  CAST(sum(CASE WHEN wo.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_without_orders,
+         |  ${Sql.rnd(Sql.fxSum("CASE WHEN wo.o_custkey IS NULL THEN c_acctbal ELSE 0.0e0 END"), 2)} AS idle_acctbal
+         |FROM customer LEFT JOIN wo ON c_custkey = wo.o_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
     val distinctCounts: String =
       """SELECT count(DISTINCT o_custkey) AS n_cust,

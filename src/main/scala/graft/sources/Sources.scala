@@ -84,4 +84,69 @@ object Sources {
 
   def readSummaryCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
+
+  // ---------- Verified round-trip queries (SURVEY §2) ----------
+  // The readers/writers above are exercised by unit tests; these two
+  // queries additionally push REAL table data through the CSV/JSONL
+  // formats inside a verified plan, so format fidelity (timestamp
+  // precision, double round-trip, JSON string escaping) is part of the
+  // oracle contract, not just test coverage.
+
+  private def scratch(dir: String, leaf: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-${math.abs(dir.hashCode)}/$leaf"
+
+  /** events parquet → CSV → read back → per-type summary. The summary
+    * is computed from the ROUND-TRIPPED frame while the oracle reads
+    * the original parquet, so any lossy formatting (µs timestamps,
+    * double text round-trip) would surface as a hash mismatch. */
+  def roundTripEventsCsv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions._
+    val path = scratch(dir, "events_csv")
+    writeEventsCsv(graft.Tables.events(spark, dir), path)
+    readEventsCsv(spark, path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        rnd(fxSum(col("value"), 4), 4).as("sum_value"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .orderBy("event_type")
+  }
+
+  /** documents parquet → ref-shaped JSONL corpus → read back → per-lang
+    * summary with a polynomial content-hash sum, so every text byte
+    * must survive the JSON escape/unescape round trip. */
+  def roundTripDocsJsonl(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions._
+    val path = scratch(dir, "docs_jsonl")
+    writeDocumentsJsonl(
+      graft.Tables.documents(spark, dir).select(
+        col("doc_id").cast("string").as("id"), col("text"),
+        col("lang").as("category"),
+        lit("1970-01-01T00:00:00Z").as("timestamp"), col("source")), path)
+    readDocumentsJsonl(spark, path)
+      .groupBy("category")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(polyHash(col("text"))).as("content_hash_sum"))
+      .orderBy("category")
+  }
+
+  object SqlOracle {
+    import graft.functions.{Sql => S}
+
+    /** Oracle reads the ORIGINAL parquet — equality proves the Spark
+      * side's CSV round trip was lossless. */
+    val roundTripEventsCsv: String =
+      s"""SELECT event_type, count(*) AS n,
+         |  ${S.rnd(S.fxSum("value", 4), 4)} AS sum_value,
+         |  min(ts) AS min_ts, max(ts) AS max_ts
+         |FROM ${S.eventsUs} e
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+    val roundTripDocsJsonl: String =
+      s"""SELECT lang AS category, count(*) AS n,
+         |  CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+         |  CAST(sum(${S.polyHash("text")}) AS BIGINT) AS content_hash_sum
+         |FROM documents
+         |GROUP BY lang ORDER BY category""".stripMargin
+  }
 }

@@ -46,6 +46,47 @@ object StreamOps {
         col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Trending detection: the top-3 event types per hourly window by
+    * event count (ties by type name). The rank runs AFTER the windowed
+    * aggregation — the frame is already reduced to (windows × types)
+    * rows, so the partitioned row_number sorts a handful of rows per
+    * window, not the event stream; the only full-data shuffle is the
+    * windowed groupBy with map-side partials. */
+  def trendingTopKBatch(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("w").orderBy(col("n").desc, col("event_type"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("w.start").as("window_start"), col("rank"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "rank")
+  }
+
+  /** Streaming form of [[trendingTopKBatch]]: watermarked windowed
+    * counts (append mode — a window is emitted once, when it closes),
+    * then the per-window top-k rank runs in foreachBatch over the few
+    * CLOSED window rows of that micro-batch. Ranking state never grows:
+    * each batch ranks only windows finalized in it. */
+  def trendingTopKStream(events: DataFrame, k: Int = 3)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(batch
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("w").orderBy(col("n").desc, col("event_type"))).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("w.start").as("window_start"), col("rank"),
+            col("event_type"), col("n")))
+      }
+
   /** Sessionization with a 30-minute inactivity gap: batch equivalent
     * via lag + cumulative session starts (single shuffle on user_id). */
   def sessionizeBatch(spark: SparkSession, dir: String): DataFrame = {
@@ -241,6 +282,21 @@ object StreamOps {
          |  (floor((${graft.functions.Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS sum_value
          |FROM w GROUP BY window_start, event_type
          |ORDER BY window_start, event_type""".stripMargin
+
+    val trendingTopK: String =
+      s"""WITH counts AS (
+         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |    count(*) AS n
+         |  FROM ${graft.functions.Sql.eventsUs} e
+         |  GROUP BY window_start, event_type),
+         |ranked AS (
+         |  SELECT window_start, event_type, n,
+         |    row_number() OVER (PARTITION BY window_start
+         |                       ORDER BY n DESC, event_type) AS rank
+         |  FROM counts)
+         |SELECT window_start, CAST(rank AS BIGINT) AS rank, event_type, n
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY window_start, rank""".stripMargin
 
     val sessionize: String =
       s"""WITH x AS (

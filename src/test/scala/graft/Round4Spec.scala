@@ -1,0 +1,188 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators._
+
+/** Round-4 additions: NDCG/MRR eval, IVF+PQ composed search, source
+  * round-trips, trending top-k (batch + streaming). */
+class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private def collectSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("ndcg discount/idcg tables: literal, monotone, correct at rank 1") {
+    Eval.discounts.head shouldBe 1.0
+    Eval.discounts.sliding(2).foreach { case Seq(a, b) => a should be > b }
+    Eval.idcgTable.head shouldBe 1.0
+    Eval.idcgTable.sliding(2).foreach { case Seq(a, b) => a should be < b }
+    Eval.idcgTable.last shouldBe Eval.discounts.sum +- 1e-12
+  }
+
+  test("eval_ndcg_at_k: one row per query, values in [0, 1]") {
+    val rows = Eval.ndcgAtK(spark, sfDir).collect()
+    rows.length shouldBe Knn.NQueries
+    for (r <- rows; i <- 1 to 3) {
+      val v = r.getDouble(i)
+      v should be >= 0.0
+      v should be <= 1.0
+    }
+  }
+
+  test("eval_ndcg_at_k matches a driver-side recomputation from ranked hits") {
+    // independently rebuild per-query (rank, rel) + n_rel, apply the
+    // same literal discount tables in plain Scala, compare rounded
+    val ranked = Knn.bruteForce(spark, sfDir, Eval.KMax)
+      .join(Knn.querySet(spark, sfDir).select("q_id", "q_label"), "q_id")
+      .join(Knn.docSet(spark, sfDir).select("doc_id", "doc_label"), "doc_id")
+      .select(col("q_id"), col("rank"),
+        (col("q_label") === col("doc_label")).cast("long").as("rel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    val nRel = Knn.docSet(spark, sfDir)
+      .join(Knn.querySet(spark, sfDir).select("q_id", "q_label"),
+        col("doc_label") === col("q_label"))
+      .groupBy("q_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = ranked.groupBy(_._1).map { case (q, rows) =>
+      val byK = Eval.Ks.map { k =>
+        val dcg = rows.filter(r => r._2 <= k && r._3 == 1)
+          .map(r => math.floor(Eval.discounts(r._2 - 1) * 1e9 + 0.5) / 1e9)
+          .sum
+        val m = math.min(nRel.getOrElse(q, 0L).toInt, k)
+        if (m > 0) rnd4(dcg / Eval.idcgTable(m - 1)) else 0.0
+      }
+      q -> byK
+    }
+    val got = Eval.ndcgAtK(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    got.keySet shouldBe expected.keySet
+    for ((q, exp) <- expected; i <- 0 until 3)
+      got(q)(i) shouldBe exp(i) +- 1e-9
+  }
+
+  test("eval_mrr: single summary row over the query set, mrr in [0, 1]") {
+    val r = Eval.mrr(spark, sfDir).collect()
+    r.length shouldBe 1
+    r(0).getDouble(0) should be >= 0.0
+    r(0).getDouble(0) should be <= 1.0
+    r(0).getLong(1) shouldBe Knn.NQueries.toLong
+  }
+
+  test("ann_ivf_pq: k rows per query, ranked, nonzero overlap with exact search") {
+    val ivfpq = Ann.ivfPq(spark, sfDir)
+    val perQ = ivfpq.groupBy("q_id").count().collect()
+    all(perQ.map(_.getLong(1))) should be <= Knn.K.toLong
+    val exact = Knn.bruteForce(spark, sfDir).select("q_id", "doc_id")
+    val overlap = ivfpq.select("q_id", "doc_id")
+      .join(exact, Seq("q_id", "doc_id")).count()
+    overlap should be > 0L
+  }
+
+  test("ann_ivf_pq plan: centroids/codebook/queries broadcast, topk partial agg, no shuffle-side window") {
+    val p = Ann.ivfPq(spark, sfDir).queryExecution.executedPlan.toString()
+    p should include("BroadcastNestedLoopJoin") // docs × broadcast centroids
+    p.toLowerCase should include("partial_topkbyscore")
+    p should not include "Window"
+  }
+
+  test("source round-trips equal the same aggregate computed directly on parquet") {
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.rnd(graft.functions.fxSum(col("value"), 4), 4).as("sum_value"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"))
+      .orderBy("event_type")
+    collectSet(graft.sources.Sources.roundTripEventsCsv(spark, sfDir)) shouldBe
+      collectSet(direct)
+
+    val directDocs = Tables.documents(spark, sfDir)
+      .groupBy(col("lang").as("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(org.apache.spark.sql.functions.length(col("text")).cast("long")).as("sum_chars"),
+        sum(graft.functions.polyHash(col("text"))).as("content_hash_sum"))
+      .orderBy("category")
+    collectSet(graft.sources.Sources.roundTripDocsJsonl(spark, sfDir)) shouldBe
+      collectSet(directDocs)
+  }
+
+  test("q_semi_anti_join: segment totals partition the customer set") {
+    val rows = Relational.semiAntiJoin(spark, sfDir).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    total shouldBe Tables.customer(spark, sfDir).count()
+    // every order's customer exists, so the semi side is the distinct
+    // order-custkey count
+    rows.map(_.getLong(1)).sum shouldBe
+      Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+  }
+
+  test("q_semi_anti_join plan: one pass over customers, no row multiplication") {
+    val p = Relational.semiAntiJoin(spark, sfDir).queryExecution.executedPlan.toString()
+    // the distinct-custkey side aggregates before the join
+    p should not include "CartesianProduct"
+    p.toLowerCase should include("aggregate")
+  }
+
+  test("mm_embed_search: stub embedding matches a driver-side strided byte sum") {
+    val payload = "hello world of spark".getBytes("UTF-8")
+    val v = Multimodal.stubEmbed(payload, 8)
+    val expected = Array.tabulate(8) { j =>
+      payload.indices.filter(_ % 8 == j).map(i => (payload(i) & 0xff).toLong).sum.toFloat
+    }
+    v shouldBe expected
+    // retrieval shape: k rows per media query, ranked
+    val out = Multimodal.embedSearch(spark, sfDir).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      rs.map(_.getLong(1)).sorted shouldBe (1L to rs.length).toSeq
+    }
+  }
+
+  test("stream_topk_trending batch: at most 3 ranked types per window, ordered by count") {
+    val rows = graft.streaming.StreamOps.trendingTopKBatch(spark, sfDir).collect()
+    rows.groupBy(_.getTimestamp(0)).foreach { case (_, ws) =>
+      ws.length should be <= 3
+      ws.map(_.getLong(1)).sorted shouldBe (1L to ws.length).toSeq
+      // counts non-increasing with rank
+      ws.sortBy(_.getLong(1)).map(_.getLong(3)).reverse shouldBe sorted
+    }
+  }
+
+  test("trendingTopKStream: closed windows match the batch top-k") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = graft.streaming.StreamOps.trendingTopKStream(events) { batch =>
+      got.synchronized { got ++= batch.collect().map(_.toString) }
+    }.start()
+    try {
+      // events in hours 0-2, then a late watermark pusher at minute 400:
+      // watermark 400-120 = 280 ⇒ hourly windows ending ≤ 280 min close
+      val data = (0 until 180 by 7).map(m =>
+        (ts(m), Seq("a", "b", "c", "d")(m % 4), 1.0)) :+ ((ts(400), "z", 1.0))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      input.addData((ts(401), "z", 1.0)) // flush: emit windows closed by 400
+      q.processAllAvailable()
+      val batchAll = data.toDF("ts", "event_type", "value")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("w")
+            .orderBy(col("n").desc, col("event_type"))).cast("long"))
+        .filter(col("rank") <= 3 &&
+          col("w.start") < lit(ts(280))) // only closed windows
+        .select(col("w.start").as("window_start"), col("rank"),
+          col("event_type"), col("n"))
+      got.toSet shouldBe batchAll.collect().map(_.toString).toSet
+    } finally q.stop()
+  }
+}
