@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(s, d)),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingLsh(s, d)),
     "dedup_cross_corpus" -> ((s, d) => Dedup.crossCorpus(s, d)),
+    "dedup_cluster_labels" -> ((s, d) => Dedup.clusterLabels(s, d)),
     // Text analysis
     "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(s, d)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.SqlOracle.embeddingCosine(),
     "dedup_embedding_lsh" -> Dedup.SqlOracle.embeddingLsh(),
     "dedup_cross_corpus" -> Dedup.SqlOracle.crossCorpus(),
+    "dedup_cluster_labels" -> Dedup.SqlOracle.clusterLabels(),
     "text_token_count" -> TextAnalysis.SqlOracle.tokenCount,
     "text_lang_id" -> TextAnalysis.SqlOracle.langId,
     "text_quality_score" -> TextAnalysis.SqlOracle.qualityScore,

@@ -275,6 +275,63 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair frame (id_a < id_b) —
+    * the dedup DECISION step: pairs only say "these two are dups";
+    * keeping one doc per transitive cluster needs the components.
+    * Every node is labeled with the minimum doc_id reachable from it
+    * (so the cluster representative = survivor is the smallest id).
+    *
+    * Scale shape: min-label propagation — per round one equi-join of
+    * the edge list against the label frame and one min-groupBy (both
+    * shuffle on node id, map-side combined), converging in
+    * O(cluster diameter) rounds. Near-dup clusters are shallow in
+    * practice (dup chains, not paths), so rounds ≈ 3-5; each round's
+    * frame is persisted and the driver checks one scalar (changed
+    * count) per round, exactly like Lloyd training. For adversarial
+    * graphs the alternating large-star/small-star variant bounds
+    * rounds at O(log n); the per-round plan here is the same shape. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    edges.count()
+    // each round's label frame is localCheckpoint'ed: the round plan
+    // references the previous labels TWICE (directly + via the
+    // neighbor-min join), so without plan truncation the logical plan
+    // doubles per round — 2^rounds subtrees — and long chains OOM the
+    // driver in plan processing alone. localCheckpoint materializes
+    // the frame and cuts the plan (a durable `checkpoint` dir is the
+    // fault-tolerant production variant; same semantics).
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+        .groupBy("node").agg(min("label").as("nbr"))
+      val next = labels.select(col("node"), col("label").as("old"))
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"), least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
+          col("old"))
+        .localCheckpoint()
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("node", "label")
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Verified query: transitive dup clusters of the MinHash-LSH pairs,
+    * (doc_id, rep_id, is_survivor) per doc that appears in any pair. */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLsh(spark, dir).select("id_a", "id_b"))
+      .select(col("node").as("doc_id"), col("label").as("rep_id"),
+        when(col("node") === col("label"), 1L).otherwise(0L).as("is_survivor"))
+      .orderBy("doc_id")
+
   /** Benchmark decontamination (cross-corpus n-gram overlap): flag each
     * training doc that shares any word-3-gram shingle with the held-out
     * eval set — the standard contamination scan run before LLM
@@ -393,6 +450,26 @@ object Dedup {
          |WHERE j >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
     }
+
+    /** Transitive closure via a recursive CTE: `reach` saturates to all
+      * (node, reachable) pairs inside each cluster (UNION dedups, so it
+      * terminates; near-dup clusters are tiny, so the closure is too),
+      * then the label is min(reachable). */
+    def clusterLabels(threshold: Double = 0.5): String =
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |${minhashLsh(threshold)}) mh),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |SELECT node AS doc_id, min(r) AS rep_id,
+         |  CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
     def crossCorpus(nEval: Long = 50): String =
       s"""WITH sh AS (

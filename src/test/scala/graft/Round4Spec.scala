@@ -141,6 +141,38 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("connectedComponents equals a driver-side union-find on the same pairs") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).select("id_a", "id_b")
+    val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    collected should not be empty
+    // driver-side union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    collected.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = collected.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe expected
+  }
+
+  test("connectedComponents: chain graph converges to one cluster") {
+    val s = spark
+    import s.implicits._
+    // 0-1-2-...-9 as a path: worst-case diameter for label propagation
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val lab = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lab.values.toSet shouldBe Set(0L)
+    lab.keySet shouldBe (0L to 9L).toSet
+  }
+
   test("stream_topk_trending batch: at most 3 ranked types per window, ordered by count") {
     val rows = graft.streaming.StreamOps.trendingTopKBatch(spark, sfDir).collect()
     rows.groupBy(_.getTimestamp(0)).foreach { case (_, ws) =>
