@@ -127,6 +127,26 @@ object Kernels {
     acc
   }
 
+  /** Intersection size of two SORTED long arrays (strictly increasing,
+    * as produced by sort_array(array_distinct(...))): one O(n+m) merge
+    * pass, no hash set, no result-array allocation — the Jaccard
+    * verify step only needs the COUNT, not the intersection itself. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** Sequential squared-L2 distance (pre-sqrt), same fold order as the
     * HOF spec. */
   def dist2F(a: ArrayData, b: ArrayData): Double = {
@@ -178,6 +198,21 @@ case class Dist2Expr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dist2F($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Dist2Expr =
+    copy(left = l, right = r)
+}
+
+/** sorted_intersect_count(array<long>, array<long>) — |a ∩ b| for
+  * sorted distinct arrays, by merge scan (no allocation). */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Kernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCountExpr =
     copy(left = l, right = r)
 }
 
@@ -286,6 +321,11 @@ object native {
 
   def dist2F(a: Column, b: Column): Column =
     Bridge.column(Dist2Expr(ex(a), ex(b)))
+
+  /** Inputs MUST be sorted distinct array<long> (sort_array +
+    * array_distinct); equals size(array_intersect(a, b)) then. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCountExpr(ex(a), ex(b)))
 
   def simhash62(toks: Column, p: Long = HashP): Column =
     Bridge.column(SimHashExpr(ex(toks), p))

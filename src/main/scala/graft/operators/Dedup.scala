@@ -85,10 +85,12 @@ object Dedup {
     * (set ops on longs, not strings — same hash on both engines). */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.2,
                    maxBlock: Int = MaxBlock): DataFrame = {
+    // sh is sorted-distinct so the per-pair intersection COUNT can run
+    // as a codegen'd O(n+m) merge (no per-pair hash set / result array)
     val d = Skew.capBlocks(
       hashedShingles(spark, dir)
         .select(col("doc_id"), col("lang"), col("t0"),
-          array_distinct(col("shh")).as("sh")),
+          sort_array(array_distinct(col("shh"))).as("sh")),
       Seq("lang", "t0"), maxBlock)
     // alias self-join (not two renamed projections): both sides are the
     // SAME canonical subplan, so the band shuffle is a ReusedExchange —
@@ -104,7 +106,7 @@ object Dedup {
       // Provably no false negatives: the oracle needs no mirror.
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
         lit(threshold) * greatest(size(col("sh_a")), size(col("sh_b"))))
-      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_int", graft.functions.native.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("j", col("n_int") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_int")).cast("double"))
       .filter(col("j") >= threshold)
@@ -170,11 +172,12 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("pr"))
       .select(col("pr.id_a"), col("pr.id_b"))
       .distinct()
-    val sh = hashed.select(col("doc_id"), array_distinct(col("shh")).as("sh"))
+    val sh = hashed.select(col("doc_id"),
+      sort_array(array_distinct(col("shh"))).as("sh"))
     cands
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("n_int", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_int", graft.functions.native.sortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("j", col("n_int") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_int")).cast("double"))
       .filter(col("j") >= threshold)

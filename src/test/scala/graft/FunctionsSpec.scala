@@ -52,6 +52,32 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
     d.filter(col("a") =!= col("b")).count() shouldBe 0
   }
 
+  test("native sortedIntersectCount equals size(array_intersect) on sorted-distinct arrays") {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(
+          graft.functions.native.shingleHashes(col("_toks")))).as("sh"))
+    val a = d.select(col("doc_id"), col("sh").as("sh_a"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"), col("sh").as("sh_b"))
+    val p = a.join(b, "doc_id")
+    p.select(
+        graft.functions.native.sortedIntersectCount(col("sh_a"), col("sh_b")).as("n"),
+        org.apache.spark.sql.functions.size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("h"))
+      .filter(col("n") =!= col("h")).count() shouldBe 0
+    // edge cases: empty, disjoint, identical
+    val s = spark
+    import s.implicits._
+    val edge = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 3L, 5L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))).toDF("x", "y")
+    edge.select(
+        graft.functions.native.sortedIntersectCount(col("x"), col("y")).as("n"),
+        org.apache.spark.sql.functions.size(array_intersect(col("x"), col("y"))).cast("long").as("h"))
+      .filter(col("n") =!= col("h")).count() shouldBe 0
+  }
+
   test("native simhash62 equals the relational explode-bits formulation") {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
