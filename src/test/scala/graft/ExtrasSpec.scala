@@ -400,7 +400,7 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
     // banding over nothing must all plan and return cleanly at 100 TB
     // scale, partitions WILL be empty
     val tmp = Files.createTempDirectory("graft-empty").toString
-    for (t <- Seq("documents", "embeddings", "events")) {
+    for (t <- Seq("documents", "embeddings", "events", "customer", "orders")) {
       spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
     }
@@ -411,7 +411,10 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
       "dedup_cross_corpus", "text_lang_id", "text_pii_scrub",
       "sample_stratified", "pack_sequences", "pipeline_quality_filter",
       "corpus_source_stats", "latency_percentiles", "run_summary_rollup",
-      "stream_windowed_agg", "mm_binary_meta")
+      "stream_windowed_agg", "stream_topk_trending", "mm_binary_meta",
+      "eval_ndcg_at_k", "eval_mrr", "ann_ivf_pq", "q_semi_anti_join",
+      "dedup_cluster_labels", "mm_embed_search",
+      "source_roundtrip_events_csv", "source_roundtrip_docs_jsonl")
     val failures = perFamily.flatMap { n =>
       try { SparkEntry.queries(n)(spark, tmp).count(); None }
       catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
