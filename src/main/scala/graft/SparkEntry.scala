@@ -79,17 +79,20 @@ object SparkEntry {
     "text_normalize" -> ((s, d) => TextAnalysis.normalize(s, d)),
     "text_ngram_freq" -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
+    "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     // Corpus shaping
     "sample_stratified" -> ((s, d) => Shaping.stratifiedSample(s, d)),
     "pack_sequences" -> ((s, d) => Shaping.packSequences(s, d)),
     "pipeline_quality_filter" -> ((s, d) => Shaping.qualityFilterPipeline(s, d)),
     "corpus_source_stats" -> ((s, d) => Shaping.sourceStats(s, d)),
+    "audit_corpus_integrity" -> ((s, d) => Shaping.corpusIntegrity(s, d)),
     // Perf/ops analytics
     "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
     "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
     "run_summary_groupby" -> ((s, d) => PerfStats.runSummary(s, d)),
     "run_summary_rollup" -> ((s, d) => PerfStats.runSummaryRollup(s, d)),
     "stats_paired_tests" -> ((s, d) => PerfStats.pairedTests(s, d)),
+    "events_salted_sum" -> ((s, d) => PerfStats.saltedSum(s, d)),
     // Multimodal plumbing
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_frame_features" -> ((s, d) => Multimodal.frameFeaturesQ(s, d)),
@@ -160,15 +163,18 @@ object SparkEntry {
     "text_normalize" -> TextAnalysis.SqlOracle.normalize,
     "text_ngram_freq" -> TextAnalysis.SqlOracle.ngramFreq(),
     "text_pii_scrub" -> TextAnalysis.SqlOracle.piiScrub,
+    "text_vocab_coverage" -> TextAnalysis.SqlOracle.vocabCoverage(),
     "sample_stratified" -> Shaping.SqlOracle.stratifiedSample,
     "pack_sequences" -> Shaping.SqlOracle.packSequences,
     "pipeline_quality_filter" -> Shaping.SqlOracle.qualityFilterPipeline(),
     "corpus_source_stats" -> Shaping.SqlOracle.sourceStats,
+    "audit_corpus_integrity" -> Shaping.SqlOracle.corpusIntegrity,
     "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,
     "run_summary_rollup" -> PerfStats.SqlOracle.runSummaryRollup,
     "stats_paired_tests" -> PerfStats.SqlOracle.pairedTests(),
+    "events_salted_sum" -> PerfStats.SqlOracle.saltedSum,
     "mm_binary_meta" -> Multimodal.SqlOracle.binaryMeta,
     "mm_frame_features" -> Multimodal.SqlOracle.frameFeatures,
     "mm_embed_search" -> Multimodal.SqlOracle.embedSearch,

@@ -34,6 +34,22 @@ object PerfStats {
         rnd(count(lit(1)) / fxSum(col("value"), 6), 4).as("qps"))
       .orderBy("event_type")
 
+  /** Per-type value sums via [[Skew.saltedAgg]] — the two-phase
+    * skew-safe aggregation wired into a VERIFIED query: phase 1 groups
+    * on (event_type, salt-of-event_id) so a pathological hot type
+    * spreads over 8 reducers, phase 2 merges the 8 partials. The
+    * partial is a fixed-point long sum (a semigroup, and order-free),
+    * so the salted result is bit-identical to the unsalted oracle. */
+  def saltedSum(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(
+      Tables.events(spark, dir), col("event_type"), col("event_id"), 8,
+      col("value"),
+      v => sum(floor(v * 1e4 + 0.5).cast("long")),
+      pv => sum(pv))
+      .select(col("_k").as("event_type"),
+        rnd(col("value") / 1e4, 4).as("sum_value"))
+      .orderBy("event_type")
+
   /** Batches of 256 by event_id (mirrors the ref's fixed batch loop,
     * ingest.py:44-48): per-batch time/size/throughput. */
   def ingestThroughput(spark: SparkSession, dir: String): DataFrame =
@@ -135,6 +151,13 @@ object PerfStats {
       .orderBy("event_type")
 
   object SqlOracle {
+    /** The unsalted formulation — equality proves salting is a pure
+      * execution-strategy change, invisible in results. */
+    val saltedSum: String =
+      s"""SELECT event_type,
+         |  ${Sql.rnd(Sql.fxSum("value", 4), 4)} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
     val latencyPercentiles: String =
       s"""SELECT event_type,
         |  count(*) AS n,

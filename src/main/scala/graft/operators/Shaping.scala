@@ -141,6 +141,26 @@ object Shaping {
         (count(lit(1)) - countDistinct(col("norm_hash"))).as("n_dups"))
       .orderBy("source")
 
+  /** Referential-integrity audit between the document corpus and the
+    * embedding store — the health check a vector pipeline runs after
+    * every ingest (every doc should have its vector and vice versa).
+    * One full outer join on the id (sort-merge at scale, both sides
+    * pre-pruned to the single id column) feeding one summary row. */
+  def corpusIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id").as("id"), lit(1L).as("has_doc"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), lit(1L).as("has_vec"))
+    d.join(e, Seq("id"), "full")
+      .agg(
+        sum(coalesce(col("has_doc"), lit(0L))).as("n_docs"),
+        sum(coalesce(col("has_vec"), lit(0L))).as("n_vecs"),
+        sum(when(col("has_doc").isNotNull && col("has_vec").isNotNull, 1L)
+          .otherwise(0L)).as("n_matched"),
+        sum(when(col("has_vec").isNull, 1L).otherwise(0L)).as("n_doc_orphans"),
+        sum(when(col("has_doc").isNull, 1L).otherwise(0L)).as("n_vec_orphans"))
+  }
+
   object SqlOracle {
     val stratifiedSample: String = {
       val quota = quotas.foldRight("1000") { case ((l, q), els) =>
@@ -207,6 +227,15 @@ object Shaping {
          |  CAST(count(*) - count(DISTINCT norm_hash) AS BIGINT) AS n_dups
          |FROM q GROUP BY source ORDER BY source""".stripMargin
     }
+
+    val corpusIntegrity: String =
+      """SELECT
+        |  CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_orphans,
+        |  CAST(sum(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_orphans
+        |FROM documents d FULL JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin
 
     val packSequences: String =
       s"""WITH d AS (

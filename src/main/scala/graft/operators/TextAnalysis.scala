@@ -48,6 +48,31 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("gram"))
       .limit(topN)
 
+  /** Vocabulary coverage — the tokenizer-health metric of a training
+    * pipeline: build the top-`vocabSize` tokens by total occurrence
+    * count (ties by token), then report per-language token totals and
+    * the out-of-vocabulary occurrence rate. Scale shape: the token
+    * count is one map-side-combined groupBy; the top-N is a
+    * TakeOrdered (no full sort); the vocab is broadcast back against
+    * the exploded token stream, so the corpus is scanned twice and
+    * shuffled narrow once — no all-token shuffle carries text. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    vocabSize: Int = 1000): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        rnd(col("n_oov") / col("n_tokens").cast("double"), 4).as("oov_rate"))
+      .orderBy("lang")
+  }
+
   /** n-gram/stopword-heuristic language ID: per-language marker hit
     * counts, argmax with ties resolved in marker-list order, all-zero
     * → 'und'. */
@@ -192,6 +217,19 @@ object TextAnalysis {
          |                     for i in range(1, len(toks))]) AS gram FROM t)
          |SELECT gram, count(*) AS cnt FROM g
          |GROUP BY gram ORDER BY cnt DESC, gram LIMIT $topN""".stripMargin
+
+    def vocabCoverage(vocabSize: Int = 1000): String =
+      s"""WITH toks AS (
+         |  SELECT lang, unnest(${S.tokens("text")}) AS tok FROM documents),
+         |v AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS r
+         |    FROM toks GROUP BY tok) WHERE r <= $vocabSize)
+         |SELECT toks.lang, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  ${S.rnd("CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) / CAST(count(*) AS DOUBLE)", 4)} AS oov_rate
+         |FROM toks LEFT JOIN v ON toks.tok = v.tok
+         |GROUP BY toks.lang ORDER BY toks.lang""".stripMargin
 
     val normalize: String =
       """SELECT doc_id,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
 object GenRun {
   private val SkipPrefixes = Seq(
     "q1_", "q3_", "q_", "latency", "ingest", "run_summary", "stats",
-    "stream_", "source_roundtrip_events")
+    "stream_", "source_roundtrip_events", "events_")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -414,7 +414,8 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
       "stream_windowed_agg", "stream_topk_trending", "mm_binary_meta",
       "eval_ndcg_at_k", "eval_mrr", "ann_ivf_pq", "q_semi_anti_join",
       "dedup_cluster_labels", "mm_embed_search",
-      "source_roundtrip_events_csv", "source_roundtrip_docs_jsonl")
+      "source_roundtrip_events_csv", "source_roundtrip_docs_jsonl",
+      "text_vocab_coverage", "audit_corpus_integrity", "events_salted_sum")
     val failures = perFamily.flatMap { n =>
       try { SparkEntry.queries(n)(spark, tmp).count(); None }
       catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
