@@ -293,11 +293,18 @@ object Dedup {
     * count) per round, exactly like Lloyd training. For adversarial
     * graphs the alternating large-star/small-star variant bounds
     * rounds at O(log n); the per-round plan here is the same shape. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          verbose: Boolean = false): DataFrame = {
+    // Both edge directions from ONE scan of the pair frame: a
+    // union(pairs, pairs.swapped) references the (potentially
+    // expensive, unmaterialized) upstream pair subplan twice and
+    // recomputes it both ways — with the LSH pipeline upstream that
+    // doubled this operator's cost. explode keeps it single-scan.
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
-    edges.count()
     // each round's label frame is localCheckpoint'ed: the round plan
     // references the previous labels TWICE (directly + via the
     // neighbor-min join), so without plan truncation the logical plan
@@ -305,8 +312,15 @@ object Dedup {
     // driver in plan processing alone. localCheckpoint materializes
     // the frame and cuts the plan (a durable `checkpoint` dir is the
     // fault-tolerant production variant; same semantics).
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    // Init = the first propagation round fused into node discovery:
+    // every node appears as src (edges are symmetric), so one groupBy
+    // yields both the node set and its 1-hop min label — no separate
+    // distinct shuffle, and shallow (diameter-1) clusters converge
+    // with zero loop rounds. The eager localCheckpoint also
+    // materializes the edge cache for the loop to reuse.
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src").as("node"), least(col("src"), col("m")).as("label"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -322,6 +336,7 @@ object Dedup {
       labels = next.select("node", "label")
       converged = changed == 0
       iter += 1
+      if (verbose) println(s"[cc] round=$iter changed=$changed")
     }
     edges.unpersist()
     labels

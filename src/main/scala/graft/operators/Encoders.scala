@@ -60,18 +60,23 @@ object Encoders {
     * vectors. */
   def hashingSearch(spark: SparkSession, dir: String, k: Int = 10,
                     nq: Int = 5, dim: Int = Dim): DataFrame = {
-    val counts = bucketCounts(spark, dir, dim)
-    val norms = counts.groupBy("doc_id")
-      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("norm"))
-    val qc = counts.filter(col("doc_id") < nq)
-      .select(col("doc_id").as("q_id"), col("bucket"), col("cnt").as("qcnt"))
-    val dc = counts.filter(col("doc_id") >= nq)
-    val ip = dc.join(broadcast(qc), "bucket")
+    // norms ride along as a window over the counts frame (the
+    // tfIdfSearch shape): the filters on the window's own partition
+    // key push below it to the scans, so the q side is a pruned scan
+    // and the doc side is ONE full pass — versus the previous separate
+    // norm pipeline, which re-ran the counts subtree per reference and
+    // broadcast the full norm table (every doc's norm) for the q side.
+    val byDoc = Window.partitionBy("doc_id")
+    val cn = bucketCounts(spark, dir, dim)
+      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
+    val qc = cn.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("bucket"),
+        col("cnt").as("qcnt"), col("norm").as("qn"))
+    val scored = cn.filter(col("doc_id") >= nq)
+      .join(broadcast(qc), "bucket")
       .groupBy("q_id", "doc_id")
-      .agg(sum(col("qcnt") * col("cnt")).as("ip"))
-    val scored = ip
-      .join(broadcast(norms.select(col("doc_id").as("q_id"), col("norm").as("qn"))), "q_id")
-      .join(norms.select(col("doc_id"), col("norm").as("dn")), "doc_id")
+      .agg(sum(col("qcnt") * col("cnt")).as("ip"),
+        first(col("qn")).as("qn"), first(col("norm")).as("dn"))
       .select(col("q_id"), col("doc_id"), (col("ip") / (col("qn") * col("dn"))).as("score"))
     Knn.topKPerQuery(scored, k)
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
@@ -80,20 +85,53 @@ object Encoders {
 
   /** (doc_id, tok, weight) unrounded TF-IDF weights — shared by
     * [[tfIdf]] (verified rounded projection) and [[tfIdfSearch]]. */
-  private def tfIdfWeights(spark: SparkSession, dir: String, dim: Int): DataFrame = {
-    val docTerm = toks(spark, dir).groupBy("doc_id", "tok")
+  /** (doc_id, tok, tf) per-document term counts. */
+  private def docTerm(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
-    val vocab = docTerm.groupBy("tok")
+
+  /** (tok, idf) as a lazy plan subtree — for single-reference plans
+    * ([[tfIdf]]): vocabulary ranking and the smoothed idf stay inside
+    * the one job, overlapping with the postings pipeline. */
+  private def lazyVocab(spark: SparkSession, dir: String, dim: Int): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    docTerm(spark, dir).groupBy("tok")
       .agg(sum("tf").as("total"), count(lit(1)).as("df"))
       .orderBy(desc("total"), col("tok"))
       .limit(dim)
-    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    docTerm.join(broadcast(vocab), "tok")
       .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("tok"),
-        (col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)))
-          .as("weight"))
+      .select(col("tok"),
+        (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)).as("idf"))
   }
+
+  /** (tok, idf) FITTED: one corpus pass, `dim` rows collected, idf
+    * finished on the driver (same Math.log Spark's `log` uses),
+    * re-embedded as a literal LocalRelation — for plans that reference
+    * the weights more than once ([[tfIdfSearch]]): left as a subtree,
+    * the vocab pass is re-embedded and RE-EXECUTED per reference
+    * (exchange reuse does not fire across these subtrees; the executed
+    * search plan scanned the corpus 6×). The ref fits its
+    * TfidfVectorizer exactly once the same way (encoder.py:76-92). */
+  private def fittedVocab(spark: SparkSession, dir: String, dim: Int): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).count()
+    val rows = docTerm(spark, dir).groupBy("tok")
+      .agg(sum("tf").as("total"), count(lit(1)).as("df"))
+      .orderBy(desc("total"), col("tok"))
+      .limit(dim)
+      .select("tok", "df").collect()
+      .map(r => (r.getString(0),
+        math.log((1.0 + nDocs) / (1.0 + r.getLong(1))) + 1.0))
+      .toSeq
+    spark.createDataFrame(rows).toDF("tok", "idf")
+  }
+
+  /** (doc_id, tok, weight) unrounded TF-IDF weights over the given
+    * (tok, idf) vocabulary. */
+  private def tfIdfWeights(spark: SparkSession, dir: String,
+                           vocab: DataFrame): DataFrame =
+    docTerm(spark, dir).join(broadcast(vocab), "tok")
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * col("idf")).as("weight"))
 
   /** The reference's PRIMARY encoder flow end-to-end (DummyEncoder
     * defaults to TfidfVectorizer, encoder.py:76-92): encode every doc
@@ -109,7 +147,7 @@ object Encoders {
     // needs no separate norm aggregate and — crucially — no shuffle
     // join of the scored pairs back against a norm table
     val byDoc = Window.partitionBy("doc_id")
-    val wn = tfIdfWeights(spark, dir, dim)
+    val wn = tfIdfWeights(spark, dir, fittedVocab(spark, dir, dim))
       .withColumn("nrm", sqrt(
         sum(floor(col("weight") * col("weight") * 1e9 + 0.5).cast("long"))
           .over(byDoc) / 1e9))
@@ -133,7 +171,7 @@ object Encoders {
     * ln((1+N)/(1+df))+1, row L2-normalized tf·idf. */
   def tfIdf(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
     val w = Window.partitionBy("doc_id")
-    tfIdfWeights(spark, dir, dim)
+    tfIdfWeights(spark, dir, lazyVocab(spark, dir, dim))
       .withColumn("norm", sqrt(sum(col("weight") * col("weight")).over(w)))
       .select(col("doc_id"), col("tok").as("term"),
         rnd(col("weight") / col("norm"), 4).as("w"))
