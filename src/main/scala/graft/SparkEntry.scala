@@ -27,6 +27,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "q_range_join" -> ((s, d) => Relational.rangeJoin(s, d)),
     "q_semi_anti_join" -> ((s, d) => Relational.semiAntiJoin(s, d)),
+    "pivot_daily" -> ((s, d) => Relational.pivotDaily(s, d)),
     // Vector core
     "v_dot_product" -> ((s, d) => VectorCore.dotProduct(s, d)),
     "v_cosine_similarity" -> ((s, d) => VectorCore.cosineSim(s, d)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "text_ngram_freq" -> ((s, d) => TextAnalysis.ngramFreq(s, d)),
     "text_pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(s, d)),
     "text_vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(s, d)),
     // Corpus shaping
     "sample_stratified" -> ((s, d) => Shaping.stratifiedSample(s, d)),
     "pack_sequences" -> ((s, d) => Shaping.packSequences(s, d)),
@@ -117,6 +119,7 @@ object SparkEntry {
     "q_asof_join" -> Relational.SqlOracle.asofJoin(),
     "q_range_join" -> Relational.SqlOracle.rangeJoin(),
     "q_semi_anti_join" -> Relational.SqlOracle.semiAntiJoin,
+    "pivot_daily" -> Relational.SqlOracle.pivotDaily,
     "v_dot_product" -> VectorCore.SqlOracle.dotProduct,
     "v_cosine_similarity" -> VectorCore.SqlOracle.cosineSim,
     "v_l2_norm" -> VectorCore.SqlOracle.l2Norm,
@@ -164,6 +167,7 @@ object SparkEntry {
     "text_ngram_freq" -> TextAnalysis.SqlOracle.ngramFreq(),
     "text_pii_scrub" -> TextAnalysis.SqlOracle.piiScrub,
     "text_vocab_coverage" -> TextAnalysis.SqlOracle.vocabCoverage(),
+    "text_repetition" -> TextAnalysis.SqlOracle.repetitionStats,
     "sample_stratified" -> Shaping.SqlOracle.stratifiedSample,
     "pack_sequences" -> Shaping.SqlOracle.packSequences,
     "pipeline_quality_filter" -> Shaping.SqlOracle.qualityFilterPipeline(),

@@ -170,6 +170,34 @@ object Relational {
         countDistinct(col("o_orderpriority")).as("n_prio"),
         count(lit(1)).as("n_rows"))
 
+  /** The event-type values pivoted by [[pivotDaily]] — fixed and shared
+    * with the oracle, so the pivot compiles in ONE pass (pivot without
+    * explicit values runs an extra distinct job over the corpus just to
+    * learn the columns, then the real aggregation — at 100 TB that is a
+    * full extra scan, and nondeterministic columns besides). */
+  val pivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event matrix — the long→wide reshaping every ops dashboard
+    * runs (one row per day, one column pair per event type). Spark's
+    * `pivot` with explicit values rewrites to conditional aggregation:
+    * a single map-side-combinable groupBy on day, no per-type scans, no
+    * extra shuffle vs a plain aggregate. Sums are fixed-point
+    * ([[graft.functions.fxSum]]) so the wide columns hash-match the
+    * oracle under any partitioning. */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
+      .groupBy("day")
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)).as("cnt"), rnd(fxSum(col("value")), 2).as("val"))
+      // a (day, type) cell with no events pivots to NULL; pin the
+      // empty-cell value to 0 explicitly so the wide schema has one
+      // well-defined representation on both engines
+      .select(col("day") +: pivotTypes.flatMap(t => Seq(
+        coalesce(col(s"${t}_cnt"), lit(0L)).as(s"${t}_cnt"),
+        coalesce(col(s"${t}_val"), lit(0.0)).as(s"${t}_val"))): _*)
+      .orderBy("day")
+
   object SqlOracle {
     val q1Agg: String =
       s"""SELECT l_returnflag, l_linestatus,
@@ -263,5 +291,19 @@ object Relational {
         |  count(DISTINCT o_orderpriority) AS n_prio,
         |  count(*) AS n_rows
         |FROM orders""".stripMargin
+
+    /** FILTER-clause conditional aggregation — exactly what Spark's
+      * explicit-values pivot rewrites to. Spark names multi-agg pivot
+      * columns `{value}_{alias}`. */
+    val pivotDaily: String = {
+      val cols = pivotTypes.map { t =>
+        s"""  count(*) FILTER (WHERE event_type = '$t') AS ${t}_cnt,
+           |  coalesce(${Sql.rnd(s"CAST(sum(CAST(floor((value) * 1e4 + 0.5e0) AS BIGINT)) FILTER (WHERE event_type = '$t') AS BIGINT) / 1e4", 2)}, 0.0e0) AS ${t}_val""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT CAST(ts AS DATE) AS day,
+         |$cols
+         |FROM ${Sql.eventsUs} events
+         |GROUP BY day ORDER BY day""".stripMargin
+    }
   }
 }

@@ -141,6 +141,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-run fold: longest run of consecutive identical tokens in
+    * `ts`, plus the token that first achieved it ('arg'). Over SORTED
+    * tokens the max run is the max occurrence count (the mode); over
+    * the original order it is the longest immediate repetition. Pure
+    * sequential struct fold — integer/string logic only, so the result
+    * is engine-exact. */
+  private def runFold(ts: Column): Column =
+    aggregate(ts,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("mx"), lit("").as("arg")),
+      (a, t) => {
+        val r2 = when(t === a.getField("prev"), a.getField("run") + 1L).otherwise(1L)
+        struct(t.as("prev"), r2.as("run"),
+          greatest(a.getField("mx"), r2).as("mx"),
+          when(r2 > a.getField("mx"), t).otherwise(a.getField("arg")).as("arg"))
+      })
+
+  /** Repetition statistics per document — the Gopher-rules repetition
+    * signals an LLM-corpus quality gate keys on (mode-token fraction,
+    * longest immediate token run, duplicate-bigram fraction). Pure
+    * per-row map over the token array: zero shuffle, codegen-friendly,
+    * and every statistic is integer-derived so the only rounding is the
+    * final display rnd. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("_toks")).cast("long")
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), size(col("_toks")) - 1), i =>
+        concat(element_at(col("_toks"), i), lit(" "),
+          element_at(col("_toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_toks"), n.as("n_toks"),
+        runFold(array_sort(col("_toks"))).as("_sf"),
+        runFold(col("_toks")).getField("mx").as("max_run"),
+        bigrams.as("_bg"))
+      .select(col("doc_id"), col("n_toks"),
+        col("_sf").getField("arg").as("top_tok"),
+        when(col("n_toks") > 0,
+          rnd(col("_sf").getField("mx") / col("n_toks").cast("double"), 4))
+          .otherwise(0.0).as("top_tok_frac"),
+        col("max_run"),
+        when(size(col("_bg")) > 0,
+          rnd((size(col("_bg")) - size(array_distinct(col("_bg"))))
+            / size(col("_bg")).cast("double"), 4))
+          .otherwise(0.0).as("dup_2gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns shared by the Spark plan and the oracle — restricted
     * to the regex subset Java and RE2 interpret identically (character
     * classes + bounded quantifiers; no backrefs, no lookaround). */
@@ -251,6 +300,41 @@ object TextAnalysis {
          |  md5($scrubbed) AS scrub_hash
          |FROM documents ORDER BY doc_id""".stripMargin
     }
+
+    /** Oracle in CLOSED FORM rather than a struct-state fold: DuckDB
+      * 1.0's list_reduce mis-evaluates multi-field struct accumulators
+      * (a (prev,run,mx,arg) fold over [b,b,b,a] returns mx=4 — fields
+      * written earlier in the lambda's result struct alias into reads
+      * of the accumulator), so the sorted-fold semantics are expressed
+      * as what they reduce to: mx = the mode count, arg = the
+      * lexicographically-smallest mode token (the fold's strict ">"
+      * update fires first at the first sorted token reaching the global
+      * max), and the original-order max run via run-boundary indices
+      * (gaps-and-islands over the token list). */
+    val repetitionStats: String =
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksE AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY doc_id, tok),
+         |m AS (
+         |  SELECT doc_id, tok AS top_tok, c AS mode_cnt
+         |  FROM (SELECT doc_id, tok, c,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS r FROM c)
+         |  WHERE r = 1),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    list_concat([i for i in range(1, len(toks)+1) if i = 1 OR toks[i] <> toks[i-1]],
+         |                [len(toks)+1]) AS b,
+         |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bg
+         |  FROM t)
+         |SELECT f.doc_id, n_toks,
+         |  coalesce(top_tok, '') AS top_tok,
+         |  CASE WHEN n_toks > 0 THEN ${S.rnd("mode_cnt / CAST(n_toks AS DOUBLE)", 4)} ELSE 0.0e0 END AS top_tok_frac,
+         |  CAST(coalesce(list_max([b[i+1] - b[i] for i in range(1, len(b))]), 0) AS BIGINT) AS max_run,
+         |  CASE WHEN len(bg) > 0 THEN ${S.rnd("(len(bg) - len(list_distinct(bg))) / CAST(len(bg) AS DOUBLE)", 4)} ELSE 0.0e0 END AS dup_2gram_frac
+         |FROM f LEFT JOIN m ON f.doc_id = m.doc_id ORDER BY f.doc_id""".stripMargin
 
     val fingerprint: String =
       s"""SELECT doc_id,

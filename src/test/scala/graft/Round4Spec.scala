@@ -217,4 +217,55 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
       got.toSet shouldBe batchAll.collect().map(_.toString).toSet
     } finally q.stop()
   }
+
+  test("text_repetition matches a driver-side recomputation") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = texts.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val (topTok, modeCnt) =
+        if (n == 0) ("", 0L)
+        else {
+          val counts = toks.groupBy(identity).view.mapValues(_.length.toLong)
+          val mx = counts.values.max
+          (counts.filter(_._2 == mx).keys.min, mx)
+        }
+      val maxRun =
+        if (n == 0) 0L
+        else toks.foldLeft(("", 0L, 0L)) { case ((prev, run, mx), t) =>
+          val r2 = if (t == prev) run + 1 else 1L
+          (t, r2, math.max(mx, r2))
+        }._3
+      val bg = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val dup = if (bg.isEmpty) 0.0
+        else rnd4((bg.size - bg.distinct.size).toDouble / bg.size)
+      (id, n, topTok, if (n > 0) rnd4(modeCnt.toDouble / n) else 0.0, maxRun, dup)
+    }.toSet
+    val got = TextAnalysis.repetitionStats(spark, sfDir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    got shouldBe expected
+  }
+
+  test("pivot_daily: wide counts reconcile with the raw events table") {
+    val wide = Relational.pivotDaily(spark, sfDir)
+    wide.columns.toSeq shouldBe
+      ("day" +: Relational.pivotTypes.flatMap(t => Seq(s"${t}_cnt", s"${t}_val")))
+    val cntCols = Relational.pivotTypes.map(t => col(s"${t}_cnt"))
+    val pivotTotal = wide.select(cntCols.reduce(_ + _).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val raw = Tables.events(spark, sfDir)
+    // every event type in the data is covered by the fixed pivot list
+    raw.select("event_type").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Relational.pivotTypes.toSet) shouldBe true
+    pivotTotal shouldBe raw.count()
+    // spot-check one (day, type) cell against a direct filtered aggregate
+    val day0 = wide.select("day").orderBy("day").first().getDate(0)
+    val cell = wide.filter(col("day") === lit(day0))
+      .select("click_cnt").first().getLong(0)
+    raw.filter(to_date(col("ts")) === lit(day0) &&
+      col("event_type") === "click").count() shouldBe cell
+  }
 }
