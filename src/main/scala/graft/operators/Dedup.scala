@@ -80,6 +80,36 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("cnt"))
       .orderBy("content_hash")
 
+  /** Incremental (batch-vs-corpus) dedup — the shape a continuously-fed
+    * training pipeline actually runs: an incoming batch (here docs with
+    * doc_id ≡ 0 mod 10) checked against the EXISTING corpus's
+    * fingerprint store plus itself, each incoming doc classified as
+    * corpus_dup / batch_dup / new with its within-batch survivor.
+    *
+    * Scale shape: the corpus side reduces to DISTINCT content hashes
+    * first (the persisted fingerprint store — at 100 TB this is the
+    * artifact you keep between runs, not the corpus), and both lookups
+    * are hash equi-joins against the small batch; no self-join of the
+    * corpus anywhere. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val h = md5(col("text").cast("binary"))
+    val inc = docs.filter(pmod(col("doc_id"), lit(10L)) === 0)
+      .select(col("doc_id"), h.as("h"))
+    val store = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0)
+      .select(h.as("h")).distinct()
+      .withColumn("in_corpus", lit(1L))
+    val survivors = inc.groupBy("h").agg(min("doc_id").as("survivor_id"))
+    inc.join(store, Seq("h"), "left")
+      .join(survivors, "h")
+      .select(col("doc_id"),
+        when(col("in_corpus").isNotNull, "corpus_dup")
+          .when(col("doc_id") =!= col("survivor_id"), "batch_dup")
+          .otherwise("new").as("status"),
+        col("survivor_id"))
+      .orderBy("doc_id")
+  }
+
   /** Blocked n-gram Jaccard near-dup pairs: candidate pairs share
     * (lang, first token); J = |∩|/|∪| over distinct *hashed* shingles
     * (set ops on longs, not strings — same hash on both engines). */
@@ -427,6 +457,20 @@ object Dedup {
     val exact: String =
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS cnt
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin
+
+    val incremental: String =
+      """WITH inc AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+        |store AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+        |s AS (SELECT h, min(doc_id) AS survivor_id FROM inc GROUP BY h)
+        |SELECT inc.doc_id,
+        |  CASE WHEN store.h IS NOT NULL THEN 'corpus_dup'
+        |       WHEN inc.doc_id <> s.survivor_id THEN 'batch_dup'
+        |       ELSE 'new' END AS status,
+        |  s.survivor_id
+        |FROM inc LEFT JOIN store ON inc.h = store.h JOIN s ON inc.h = s.h
+        |ORDER BY inc.doc_id""".stripMargin
 
     def ngramJaccard(threshold: Double = 0.2): String =
       s"""WITH d AS (SELECT doc_id, lang, t0,

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Sequential/behavioral analytics over the events log — the funnel,
+  * cohort-retention, and histogram queries every large-scale product
+  * pipeline runs next to its ops dashboards (the reference aggregates
+  * run metrics with pandas group-bys, e.g. experiments/
+  * produce_h3_summary_and_plots.py; these are the event-log analogues
+  * re-expressed as shuffle-conscious Catalyst plans).
+  *
+  * Scale shapes: every operator aggregates BEFORE it joins (the join
+  * inputs are per-user/per-type reductions, never the raw log), all
+  * time arithmetic is integer microseconds (engine-exact), and no
+  * window runs over an unaggregated frame.
+  */
+object EventsAnalytics {
+
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Conversion funnel view → click → purchase with STRICTLY
+    * increasing timestamps per user, plus mean stage-transition delays.
+    *
+    * Each stage is a groupBy(user) min-timestamp aggregate joined to
+    * the (already tiny) previous stage — the raw log is scanned once
+    * per stage but never self-joined, so there is no pair expansion at
+    * any skew; per-stage state is one µs long per user. A hot user
+    * contributes one row to each join side regardless of event count. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val Seq(k1, k2, k3) = FunnelStages
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === k1)
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = e.filter(col("event_type") === k2)
+      .join(s1, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+    val s3 = e.filter(col("event_type") === k3)
+      .join(s2.select("user_id", "t2"), "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2"))
+    val r1 = s1.agg(count(lit(1)).as("n_view"))
+    val r2 = s2.agg(count(lit(1)).as("n_click"),
+      coalesce(rnd(sum(col("t2") - col("t1")).cast("double") / count(lit(1)) / lit(1e6), 2),
+        lit(0.0)).as("avg_view_to_click_s"))
+    val r3 = s3.agg(count(lit(1)).as("n_purchase"),
+      coalesce(rnd(sum(col("t3") - col("t2")).cast("double") / count(lit(1)) / lit(1e6), 2),
+        lit(0.0)).as("avg_click_to_purchase_s"))
+    r1.crossJoin(r2).crossJoin(r3)
+  }
+
+  /** Cohort retention matrix: users grouped by the date of their first
+    * event, counted on each later day they were active. The raw log
+    * reduces to distinct (user, day) BEFORE the cohort join, so the
+    * join input is bounded by users × active-days, not event count. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort"))
+    e.distinct()
+      .join(cohorts, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "offset_days")
+  }
+
+  val HistBinWidth = 25.0
+  val HistNumBins = 20
+
+  /** Fixed-bin value histogram per event type with within-type shares.
+    * Binning is a pure per-row map (map-side combined groupBy); the
+    * share window runs over the AGGREGATED types × bins frame, which is
+    * constant-size however large the log is. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val bin = least(greatest(floor(col("value") / HistBinWidth), lit(0.0)),
+      lit((HistNumBins - 1).toDouble)).cast("long")
+    val w = Window.partitionBy("event_type")
+    Tables.events(spark, dir)
+      .select(col("event_type"), bin.as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share", rnd(col("cnt") / sum("cnt").over(w).cast("double"), 4))
+      .select(col("event_type"), col("bin"),
+        rnd(col("bin") * HistBinWidth, 2).as("bin_lo"), col("cnt"), col("share"))
+      .orderBy("event_type", "bin")
+  }
+
+  object SqlOracle {
+    val funnel: String = {
+      val Seq(k1, k2, k3) = FunnelStages
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM ${S.eventsUs} events),
+         |s1 AS (
+         |  SELECT user_id, min(us) AS t1 FROM e WHERE event_type = '$k1' GROUP BY user_id),
+         |s2 AS (
+         |  SELECT e.user_id, min(us) AS t2, min(t1) AS t1
+         |  FROM e JOIN s1 USING (user_id)
+         |  WHERE event_type = '$k2' AND us > t1 GROUP BY e.user_id),
+         |s3 AS (
+         |  SELECT e.user_id, min(us) AS t3, min(t2) AS t2
+         |  FROM e JOIN s2 USING (user_id)
+         |  WHERE event_type = '$k3' AND us > t2 GROUP BY e.user_id),
+         |r1 AS (SELECT count(*) AS n_view FROM s1),
+         |r2 AS (SELECT count(*) AS n_click,
+         |  coalesce(${S.rnd("CAST(CAST(sum(t2 - t1) AS BIGINT) AS DOUBLE) / count(*) / 1e6", 2)}, 0.0e0)
+         |    AS avg_view_to_click_s FROM s2),
+         |r3 AS (SELECT count(*) AS n_purchase,
+         |  coalesce(${S.rnd("CAST(CAST(sum(t3 - t2) AS BIGINT) AS DOUBLE) / count(*) / 1e6", 2)}, 0.0e0)
+         |    AS avg_click_to_purchase_s FROM s3)
+         |SELECT * FROM r1, r2, r3""".stripMargin
+    }
+
+    val retention: String =
+      s"""WITH e AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day FROM ${S.eventsUs} events),
+         |cohorts AS (
+         |  SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+         |active AS (SELECT DISTINCT user_id, day FROM e)
+         |SELECT cohort,
+         |  CAST(date_diff('day', cohort, day) AS BIGINT) AS offset_days,
+         |  count(*) AS n_active
+         |FROM active JOIN cohorts USING (user_id)
+         |GROUP BY cohort, offset_days
+         |ORDER BY cohort, offset_days""".stripMargin
+
+    val histogram: String = {
+      val bin = s"CAST(least(greatest(floor(value / ${HistBinWidth}e0), 0.0e0), " +
+        s"${(HistNumBins - 1).toDouble}e0) AS BIGINT)"
+      s"""WITH b AS (
+         |  SELECT event_type, $bin AS bin FROM events),
+         |g AS (
+         |  SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY event_type, bin)
+         |SELECT event_type, bin,
+         |  ${S.rnd(s"bin * ${HistBinWidth}e0", 2)} AS bin_lo, cnt,
+         |  ${S.rnd("cnt / CAST(CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS DOUBLE)", 4)} AS share
+         |FROM g ORDER BY event_type, bin""".stripMargin
+    }
+  }
+}

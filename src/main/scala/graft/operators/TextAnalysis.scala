@@ -93,6 +93,18 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — the evaluation a pipeline runs to
+    * decide whether the heuristic classifier is good enough to gate on:
+    * predicted vs labeled language counts. The per-doc prediction frame
+    * reduces to (lang, pred_lang) pairs in one map-side-combined
+    * groupBy; output is |langs|² max. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir).select("doc_id", "pred_lang")
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred_lang")
+
   /** Deterministic quality score from token statistics
     * (length / distinct-ratio / token-length / stopword components). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -240,6 +252,13 @@ object TextAnalysis {
          |FROM (SELECT doc_id, $scores FROM documents)
          |ORDER BY doc_id""".stripMargin
     }
+
+    val langConfusion: String =
+      s"""WITH p AS ($langId)
+         |SELECT d.lang, p.pred_lang, count(*) AS cnt
+         |FROM p JOIN documents d USING (doc_id)
+         |GROUP BY d.lang, p.pred_lang
+         |ORDER BY d.lang, p.pred_lang""".stripMargin
 
     val qualityScore: String = {
       val stop = markers.head._2.map(w => s"'$w'").mkString(", ")

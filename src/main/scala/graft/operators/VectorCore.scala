@@ -59,6 +59,22 @@ object VectorCore {
         rnd(euclid(col("va"), col("vb")), 4).as("dist"))
       .orderBy("id_a")
 
+  /** Per-label centroids — the building block of IVF/k-means training
+    * (ref weaviate class ≈ label partitions; Ann.fitCentroids runs this
+    * same mean per Lloyd round) surfaced as a verified query. The
+    * vector column explodes to (label, dim, x) and reduces in ONE
+    * map-side-combined groupBy; per-dimension means are fixed-point
+    * ([[graft.functions.fxAvg]]) so the result is independent of
+    * accumulation order. Output is labels × dims rows — constant-size
+    * however many vectors flow in. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        rnd(fxAvg(col("x").cast("double"), 6), 6).as("c"))
+      .orderBy("label", "dim")
+
   object SqlOracle {
     private val joinFrom =
       """FROM (SELECT vec_id AS id_a, embedding AS va FROM embeddings) a
@@ -90,6 +106,12 @@ object VectorCore {
          |FROM (SELECT vec_id, $u AS u FROM embeddings)
          |ORDER BY vec_id""".stripMargin
     }
+
+    val centroids: String =
+      s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim, count(*) AS n_vecs,
+         |  ${S.rnd(S.fxAvg("CAST(embedding[i] AS DOUBLE)", 6), 6)} AS c
+         |FROM embeddings, range(1, ${Dim + 1}) t(i)
+         |GROUP BY label, dim ORDER BY label, dim""".stripMargin
 
     val euclidDist: String =
       s"""SELECT id_a, id_b, (floor((${S.euclid("va", "vb", Dim)}) * 1e4 + 0.5e0) / 1e4) AS dist

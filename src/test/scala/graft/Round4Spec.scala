@@ -249,6 +249,96 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     got shouldBe expected
   }
 
+  test("events_funnel matches a driver-side recomputation") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def stage(kind: String, prev: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(_._2 == kind)
+        .flatMap { case (u, _, t) => prev.get(u).filter(t > _).map(_ => (u, t)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val t2 = stage("click", t1)
+    val t3 = stage("purchase", t2)
+    def rnd2(x: Double) = math.floor(x * 1e2 + 0.5) / 1e2
+    val d12 = t2.map { case (u, t) => t - t1(u) }
+    val d23 = t3.map { case (u, t) => t - t2(u) }
+    val row = EventsAnalytics.funnel(spark, sfDir).collect()(0)
+    row.getLong(row.fieldIndex("n_view")) shouldBe t1.size
+    row.getLong(row.fieldIndex("n_click")) shouldBe t2.size
+    row.getLong(row.fieldIndex("n_purchase")) shouldBe t3.size
+    row.getDouble(row.fieldIndex("avg_view_to_click_s")) shouldBe
+      rnd2(d12.sum.toDouble / d12.size / 1e6)
+    row.getDouble(row.fieldIndex("avg_click_to_purchase_s")) shouldBe
+      rnd2(d23.sum.toDouble / d23.size / 1e6)
+  }
+
+  test("events_retention matches a driver-side recomputation") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = ev.distinct
+      .map { case (u, d) =>
+        (cohort(u), java.time.temporal.ChronoUnit.DAYS.between(cohort(u), d)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = EventsAnalytics.retention(spark, sfDir).collect().map(r =>
+      (r.getDate(0).toLocalDate, r.getLong(1)) -> r.getLong(2)).toMap
+    got shouldBe expected
+    // offset 0 of every cohort contains at least the users born that day
+    got.keys.count(_._2 == 0L) shouldBe cohort.values.toSet.size
+  }
+
+  test("events_histogram: counts reconcile and shares sum to ~1 per type") {
+    val rows = EventsAnalytics.histogram(spark, sfDir).collect()
+    rows.map(_.getLong(3)).sum shouldBe Tables.events(spark, sfDir).count()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.map(_.getDouble(4)).sum shouldBe 1.0 +- 0.01
+    }
+    all(rows.map(_.getLong(1))) should (be >= 0L and be < EventsAnalytics.HistNumBins.toLong)
+  }
+
+  test("v_centroids: labels x dims rows; one centroid equals the driver-side mean") {
+    val rows = VectorCore.centroids(spark, sfDir).collect()
+    val labels = Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    rows.length shouldBe labels * VectorCore.Dim
+    val vecs0 = Tables.embeddings(spark, sfDir)
+      .filter(col("label") === 0).select("embedding")
+      .collect().map(_.getSeq[Float](0))
+    val fx = vecs0.map(v => math.floor(v(0).toDouble * 1e6 + 0.5).toLong).sum
+    val exp = math.floor((fx.toDouble / vecs0.length / 1e6) * 1e6 + 0.5) / 1e6
+    val got = rows.find(r => r.getInt(0) == 0 && r.getLong(1) == 0L).get.getDouble(3)
+    got shouldBe exp
+  }
+
+  test("dedup_incremental matches a driver-side recomputation") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (inc, existing) = docs.partition(_._1 % 10 == 0)
+    val corpusTexts = existing.map(_._2).toSet
+    val survivor = inc.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expected = inc.map { case (id, text) =>
+      val status =
+        if (corpusTexts.contains(text)) "corpus_dup"
+        else if (id != survivor(text)) "batch_dup"
+        else "new"
+      (id, status, survivor(text))
+    }.toSet
+    val got = Dedup.incremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe expected
+  }
+
+  test("eval_lang_confusion: counts cover every document exactly once") {
+    val rows = TextAnalysis.langConfusion(spark, sfDir).collect()
+    rows.map(_.getLong(2)).sum shouldBe Tables.documents(spark, sfDir).count()
+    // row-wise totals equal per-language document counts
+    val byLang = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val docCounts = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.toMap shouldBe docCounts
+  }
+
   test("pivot_daily: wide counts reconcile with the raw events table") {
     val wide = Relational.pivotDaily(spark, sfDir)
     wide.columns.toSeq shouldBe
