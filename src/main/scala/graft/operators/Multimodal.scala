@@ -147,6 +147,69 @@ object Multimodal {
       .orderBy("media_id", "rank")
   }
 
+  /** Modality headers planted on the text corpus — 4 ASCII bytes each
+    * (standing in for JPEG/RIFF/ftyp magic bytes) so the oracle can
+    * plant and sniff the identical prefix. */
+  val ModalityHeaders: Seq[(String, String)] =
+    Seq("IMG0" -> "image", "AUD0" -> "audio", "VID0" -> "video")
+
+  /** Mixed-modality corpus: each payload gets a deterministic magic-
+    * byte header by doc_id (the corpus has one real modality, so the
+    * query PLANTS the mix it must then route — the piiScrub pattern). */
+  def mixedMediaFrame(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val hdr = element_at(
+      array(ModalityHeaders.map(h => lit(h._1)): _*),
+      (pmod(col("doc_id"), lit(3L)) + 1).cast("int"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        concat(hdr.cast("binary"), col("text").cast("binary")).as("payload"),
+        lit("application/octet-stream").as("mime"),
+        (octet_length(col("text").cast("binary")) + lit(4)).cast("long").as("n_bytes"))
+      .as[MediaRow]
+  }
+
+  /** Routed per-modality feature row. */
+  case class RoutedFeature(media_id: Long, modality: String, n_bytes: Long,
+                           checksum: Long, feat: Double)
+
+  /** Magic-byte modality routing + per-modality feature extraction in
+    * ONE partition-local pass — the mixed-modality ingest shape: the
+    * router sniffs the payload header (as a real pipeline sniffs
+    * FFD8/RIFF/ftyp), dispatches to the modality's (stub) decoder, and
+    * emits a uniform feature schema; adding a modality = one more
+    * dispatch arm, no plan change. Zero shuffle, decoder init amortized
+    * per partition. */
+  def routeModalities(media: Dataset[MediaRow]): Dataset[RoutedFeature] = {
+    import media.sparkSession.implicits._
+    val headers = ModalityHeaders.toMap
+    media.mapPartitions { rows =>
+      // per-partition decoder inits (one per modality) would go here
+      rows.map { r =>
+        val hdr = new String(r.payload.take(4), java.nio.charset.StandardCharsets.US_ASCII)
+        val modality = headers.getOrElse(hdr, "unknown")
+        val body = r.payload.drop(4)
+        var s = 0L
+        var i = 0
+        while (i < body.length) { s += body(i) & 0xff; i += 1 }
+        val feat = modality match {
+          case "image" => (s % 997).toDouble / 997.0
+          case "audio" => (s % 101).toDouble / 101.0
+          case "video" => ((body.length + 63) / 64).toDouble // frame count
+          case _ => 0.0
+        }
+        RoutedFeature(r.media_id, modality, body.length.toLong, s, feat)
+      }
+    }
+  }
+
+  /** Verified mixed-modality routing query. */
+  def modalityRoute(spark: SparkSession, dir: String): DataFrame =
+    routeModalities(mixedMediaFrame(spark, dir)).toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"),
+        col("checksum"), rnd(col("feat"), 4).as("feat"))
+      .orderBy("media_id")
+
   /** Verified frame-sampling query (every 2nd 64-byte frame). */
   def frameFeaturesQ(spark: SparkSession, dir: String): DataFrame =
     frameFeatures(mediaFrame(spark, dir)).toDF()
@@ -200,6 +263,34 @@ object Multimodal {
          |  (floor((score) * 1e4 + 0.5e0) / 1e4) AS score
          |FROM ranked WHERE rank <= ${Knn.K}
          |ORDER BY media_id, rank""".stripMargin
+    }
+
+    /** Mixed-modality routing: the same header plant + sniff + body
+      * byte-sum (ASCII corpus: byte == codepoint), per-modality feature
+      * arms mirrored. */
+    val modalityRoute: String = {
+      val hdrCase = "CASE media_id % 3 WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0' ELSE 'VID0' END"
+      val modCase = ModalityHeaders.map { case (h, m) =>
+        s"WHEN '$h' THEN '$m'"
+      }.mkString("CASE hdr ", " ", " ELSE 'unknown' END")
+      s"""WITH p AS (
+         |  SELECT doc_id AS media_id, $hdrCase || text AS pt FROM documents),
+         |r AS (
+         |  SELECT media_id, substr(pt, 1, 4) AS hdr, substr(pt, 5) AS body FROM p),
+         |c AS (
+         |  SELECT media_id, $modCase AS modality,
+         |    CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(ch) AS BIGINT) for ch in string_split(body, '')]),
+         |      (a, x) -> a + x) AS BIGINT) AS checksum
+         |  FROM r)
+         |SELECT media_id, modality, n_bytes, checksum,
+         |  (floor((CASE modality
+         |     WHEN 'image' THEN CAST(checksum % 997 AS DOUBLE) / 997.0
+         |     WHEN 'audio' THEN CAST(checksum % 101 AS DOUBLE) / 101.0
+         |     WHEN 'video' THEN CAST((n_bytes + 63) // 64 AS DOUBLE)
+         |     ELSE 0.0e0 END) * 1e4 + 0.5e0) / 1e4) AS feat
+         |FROM c ORDER BY media_id""".stripMargin
     }
 
     /** ASCII corpus: frame byte-sums == codepoint-sums of substrings. */

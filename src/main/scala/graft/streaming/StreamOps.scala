@@ -219,6 +219,54 @@ object StreamOps {
       }
   }
 
+  /** Funnel progress state: events still above the watermark (held for
+    * ordering) + the drained horizon + stage timestamps (-1 = unset). */
+  case class FunnelSt(buf: Seq[(Long, Long, String)], drainedTo: Long,
+                      t1: Long, t2: Long, t3: Long)
+  case class FunnelOut(user_id: Long, stage: Long, t1_ms: Long, t2_ms: Long, t3_ms: Long)
+
+  /** Streaming conversion funnel — the streaming form of
+    * [[graft.operators.EventsAnalytics.funnel]] (first view, first
+    * click strictly after it, first purchase strictly after that),
+    * correct under OUT-OF-ORDER arrival: new events buffer in state
+    * until the watermark passes them, then fold into the stage machine
+    * in (event-time, event_id) order and leave the buffer. Because
+    * drains are watermark-monotone, the fold sees events in global
+    * event-time order however they arrived, so the converged state
+    * equals the batch funnel on the same data. State is bounded by the
+    * watermark horizon (the buffer drains as the watermark advances);
+    * events at-or-below the drained horizon are dropped, the standard
+    * late-data contract. A group with held events arms an event-time
+    * timeout at its EARLIEST held timestamp — mapGroupsWithState only
+    * runs for groups with new input, so without the timeout a user who
+    * goes quiet would never drain. Emits the user's current stage each
+    * invocation (update semantics, [[latestByKeyStream]]'s shape). */
+  def funnelStream(events: Dataset[Ev], horizon: String = "10 minutes",
+                   stages: Seq[String] = graft.operators.EventsAnalytics.FunnelStages): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelSt, FunnelOut](GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[FunnelSt]) =>
+          val st0 = state.getOption.getOrElse(FunnelSt(Nil, Long.MinValue, -1L, -1L, -1L))
+          val fresh = evs.map(e => (e.ts.getTime, e.event_id, e.event_type))
+            .filter(_._1 > st0.drainedTo).toSeq
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, hold) = (st0.buf ++ fresh).partition(_._1 <= wm)
+          var (t1, t2, t3) = (st0.t1, st0.t2, st0.t3)
+          ripe.sortBy(e => (e._1, e._2)).foreach { case (ts, _, tpe) =>
+            if (tpe == stages(0)) { if (t1 < 0) t1 = ts }
+            else if (tpe == stages(1)) { if (t2 < 0 && t1 >= 0 && ts > t1) t2 = ts }
+            else if (tpe == stages(2)) { if (t3 < 0 && t2 >= 0 && ts > t2) t3 = ts }
+          }
+          state.update(FunnelSt(hold, math.max(st0.drainedTo, wm), t1, t2, t3))
+          // re-wake this group when the watermark reaches its oldest
+          // held event (always > wm here, as setTimeoutTimestamp needs)
+          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
+          FunnelOut(user, Seq(t1, t2, t3).count(_ >= 0).toLong, t1, t2, t3)
+      }
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: a session is
     * emitted when a later event for the user passes the inactivity gap,
     * or (with ProcessingTimeTimeout, the production default) when the

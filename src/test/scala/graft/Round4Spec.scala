@@ -249,6 +249,61 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     got shouldBe expected
   }
 
+  test("funnelStream: out-of-order arrival converges to the batch funnel semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    def ev(id: Long, m: Int, u: Long, t: String) =
+      graft.streaming.StreamOps.Ev(id, ts(m), u, t, 1.0)
+    val input = MemoryStream[graft.streaming.StreamOps.Ev]
+    val q = graft.streaming.StreamOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      // user 1 completes the funnel but arrives OUT of order;
+      // user 2's click precedes their first view -> must stay stage 1
+      input.addData(
+        ev(1, 20, 1, "click"), ev(2, 30, 1, "purchase"), ev(3, 10, 1, "view"),
+        ev(4, 5, 2, "click"), ev(5, 15, 2, "view"))
+      q.processAllAvailable()
+      input.addData(ev(6, 400, 99, "view")) // watermark pusher
+      q.processAllAvailable()
+      input.addData(ev(7, 401, 99, "view")) // fire remaining timeouts
+      q.processAllAvailable()
+      val rows = spark.table("funnel")
+        .as[graft.streaming.StreamOps.FunnelOut].collect()
+      val u1 = rows.filter(_.user_id == 1L).maxBy(_.stage)
+      (u1.stage, u1.t1_ms, u1.t2_ms, u1.t3_ms) shouldBe
+        (3L, ts(10).getTime, ts(20).getTime, ts(30).getTime)
+      val u2 = rows.filter(_.user_id == 2L).maxBy(_.stage)
+      (u2.stage, u2.t1_ms, u2.t2_ms) shouldBe (1L, ts(15).getTime, -1L)
+    } finally q.stop()
+  }
+
+  test("mm_modality_route matches a driver-side recomputation") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val headers = Multimodal.ModalityHeaders
+    val expected = texts.map { case (id, text) =>
+      val (_, modality) = headers((id % 3).toInt)
+      val body = text.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val s = body.map(_ & 0xff).map(_.toLong).sum
+      val feat = modality match {
+        case "image" => (s % 997).toDouble / 997.0
+        case "audio" => (s % 101).toDouble / 101.0
+        case _ => ((body.length + 63) / 64).toDouble
+      }
+      (id, modality, body.length.toLong, s, rnd4(feat))
+    }.toSet
+    val got = Multimodal.modalityRoute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    got shouldBe expected
+  }
+
   test("events_funnel matches a driver-side recomputation") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
