@@ -89,6 +89,29 @@ object EventsAnalytics {
       .orderBy("event_type", "bin")
   }
 
+  /** Z-score outlier detection per event type — the metric-anomaly
+    * sweep an ops pipeline runs over its telemetry. Two passes: a
+    * map-side-combined stats aggregate (count + fixed-point Σv, Σv²,
+    * so mean/std are identical bit-for-bit on any partitioning — at
+    * larger value ranges the fixed-point scale must shrink to keep the
+    * long sum from overflowing; Welford partials are the
+    * arbitrary-range variant), broadcast back over the log as a pure
+    * filter. No shuffle of the log itself. */
+  def anomalies(spark: SparkSession, dir: String, z: Double = 3.0): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), fxSum(col("value"), 6).as("sm"),
+        fxSum(col("value") * col("value"), 6).as("sm2"))
+      .select(col("event_type"), (col("sm") / col("n")).as("mean"),
+        sqrt(col("sm2") / col("n") - (col("sm") / col("n")) * (col("sm") / col("n"))).as("std"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .filter(col("std") > 0 && abs(col("value") - col("mean")) > lit(z) * col("std"))
+      .select(col("event_id"), col("event_type"), rnd(col("value"), 4).as("value"),
+        rnd((col("value") - col("mean")) / col("std"), 4).as("z_score"))
+      .orderBy("event_id")
+  }
+
   object SqlOracle {
     val funnel: String = {
       val Seq(k1, k2, k3) = FunnelStages
@@ -126,6 +149,22 @@ object EventsAnalytics {
          |FROM active JOIN cohorts USING (user_id)
          |GROUP BY cohort, offset_days
          |ORDER BY cohort, offset_days""".stripMargin
+
+    def anomalies(z: Double = 3.0): String =
+      s"""WITH s AS (
+         |  SELECT event_type, count(*) AS n,
+         |    ${S.fxSum("value", 6)} AS sm, ${S.fxSum("value * value", 6)} AS sm2
+         |  FROM events GROUP BY event_type),
+         |st AS (
+         |  SELECT event_type, sm / n AS mean,
+         |    sqrt(sm2 / n - (sm / n) * (sm / n)) AS std
+         |  FROM s)
+         |SELECT event_id, e.event_type,
+         |  ${S.rnd("value", 4)} AS value,
+         |  ${S.rnd("(value - mean) / std", 4)} AS z_score
+         |FROM events e JOIN st ON e.event_type = st.event_type
+         |WHERE std > 0 AND abs(value - mean) > ${z}e0 * std
+         |ORDER BY event_id""".stripMargin
 
     val histogram: String = {
       val bin = s"CAST(least(greatest(floor(value / ${HistBinWidth}e0), 0.0e0), " +

@@ -45,6 +45,25 @@ object Shaping {
       .orderBy("doc_id")
   }
 
+  /** Distributed reservoir sampling: a fixed-size uniform-without-
+    * replacement sample per language = the k rows with the SMALLEST
+    * deterministic hash priorities (the classic priority-sample
+    * equivalence). The bounded-heap TopKByScore aggregate reduces every
+    * partition to ≤ k rows per language before the one shuffle — the
+    * same operator that makes knn scale — so the sample costs one scan
+    * however large the corpus, and the explicit hash priority makes it
+    * retry-stable and engine-portable (never rand()). */
+  def reservoirSample(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        polyHash(concat(lit("rsv"), col("doc_id").cast("string")), 131).as("pr"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKAgg.topKBy((-col("pr")).cast("double"), col("doc_id"), k).as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("lang"), col("e.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("lang", "rank")
+
   val NShards = 64
   val BinCapacity = 512L
 
@@ -162,6 +181,18 @@ object Shaping {
   }
 
   object SqlOracle {
+    def reservoirSample(k: Int = 20): String =
+      s"""WITH p AS (
+         |  SELECT lang, doc_id,
+         |    ${S.polyHash("'rsv' || CAST(doc_id AS VARCHAR)", 131)} AS pr
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rank
+         |  FROM p)
+         |SELECT lang, doc_id, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $k ORDER BY lang, rank""".stripMargin
+
     val stratifiedSample: String = {
       val quota = quotas.foldRight("1000") { case ((l, q), els) =>
         s"CASE WHEN lang = '$l' THEN $q ELSE $els END"

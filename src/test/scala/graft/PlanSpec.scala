@@ -207,4 +207,47 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
   }
+
+  test("events_funnel: no unaggregated log self-join, no cartesian pair expansion") {
+    val p = plan(EventsAnalytics.funnel(spark, sfDir))
+    p should not include "CartesianProduct"
+    // stage frames are per-user aggregates before each join
+    p.toLowerCase should include("partial_min")
+  }
+
+  test("events_histogram: share window runs over the aggregated frame only") {
+    val df = EventsAnalytics.histogram(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // groupBy exchange + window-by-type exchange + final sort — the
+    // window never sees the raw log
+    "Exchange".r.findAllIn(p).size should be <= 3
+    p should include("Window")
+  }
+
+  test("events_anomaly: stats broadcast back over the log, no shuffle join") {
+    val p = plan(EventsAnalytics.anomalies(spark, sfDir))
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("v_centroids: map-side partial aggregation after the explode") {
+    val p = plan(VectorCore.centroids(spark, sfDir))
+    p.toLowerCase should include("partial_count")
+    p should not include "Window"
+  }
+
+  test("sample_reservoir: bounded-heap top-k partials, no window sort") {
+    val p = plan(Shaping.reservoirSample(spark, sfDir))
+    p.toLowerCase should include("partial_topkbyscore")
+    p should not include "Window"
+  }
+
+  test("dedup_incremental: fingerprint store aggregated before the batch joins") {
+    val p = plan(Dedup.incremental(spark, sfDir))
+    p should not include "CartesianProduct"
+    // the corpus side reduces to distinct hashes (an aggregate), and
+    // the within-batch survivor is a map-side min
+    p.toLowerCase should include("partial_min")
+  }
 }

@@ -394,6 +394,42 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     byLang.toMap shouldBe docCounts
   }
 
+  test("sample_reservoir matches a driver-side priority sample") {
+    def pHash(s: String, base: Long = 131L): Long =
+      s.foldLeft(0L)((h, c) => (h * base + c.toLong) % graft.functions.HashP)
+    val docs = Tables.documents(spark, sfDir).select("lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      rows.toSeq.map(r => (pHash(s"rsv${r._2}"), r._2)).sorted.take(20)
+        .zipWithIndex.map { case ((_, id), i) => (lang, id, (i + 1).toLong) }
+    }.toSet
+    val got = Shaping.reservoirSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe expected
+  }
+
+  test("events_anomaly matches a driver-side z-score recomputation") {
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def fx6(xs: Seq[Double]) = xs.map(x => math.floor(x * 1e6 + 0.5).toLong).sum / 1e6
+    val stats = ev.groupBy(_._2).map { case (t, rows) =>
+      val vs = rows.map(_._3).toSeq
+      val mean = fx6(vs) / vs.size
+      t -> (mean, math.sqrt(fx6(vs.map(v => v * v)) / vs.size - mean * mean))
+    }
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val expected = ev.flatMap { case (id, t, v) =>
+      val (mean, std) = stats(t)
+      if (std > 0 && math.abs(v - mean) > 3.0 * std)
+        Some((id, t, rnd4(v), rnd4((v - mean) / std))) else None
+    }.toSet
+    expected should not be empty
+    val got = EventsAnalytics.anomalies(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    got shouldBe expected
+  }
+
   test("pivot_daily: wide counts reconcile with the raw events table") {
     val wide = Relational.pivotDaily(spark, sfDir)
     wide.columns.toSeq shouldBe
