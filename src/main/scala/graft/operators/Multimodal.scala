@@ -161,11 +161,13 @@ object Multimodal {
     val hdr = element_at(
       array(ModalityHeaders.map(h => lit(h._1)): _*),
       (pmod(col("doc_id"), lit(3L)) + 1).cast("int"))
+    // a null doc still routes by its header: empty body, not null row
+    val body = coalesce(col("text"), lit("")).cast("binary")
     Tables.documents(spark, dir)
       .select(col("doc_id").as("media_id"),
-        concat(hdr.cast("binary"), col("text").cast("binary")).as("payload"),
+        concat(hdr.cast("binary"), body).as("payload"),
         lit("application/octet-stream").as("mime"),
-        (octet_length(col("text").cast("binary")) + lit(4)).cast("long").as("n_bytes"))
+        (octet_length(body) + lit(4)).cast("long").as("n_bytes"))
       .as[MediaRow]
   }
 
@@ -274,7 +276,7 @@ object Multimodal {
         s"WHEN '$h' THEN '$m'"
       }.mkString("CASE hdr ", " ", " ELSE 'unknown' END")
       s"""WITH p AS (
-         |  SELECT doc_id AS media_id, $hdrCase || text AS pt FROM documents),
+         |  SELECT doc_id AS media_id, $hdrCase || coalesce(text, '') AS pt FROM documents),
          |r AS (
          |  SELECT media_id, substr(pt, 1, 4) AS hdr, substr(pt, 5) AS body FROM p),
          |c AS (

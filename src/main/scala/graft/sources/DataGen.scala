@@ -86,6 +86,28 @@ object DataGen {
     ids.select(col("vec_id"), emb.as("embedding"), label.as("label"))
   }
 
+  /** events(event_id, ts, user_id, event_type, value, props) — the
+    * driver ops-log shape: 30 days of timestamps at µs resolution,
+    * the five standard event types (so the pivot/funnel operators see
+    * their fixed type lists), hash-derived users and values. */
+  def events(spark: SparkSession, nEvents: Long, nUsers: Long,
+             seed: Long = 42L): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
+    val spanUs = 30L * 86400L * 1000000L
+    spark.range(nEvents).select(col("id").as("event_id"))
+      .select(
+        col("event_id"),
+        timestamp_micros(lit(baseUs) +
+          pmod(xxhash64(lit(seed + 6), col("event_id")), lit(spanUs))).as("ts"),
+        pmod(xxhash64(lit(seed + 7), col("event_id")), lit(nUsers)).as("user_id"),
+        element_at(array(types.map(lit): _*),
+          (pmod(xxhash64(lit(seed + 8), col("event_id")), lit(types.size)) + 1).cast("int"))
+          .as("event_type"),
+        (floor(u01(seed + 9, col("event_id")) * 500.0 * 100.0 + 0.5) / 100.0).as("value"),
+        concat(lit("p"), pmod(xxhash64(lit(seed + 10), col("event_id")), lit(3))).as("props"))
+  }
+
   /** (q_id, doc_id) relevance pairs for the first `nQueries` docs:
     * a doc is relevant iff it shares the query doc's lang (the ref's
     * synthetic qrels shape, auto_run_tests.py:509-510). The query side
@@ -102,10 +124,13 @@ object DataGen {
   /** Writes a full generated dataset in the driver-table layout, so any
     * operator runs on it unchanged by pointing its `dir` here. */
   def writeDataset(spark: SparkSession, dir: String, nDocs: Long,
-                   nVecs: Long, seed: Long = 42L): Unit = {
+                   nVecs: Long, seed: Long = 42L, nEvents: Long = 0L): Unit = {
     documents(spark, nDocs, seed).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
     embeddings(spark, nVecs, seed = seed).write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
+    if (nEvents > 0)
+      events(spark, nEvents, math.max(nEvents / 66, 1), seed).write
+        .mode("overwrite").parquet(s"$dir/events.parquet")
   }
 }

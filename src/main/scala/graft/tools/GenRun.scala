@@ -2,16 +2,15 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only scale sanity: run every documents/embeddings-backed query
-  * of the inventory against a generated corpus 10× the sf0.1 size
-  * (50k docs / 20k vectors) — no oracle, just "completes, returns
-  * rows, in bounded time". Catches latent blowups the 10-query bench
-  * scale subset misses. Event/TPC-H-table queries are skipped (the
-  * generated dir has no such tables). */
+/** Dev-only scale sanity: run every documents/embeddings/events-backed
+  * query of the inventory against a generated corpus 10× the sf0.1
+  * size (50k docs / 20k vectors / 1M events) — no oracle, just
+  * "completes, returns rows, in bounded time". Catches latent blowups
+  * the 10-query bench scale subset misses. Only TPC-H-table queries
+  * are skipped (the generated dir has no such tables). */
 object GenRun {
   private val SkipPrefixes = Seq(
-    "q1_", "q3_", "q_", "latency", "ingest", "run_summary", "stats",
-    "stream_", "source_roundtrip_events", "events_")
+    "q1_", "q3_", "q_window_topn", "q_distinct_count", "q_semi_anti_join")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -20,7 +19,8 @@ object GenRun {
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-genrun")
     val dir = base.toString
-    graft.sources.DataGen.writeDataset(spark, dir, 50000L, 20000L)
+    graft.sources.DataGen.writeDataset(spark, dir, 50000L, 20000L,
+      nEvents = 1000000L)
     var failed = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (SkipPrefixes.exists(name.startsWith)) ()

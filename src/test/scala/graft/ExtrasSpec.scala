@@ -415,7 +415,11 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
       "eval_ndcg_at_k", "eval_mrr", "ann_ivf_pq", "q_semi_anti_join",
       "dedup_cluster_labels", "mm_embed_search",
       "source_roundtrip_events_csv", "source_roundtrip_docs_jsonl",
-      "text_vocab_coverage", "audit_corpus_integrity", "events_salted_sum")
+      "text_vocab_coverage", "audit_corpus_integrity", "events_salted_sum",
+      "pivot_daily", "text_repetition", "events_funnel", "events_retention",
+      "events_histogram", "events_anomaly", "v_centroids",
+      "dedup_incremental", "eval_lang_confusion", "mm_modality_route",
+      "sample_reservoir")
     val failures = perFamily.flatMap { n =>
       try { SparkEntry.queries(n)(spark, tmp).count(); None }
       catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
@@ -438,7 +442,9 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val subset = Seq("text_token_count", "text_lang_id", "text_normalize",
       "text_fingerprint", "text_pii_scrub", "dedup_exact",
-      "dedup_simhash", "sample_stratified", "pack_sequences")
+      "dedup_simhash", "sample_stratified", "pack_sequences",
+      "text_repetition", "dedup_incremental", "sample_reservoir",
+      "mm_modality_route", "eval_lang_confusion")
     val failures = subset.flatMap { n =>
       try { SparkEntry.queries(n)(spark, tmp).count(); None }
       catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName}") }
