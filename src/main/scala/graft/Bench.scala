@@ -61,8 +61,8 @@ object Bench {
         val basePath = java.nio.file.Files.createTempDirectory("graft-scale")
         val base = basePath.toString
         val d1 = s"$base/x1"; val d10 = s"$base/x10"
-        sources.DataGen.writeDataset(spark, d1, 5000L, 2000L)
-        sources.DataGen.writeDataset(spark, d10, 50000L, 20000L)
+        sources.DataGen.writeDataset(spark, d1, 5000L, 2000L, nEvents = 100000L)
+        sources.DataGen.writeDataset(spark, d10, 50000L, 20000L, nEvents = 1000000L)
         // The scale timings run in a FRESH child JVM (tools.ScaleRun):
         // after the 60+-query × 2-pass marathon above, this JVM's
         // GC/metaspace/codegen churn makes wall times meaningless —

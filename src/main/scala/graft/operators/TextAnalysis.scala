@@ -202,6 +202,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** log2 lookup bound: token counts and doc lengths clamp here before
+    * the table lookup. Docs longer than the cap saturate the signal —
+    * IDENTICALLY on both engines, so the hash contract holds; raise the
+    * cap (it only grows two literal arrays) for longer-doc corpora. */
+  val EntropyCap = 256
+
+  /** log2(1..cap) computed once in Scala and embedded as a literal
+    * array in BOTH the plan and the oracle (the NDCG discount-table
+    * technique) — neither engine ever evaluates a log, so there is no
+    * libm divergence to round away. */
+  val log2Table: Seq[Double] =
+    (1 to EntropyCap).map(k =>
+      math.floor(math.log(k) / math.log(2.0) * 1e9 + 0.5) / 1e9)
+
+  /** Token-distribution (Shannon) entropy per document — the
+    * vocabulary-diversity quality signal (low entropy = repetitive/
+    * boilerplate text even when uniq_ratio looks fine). Identity used:
+    * H = log2(n) − (Σ c·log2(c)) / n over per-token counts c, so only
+    * integer-indexed table lookups are needed. The per-term products
+    * are fixed-point longs summed with an order-free integer fold
+    * (list_distinct order differs between engines — a double fold in
+    * that order would be ULP-order-dependent). Pure per-row map, zero
+    * shuffle. */
+  def entropy(spark: SparkSession, dir: String): DataFrame = {
+    val tbl = array(log2Table.map(lit): _*)
+    val counts = transform(array_distinct(col("_toks")),
+      u => size(filter(col("_toks"), x => x === u)).cast("long"))
+    val n = size(col("_toks")).cast("long")
+    val sumFx = aggregate(col("_cnts"), lit(0L), (a, c) =>
+      a + floor(c.cast("double") *
+        element_at(tbl, least(c, lit(EntropyCap.toLong)).cast("int")) * 1e6 + 0.5).cast("long"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), col("_toks"), n.as("n_toks"), counts.as("_cnts"))
+      .select(col("doc_id"), col("n_toks"),
+        size(col("_cnts")).cast("long").as("n_uniq"),
+        when(col("n_toks") > 0, rnd(
+          element_at(tbl, least(col("n_toks"), lit(EntropyCap.toLong)).cast("int"))
+            - (sumFx / 1e6) / col("n_toks"), 4))
+          .otherwise(0.0).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** PII patterns shared by the Spark plan and the oracle — restricted
     * to the regex subset Java and RE2 interpret identically (character
     * classes + bounded quantifiers; no backrefs, no lookaround). */
@@ -354,6 +397,33 @@ object TextAnalysis {
          |  CAST(coalesce(list_max([b[i+1] - b[i] for i in range(1, len(b))]), 0) AS BIGINT) AS max_run,
          |  CASE WHEN len(bg) > 0 THEN ${S.rnd("(len(bg) - len(list_distinct(bg))) / CAST(len(bg) AS DOUBLE)", 4)} ELSE 0.0e0 END AS dup_2gram_frac
          |FROM f LEFT JOIN m ON f.doc_id = m.doc_id ORDER BY f.doc_id""".stripMargin
+
+    val entropy: String = {
+      // 1-indexed literal log2 table, identical values to the plan's
+      val tbl = log2Table.map(v => s"${v}e0").mkString("[", ", ", "]")
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksE AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    [CAST(len(list_filter(toks, x -> x = u)) AS BIGINT)
+         |     for u in list_distinct(toks)] AS cnts
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(len(cnts) AS BIGINT) AS n_uniq,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(floor(CAST(c AS DOUBLE) *
+         |         ($tbl)[CAST(least(c, ${EntropyCap}) AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+         |       for c in cnts]),
+         |      (a, b) -> a + b) AS BIGINT) AS sfx
+         |  FROM c)
+         |SELECT doc_id, n_toks, n_uniq,
+         |  CASE WHEN n_toks > 0 THEN
+         |    ${S.rnd(s"($tbl)[CAST(least(n_toks, ${EntropyCap}) AS INT)] - (sfx / 1e6) / n_toks", 4)}
+         |  ELSE 0.0e0 END AS entropy
+         |FROM f ORDER BY doc_id""".stripMargin
+    }
 
     val fingerprint: String =
       s"""SELECT doc_id,

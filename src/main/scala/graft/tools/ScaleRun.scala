@@ -22,7 +22,10 @@ object ScaleRun {
     "enc_hashing_tf", "pipeline_hashing_search", "knn_bruteforce",
     "ann_lsh_hyperplane", "ann_ivf", "ann_pq_encode",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-    "text_quality_score")
+    "text_quality_score",
+    // events family (generated log): sequential-join funnel, distinct+
+    // join retention, stats-broadcast anomaly sweep
+    "events_funnel", "events_retention", "events_anomaly")
 
   def scaleJson(spark: SparkSession, d1: String, d10: String): String = {
     def timed(name: String, dir: String): Double = {

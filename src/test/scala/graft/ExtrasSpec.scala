@@ -419,7 +419,7 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
       "pivot_daily", "text_repetition", "events_funnel", "events_retention",
       "events_histogram", "events_anomaly", "v_centroids",
       "dedup_incremental", "eval_lang_confusion", "mm_modality_route",
-      "sample_reservoir")
+      "sample_reservoir", "text_entropy")
     val failures = perFamily.flatMap { n =>
       try { SparkEntry.queries(n)(spark, tmp).count(); None }
       catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
@@ -444,7 +444,7 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
       "text_fingerprint", "text_pii_scrub", "dedup_exact",
       "dedup_simhash", "sample_stratified", "pack_sequences",
       "text_repetition", "dedup_incremental", "sample_reservoir",
-      "mm_modality_route", "eval_lang_confusion")
+      "mm_modality_route", "eval_lang_confusion", "text_entropy")
     val failures = subset.flatMap { n =>
       try { SparkEntry.queries(n)(spark, tmp).count(); None }
       catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName}") }

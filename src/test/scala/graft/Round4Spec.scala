@@ -394,6 +394,30 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     byLang.toMap shouldBe docCounts
   }
 
+  test("text_entropy matches a driver-side recomputation through the literal table") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val tbl = TextAnalysis.log2Table
+    val expected = texts.map { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val cnts = toks.groupBy(identity).values.map(_.length.toLong).toSeq
+      val h = if (n == 0) 0.0 else {
+        val sfx = cnts.map(c => math.floor(
+          c.toDouble * tbl(math.min(c, TextAnalysis.EntropyCap.toLong).toInt - 1) * 1e6 + 0.5).toLong).sum
+        rnd4(tbl(math.min(n, TextAnalysis.EntropyCap.toLong).toInt - 1) - (sfx / 1e6) / n)
+      }
+      (id, n, cnts.size.toLong, h)
+    }.toSet
+    val got = TextAnalysis.entropy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    got shouldBe expected
+    // entropy is maximal for all-distinct docs: H == log2(n) there
+    got.filter(r => r._2 == r._3 && r._2 > 0)
+      .foreach(r => r._4 shouldBe rnd4(tbl(math.min(r._2, 256L).toInt - 1)))
+  }
+
   test("sample_reservoir matches a driver-side priority sample") {
     def pHash(s: String, base: Long = 131L): Long =
       s.foldLeft(0L)((h, c) => (h * base + c.toLong) % graft.functions.HashP)
