@@ -32,7 +32,7 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SharedSpark {
 class SourcesSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("JSONL documents/queries and qrels.json round-trip") {
-    val dir = Files.createTempDirectory("graft-sources").toFile
+    val dir = new java.io.File(tempDir("graft-sources"))
     val docs = new java.io.File(dir, "documents.jsonl")
     Files.writeString(docs.toPath,
       """{"id":"d1","text":"hello world","category":"c1","timestamp":"2024-01-01","source":"s1"}
@@ -63,7 +63,7 @@ class SourcesSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("events CSV round-trips losslessly into the verified operators") {
-    val dir = Files.createTempDirectory("graft-evcsv").toString
+    val dir = tempDir("graft-evcsv")
     val orig = graft.Tables.events(spark, sfDir)
     Sources.writeEventsCsv(orig, s"$dir/events_csv")
     val staged = Sources.readEventsCsv(spark, s"$dir/events_csv")
@@ -78,7 +78,7 @@ class SourcesSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("JSONL corpus staged as driver tables runs verified operators unchanged") {
-    val dir = Files.createTempDirectory("graft-jsonl").toString
+    val dir = tempDir("graft-jsonl")
     // export the real documents table in the ref's JSONL layout
     val docs = graft.Tables.documents(spark, sfDir)
     Sources.writeDocumentsJsonl(
@@ -125,7 +125,7 @@ class ApproxSpec extends AnyFunSuite with Matchers with SharedSpark {
 class DataGenSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("generated dataset is deterministic and runs existing operators unchanged") {
-    val tmp = Files.createTempDirectory("graft-gen").toString
+    val tmp = tempDir("graft-gen")
     sources.DataGen.writeDataset(spark, tmp, 2000L, 1000L)
     // determinism: regenerating yields identical rows (hash-derived, not rand())
     val a = sources.DataGen.documents(spark, 100L).collect().map(_.toString).sorted
@@ -222,7 +222,7 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("experiment run: one timed summary row, CSV round-trips") {
     import org.apache.spark.sql.types._
-    val tmp = Files.createTempDirectory("graft-exp").toString
+    val tmp = tempDir("graft-exp")
     val out = graft.operators.Experiment.run(spark, sfDir, Some(s"$tmp/summary"))
     out.count() shouldBe 1
     val row = out.collect()(0)
@@ -246,7 +246,7 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("adversarial skew: a 10k-member hot block is dropped, small blocks survive") {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    val tmp = tempDir("graft-skew")
     // 10,000 identical docs — one (lang, t0) block and one SimHash band;
     // uncapped these expand ~5×10⁷ pairs. Plus one genuine near-dup pair
     // in a small block that must survive the cap.
@@ -279,7 +279,7 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
 
   test("minhash doc-frequency stoplist keeps true near-dups") {
     import spark.implicits._
-    val tmp = Files.createTempDirectory("graft-stop").toString
+    val tmp = tempDir("graft-stop")
     val boiler = "terms and conditions apply to everything here"
     val docs = (0L until 40L).map(i =>
       (i, s"unique$i content$i token$i " + boiler, "en")) ++
@@ -399,7 +399,7 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
     // empty groups, window functions over empty partitions and LSH
     // banding over nothing must all plan and return cleanly at 100 TB
     // scale, partitions WILL be empty
-    val tmp = Files.createTempDirectory("graft-empty").toString
+    val tmp = tempDir("graft-empty")
     for (t <- Seq("documents", "embeddings", "events", "customer", "orders")) {
       spark.read.parquet(s"$sfDir/$t.parquet").limit(0)
         .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
@@ -430,7 +430,7 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
   test("null text rows propagate as nulls, never executor exceptions") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val tmp = Files.createTempDirectory("graft-nulls").toString
+    val tmp = tempDir("graft-nulls")
     val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
     val rows = java.util.Arrays.asList(
       Row(1L, "a normal document with several tokens inside", "en", "s0", 44L),

@@ -110,7 +110,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("day-partitioned layout: range predicate prunes partitions at planning time") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val tmp = tempDir("graft-part")
     Bucketing.writePartitionedByDay(Tables.events(spark, sfDir), tmp)
     val all = spark.read.parquet(tmp)
     val days = all.select("day").distinct().orderBy("day")
@@ -174,7 +174,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("partitioned IVF index: probes prune partitions dynamically, results equal ivf") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    val tmp = tempDir("graft-ivfidx")
     Ann.writeIvfIndex(spark, sfDir, tmp)
     val indexed = Ann.ivfIndexed(spark, sfDir, tmp)
     val p = plan(indexed)

@@ -62,7 +62,7 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("file-source stream -> windowed agg -> parquet sink equals batch answer") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val tmp = new java.io.File(tempDir("graft-stream"))
     val src = new java.io.File(tmp, "src"); src.mkdirs()
     val sink = new java.io.File(tmp, "sink")
     val ckpt = new java.io.File(tmp, "ckpt")
@@ -88,7 +88,7 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("checkpointed sink: restart resumes exactly-once, no duplicated windows") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    val tmp = new java.io.File(tempDir("graft-ckpt"))
     val src = new java.io.File(tmp, "src"); src.mkdirs()
     val sink = new java.io.File(tmp, "sink")
     val ckpt = new java.io.File(tmp, "ckpt")
