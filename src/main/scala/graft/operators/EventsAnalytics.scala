@@ -97,15 +97,20 @@ object EventsAnalytics {
     * long sum from overflowing; Welford partials are the
     * arbitrary-range variant), broadcast back over the log as a pure
     * filter. No shuffle of the log itself. */
-  def anomalies(spark: SparkSession, dir: String, z: Double = 3.0): DataFrame = {
-    val stats = Tables.events(spark, dir)
+  /** Per-type (mean, std) from one fixed-point stats pass — the
+    * "trained baseline" both the batch sweep and the streaming
+    * [[graft.streaming.StreamOps.anomalyStream]] filter against. */
+  def typeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), fxSum(col("value"), 6).as("sm"),
         fxSum(col("value") * col("value"), 6).as("sm2"))
       .select(col("event_type"), (col("sm") / col("n")).as("mean"),
         sqrt(col("sm2") / col("n") - (col("sm") / col("n")) * (col("sm") / col("n"))).as("std"))
+
+  def anomalies(spark: SparkSession, dir: String, z: Double = 3.0): DataFrame = {
     Tables.events(spark, dir)
-      .join(broadcast(stats), "event_type")
+      .join(broadcast(typeStats(spark, dir)), "event_type")
       .filter(col("std") > 0 && abs(col("value") - col("mean")) > lit(z) * col("std"))
       .select(col("event_id"), col("event_type"), rnd(col("value"), 4).as("value"),
         rnd((col("value") - col("mean")) / col("std"), 4).as("z_score"))

@@ -219,6 +219,36 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-window value histogram — the live form of
+    * [[graft.operators.EventsAnalytics.histogram]]: binning stays a
+    * per-row map before the watermarked window aggregate, so the
+    * stream shuffles (window, type, bin) partial counts only; append
+    * mode emits each window's bins exactly once when it closes. */
+  def histogramStream(events: DataFrame, horizon: String = "2 hours"): DataFrame = {
+    val ea = graft.operators.EventsAnalytics
+    val bin = least(greatest(floor(col("value") / ea.HistBinWidth), lit(0.0)),
+      lit((ea.HistNumBins - 1).toDouble)).cast("long")
+    events
+      .withWatermark("ts", horizon)
+      .select(col("ts"), col("event_type"), bin.as("bin"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("bin"), col("cnt"))
+  }
+
+  /** Online anomaly filter — the production anomaly shape: per-type
+    * mean/std are TRAINED OFFLINE (the batch
+    * [[graft.operators.EventsAnalytics.anomalies]] stats pass) and
+    * applied to the live stream as a stateless broadcast (stream-static)
+    * join + filter. No streaming state at all, so it scales to any
+    * event rate; retraining is swapping the static side. */
+  def anomalyStream(events: DataFrame, stats: DataFrame, z: Double = 3.0): DataFrame =
+    events.join(broadcast(stats), "event_type")
+      .filter(col("std") > 0 && abs(col("value") - col("mean")) > lit(z) * col("std"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        rnd((col("value") - col("mean")) / col("std"), 4).as("z_score"))
+
   /** Funnel progress state: events still above the watermark (held for
     * ordering) + the drained horizon + stage timestamps (-1 = unset). */
   case class FunnelSt(buf: Seq[(Long, Long, String)], drainedTo: Long,

@@ -38,6 +38,74 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     } finally q.stop()
   }
 
+  test("histogramStream: closed windows equal the batch binned counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.histogramStream(events)
+      .writeStream.format("memory").queryName("hstream")
+      .outputMode("append").start()
+    try {
+      val data = (0 until 180 by 7).map(m =>
+        (ts(m), if (m % 2 == 0) "a" else "b", (m * 7 % 500).toDouble))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      // push the watermark far enough to close the hours 0-2 windows
+      input.addData((ts(400), "z", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(401), "z", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("hstream")
+        .filter(col("window_start") < lit(ts(280)))
+      val ea = graft.operators.EventsAnalytics
+      val bin = least(greatest(floor(col("value") / ea.HistBinWidth), lit(0.0)),
+        lit((ea.HistNumBins - 1).toDouble)).cast("long")
+      val batch = data.toDF("ts", "event_type", "value")
+        .select(col("ts"), col("event_type"), bin.as("bin"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("bin"), col("cnt"))
+        .filter(col("window_start") < lit(ts(280)))
+      streamed.exceptAll(batch).count() shouldBe 0
+      batch.exceptAll(streamed).count() shouldBe 0
+    } finally q.stop()
+  }
+
+  test("anomalyStream flags exactly the batch anomalies against the trained baseline") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // offline-trained baseline from the real corpus
+    val stats = graft.operators.EventsAnalytics.typeStats(spark, sfDir)
+    stats.cache().count()
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamOps.anomalyStream(events, stats)
+      .writeStream.format("memory").queryName("astream")
+      .outputMode("append").start()
+    try {
+      val data = Seq(
+        (1L, ts(10), "click", 50.0),     // typical -> not flagged
+        (2L, ts(20), "click", 99999.0),  // extreme -> flagged
+        (3L, ts(30), "view", -5000.0),   // extreme negative -> flagged
+        (4L, ts(40), "nosuchtype", 1.0)) // no baseline -> dropped by join
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val flagged = spark.table("astream").collect()
+      flagged.map(_.getLong(0)).toSet shouldBe Set(2L, 3L)
+      // identical decision to the batch operator's filter on the same rows
+      val batchFlag = data.toDF("event_id", "ts", "event_type", "value")
+        .join(stats, "event_type")
+        .filter(col("std") > 0 &&
+          abs(col("value") - col("mean")) > lit(3.0) * col("std"))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      batchFlag shouldBe Set(2L, 3L)
+    } finally q.stop()
+  }
+
   test("sessionizeStream emits closed sessions matching gap semantics") {
     val s = spark
     import s.implicits._
