@@ -30,10 +30,27 @@ object Experiment {
     * p@5 / p@10 / MAP of hashing-TF retrieval (the auto_test summary
     * shape). All means are order-free fixed-point folds. */
   def summary(spark: SparkSession, dir: String, k: Int = K,
-              nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame = {
+              nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame =
+    summaryFor(spark, dir,
+      Encoders.hashingSearch(spark, dir, k, nq, dim), "hashing_tf", k, nq, dim)
+
+  /** The ref's model-comparison matrix (auto_run_tests runs every
+    * encoder and group-bys "by model"): the SAME evaluation harness
+    * applied to each encoder's retrieval, one summary row per model.
+    * Each leg is an independent subplan, so legs parallelize across
+    * the cluster and adding an encoder is one more union arm. */
+  def matrix(spark: SparkSession, dir: String, k: Int = K,
+             nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame =
+    summaryFor(spark, dir,
+      Encoders.hashingSearch(spark, dir, k, nq, dim), "hashing_tf", k, nq, dim)
+      .unionByName(summaryFor(spark, dir,
+        Encoders.tfIdfSearch(spark, dir, k, nq, dim), "tfidf", k, nq, dim))
+      .orderBy("model")
+
+  private def summaryFor(spark: SparkSession, dir: String, retrieval: DataFrame,
+                         model: String, k: Int, nq: Int, dim: Int): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val ret = Encoders.hashingSearch(spark, dir, k, nq, dim)
-      .select(col("q_id"), col("rank"), col("doc_id"))
+    val ret = retrieval.select(col("q_id"), col("rank"), col("doc_id"))
     // retrieved set is nq·k rows — broadcast it against the doc langs
     val h = broadcast(ret)
       .join(broadcast(docs.filter(col("doc_id") < nq)
@@ -58,7 +75,7 @@ object Experiment {
       rnd(fxAvg(coalesce(col("p10"), lit(0.0)), 6), 4).as("mean_p_at_10"),
       rnd(fxAvg(coalesce(col("ap"), lit(0.0)), 6), 4).as("map"))
     agg.crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-      .select(lit("hashing_tf").as("model"), lit(dim.toLong).as("dim"),
+      .select(lit(model).as("model"), lit(dim.toLong).as("dim"),
         col("n_docs"), col("n_queries"),
         col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
   }
@@ -90,8 +107,19 @@ object Experiment {
 
   object SqlOracle {
     def summary(k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): String =
+      summaryFor(Encoders.SqlOracle.hashingSearch(k, nq, dim), "hashing_tf", k, nq, dim)
+
+    def matrix(k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): String =
+      s"""SELECT * FROM (
+         |${summaryFor(Encoders.SqlOracle.hashingSearch(k, nq, dim), "hashing_tf", k, nq, dim)}
+         |) UNION ALL SELECT * FROM (
+         |${summaryFor(Encoders.SqlOracle.tfIdfSearch(k, nq, dim), "tfidf", k, nq, dim)}
+         |) ORDER BY model""".stripMargin
+
+    private def summaryFor(retrievalSql: String, model: String,
+                           k: Int, nq: Int, dim: Int): String =
       s"""WITH ret AS (SELECT q_id, rank, doc_id FROM (
-         |${Encoders.SqlOracle.hashingSearch(k, nq, dim)}) t_ret),
+         |$retrievalSql) t_ret),
          |ql AS (SELECT doc_id AS q_id, lang AS q_lang FROM documents WHERE doc_id < $nq),
          |dl AS (SELECT doc_id, lang AS d_lang FROM documents),
          |h AS (
@@ -120,7 +148,7 @@ object Experiment {
          |    (floor((${S.fxAvg("coalesce(p10, 0.0)", 6)}) * 1e4 + 0.5e0) / 1e4) AS mean_p_at_10,
          |    (floor((${S.fxAvg("coalesce(ap, 0.0)", 6)}) * 1e4 + 0.5e0) / 1e4) AS map
          |  FROM perq)
-         |SELECT 'hashing_tf' AS model, CAST($dim AS BIGINT) AS dim,
+         |SELECT '$model' AS model, CAST($dim AS BIGINT) AS dim,
          |  (SELECT count(*) FROM documents) AS n_docs,
          |  n_queries, mean_p_at_5, mean_p_at_10, map
          |FROM agg""".stripMargin

@@ -394,6 +394,18 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     byLang.toMap shouldBe docCounts
   }
 
+  test("pipeline_experiment_matrix: one row per model, hashing leg equals the summary") {
+    val m = Experiment.matrix(spark, sfDir).collect()
+    m.map(_.getString(0)).toSeq shouldBe Seq("hashing_tf", "tfidf")
+    val s = Experiment.summary(spark, sfDir).collect()(0)
+    m.find(_.getString(0) == "hashing_tf").get.toSeq shouldBe s.toSeq
+    // both models retrieve for every query and score in [0, 1]
+    m.foreach { r =>
+      r.getLong(3) shouldBe Experiment.NQ.toLong
+      for (i <- 4 to 6) { r.getDouble(i) should (be >= 0.0 and be <= 1.0) }
+    }
+  }
+
   test("text_entropy matches a driver-side recomputation through the literal table") {
     val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
