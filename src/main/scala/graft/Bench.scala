@@ -128,8 +128,8 @@ object Bench {
         else s""","q_fast_n":${fast.size},"q_fast_total":${r2(fast.values.sum)},"q_fast_below":${r2(thresh)}"""
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${jsShort(slow)}$fastPart,"total_cold":${r2(totalCold)},"sf":"$sfDir"}"""
     }
-    val line = Seq(0.0, 0.15, 0.25, 0.4, 0.6, 1.0)
-      .map(finalLine).find(_.length <= 1800)
+    val line = Seq(0.0, 0.15, 0.25, 0.4, 0.6, 1.0, 1.5, 2.5)
+      .map(finalLine).find(_.length <= 1750)
       .getOrElse(finalLine(Double.MaxValue))
     println(line)
     spark.stop()

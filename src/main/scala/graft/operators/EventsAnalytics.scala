@@ -171,9 +171,13 @@ object EventsAnalytics {
          |WHERE std > 0 AND abs(value - mean) > ${z}e0 * std
          |ORDER BY event_id""".stripMargin
 
-    val histogram: String = {
-      val bin = s"CAST(least(greatest(floor(value / ${HistBinWidth}e0), 0.0e0), " +
+    /** Bin expression shared with the stream-histogram oracle. */
+    val binSql: String =
+      s"CAST(least(greatest(floor(value / ${HistBinWidth}e0), 0.0e0), " +
         s"${(HistNumBins - 1).toDouble}e0) AS BIGINT)"
+
+    val histogram: String = {
+      val bin = binSql
       s"""WITH b AS (
          |  SELECT event_type, $bin AS bin FROM events),
          |g AS (

@@ -46,6 +46,22 @@ object StreamOps {
         col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Hourly-window per-type binned value counts — the batch-equivalent
+    * (verified) form of [[histogramStream]]: same binning map, same
+    * windowed aggregate, minus the watermark. */
+  def histogramBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ea = graft.operators.EventsAnalytics
+    val bin = least(greatest(floor(col("value") / ea.HistBinWidth), lit(0.0)),
+      lit((ea.HistNumBins - 1).toDouble)).cast("long")
+    Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), bin.as("bin"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("bin"), col("cnt"))
+      .orderBy("window_start", "event_type", "bin")
+  }
+
   /** Trending detection: the top-3 event types per hourly window by
     * event count (ties by type name). The rank runs AFTER the windowed
     * aggregation — the frame is already reduced to (windows × types)
@@ -360,6 +376,15 @@ object StreamOps {
          |  (floor((${graft.functions.Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS sum_value
          |FROM w GROUP BY window_start, event_type
          |ORDER BY window_start, event_type""".stripMargin
+
+    val histogram: String =
+      s"""WITH b AS (
+         |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |    ${graft.operators.EventsAnalytics.SqlOracle.binSql} AS bin
+         |  FROM events)
+         |SELECT window_start, event_type, bin, count(*) AS cnt
+         |FROM b GROUP BY window_start, event_type, bin
+         |ORDER BY window_start, event_type, bin""".stripMargin
 
     val trendingTopK: String =
       s"""WITH counts AS (
