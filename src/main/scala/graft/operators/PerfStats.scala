@@ -50,6 +50,25 @@ object PerfStats {
         rnd(col("value") / 1e4, 4).as("sum_value"))
       .orderBy("event_type")
 
+  /** Skew.saltedJoin wired into a VERIFIED query: the event log joined
+    * to a per-user activity profile through the salted (key, salt)
+    * equi-join — a hot user's events spread over 8 reducers instead of
+    * one straggler — then reduced per event type. The oracle is the
+    * PLAIN unsalted join, so hash equality proves salting changes the
+    * execution strategy and nothing else (saltedSum's argument, for
+    * the join path). */
+  def saltedJoinStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val profile = e.groupBy("user_id").agg(count(lit(1)).as("user_n"))
+    Skew.saltedJoin(
+      e.select("event_id", "user_id", "event_type"),
+      profile, "user_id", col("event_id"), 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        rnd(fxAvg(col("user_n").cast("double"), 4), 4).as("mean_user_events"))
+      .orderBy("event_type")
+  }
+
   /** Batches of 256 by event_id (mirrors the ref's fixed batch loop,
     * ingest.py:44-48): per-batch time/size/throughput. */
   def ingestThroughput(spark: SparkSession, dir: String): DataFrame =
@@ -157,6 +176,14 @@ object PerfStats {
       s"""SELECT event_type,
          |  ${Sql.rnd(Sql.fxSum("value", 4), 4)} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+    val saltedJoinStats: String =
+      s"""WITH prof AS (
+         |  SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id)
+         |SELECT event_type, count(*) AS n,
+         |  ${Sql.rnd(Sql.fxAvg("CAST(user_n AS DOUBLE)", 4), 4)} AS mean_user_events
+         |FROM events JOIN prof USING (user_id)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
 
     val latencyPercentiles: String =
       s"""SELECT event_type,

@@ -419,7 +419,8 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
       "pivot_daily", "text_repetition", "events_funnel", "events_retention",
       "events_histogram", "events_anomaly", "v_centroids",
       "dedup_incremental", "eval_lang_confusion", "mm_modality_route",
-      "sample_reservoir", "text_entropy")
+      "sample_reservoir", "text_entropy", "events_salted_join",
+      "stream_histogram", "pipeline_experiment_matrix")
     val failures = perFamily.flatMap { n =>
       try { SparkEntry.queries(n)(spark, tmp).count(); None }
       catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
