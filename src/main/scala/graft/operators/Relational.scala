@@ -178,25 +178,29 @@ object Relational {
   val pivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
   /** Daily event matrix — the long→wide reshaping every ops dashboard
-    * runs (one row per day, one column pair per event type). Spark's
-    * `pivot` with explicit values rewrites to conditional aggregation:
-    * a single map-side-combinable groupBy on day, no per-type scans, no
-    * extra shuffle vs a plain aggregate. Sums are fixed-point
+    * runs (one row per day, one column pair per event type), as
+    * EXPLICIT conditional aggregation rather than the `pivot` API:
+    * Spark plans `pivot` (even with explicit values) as TWO aggregates
+    * (groupBy(day, type) then PivotFirst — an extra shuffle), whereas
+    * conditional aggregation is ONE map-side-combinable groupBy on day
+    * over one scan — the shape PlanSpec pins. Empty (day, type) cells
+    * are a literal 0 by construction; sums are fixed-point
     * ([[graft.functions.fxSum]]) so the wide columns hash-match the
     * oracle under any partitioning. */
-  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = pivotTypes.flatMap { t =>
+      val isT = col("event_type") === t
+      Seq(
+        sum(when(isT, 1L).otherwise(0L)).as(s"${t}_cnt"),
+        rnd(coalesce(
+          fxSum(when(isT, col("value"))), lit(0.0)), 2).as(s"${t}_val"))
+    }
     Tables.events(spark, dir)
       .select(to_date(col("ts")).as("day"), col("event_type"), col("value"))
       .groupBy("day")
-      .pivot("event_type", pivotTypes)
-      .agg(count(lit(1)).as("cnt"), rnd(fxSum(col("value")), 2).as("val"))
-      // a (day, type) cell with no events pivots to NULL; pin the
-      // empty-cell value to 0 explicitly so the wide schema has one
-      // well-defined representation on both engines
-      .select(col("day") +: pivotTypes.flatMap(t => Seq(
-        coalesce(col(s"${t}_cnt"), lit(0L)).as(s"${t}_cnt"),
-        coalesce(col(s"${t}_val"), lit(0.0)).as(s"${t}_val"))): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("day")
+  }
 
   object SqlOracle {
     val q1Agg: String =

@@ -243,6 +243,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p should not include "Window"
   }
 
+  test("pivot_daily: explicit pivot values compile to ONE aggregation pass") {
+    val p = plan(Relational.pivotDaily(spark, sfDir))
+    // no extra distinct job to learn the pivot columns: only the
+    // groupBy(day) exchange and the presentation orderBy
+    "Exchange".r.findAllIn(p).size should be <= 2
+    p should not include "Window"
+  }
+
+  test("text_entropy: pure per-row map, only the presentation sort shuffles") {
+    val p = plan(TextAnalysis.entropy(spark, sfDir))
+    "Exchange".r.findAllIn(p).size should be <= 1
+    p should not include "Window"
+  }
+
+  test("mm_modality_route: partition-local routing, only the presentation sort shuffles") {
+    val p = plan(Multimodal.modalityRoute(spark, sfDir))
+    "Exchange".r.findAllIn(p).size should be <= 1
+  }
+
   test("dedup_incremental: fingerprint store aggregated before the batch joins") {
     val p = plan(Dedup.incremental(spark, sfDir))
     p should not include "CartesianProduct"
