@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -71,13 +71,19 @@ object EventsAnalytics {
   val HistBinWidth = 25.0
   val HistNumBins = 20
 
+  /** THE bin definition — shared by the batch histogram, the streaming
+    * forms, and (as [[SqlOracle.binSql]]) both oracles, so a clamping
+    * change can never drift between the verified queries. */
+  def binCol(value: Column): Column =
+    least(greatest(floor(value / HistBinWidth), lit(0.0)),
+      lit((HistNumBins - 1).toDouble)).cast("long")
+
   /** Fixed-bin value histogram per event type with within-type shares.
     * Binning is a pure per-row map (map-side combined groupBy); the
     * share window runs over the AGGREGATED types × bins frame, which is
     * constant-size however large the log is. */
   def histogram(spark: SparkSession, dir: String): DataFrame = {
-    val bin = least(greatest(floor(col("value") / HistBinWidth), lit(0.0)),
-      lit((HistNumBins - 1).toDouble)).cast("long")
+    val bin = binCol(col("value"))
     val w = Window.partitionBy("event_type")
     Tables.events(spark, dir)
       .select(col("event_type"), bin.as("bin"))

@@ -268,13 +268,21 @@ object Multimodal {
     }
 
     /** Mixed-modality routing: the same header plant + sniff + body
-      * byte-sum (ASCII corpus: byte == codepoint), per-modality feature
-      * arms mirrored. */
+      * byte-sum, per-modality feature arms mirrored. Unlike the older
+      * ASCII-assuming oracles, the checksum here is the true UTF-8
+      * BYTE sum derived from each codepoint (a codepoint's UTF-8 bytes
+      * are closed-form in the codepoint), so the contract holds on
+      * non-ASCII text too. */
     val modalityRoute: String = {
       val hdrCase = "CASE media_id % 3 WHEN 0 THEN 'IMG0' WHEN 1 THEN 'AUD0' ELSE 'VID0' END"
       val modCase = ModalityHeaders.map { case (h, m) =>
         s"WHEN '$h' THEN '$m'"
       }.mkString("CASE hdr ", " ", " ELSE 'unknown' END")
+      // sum of the UTF-8 encoding bytes of codepoint c
+      val utf8Sum = "CASE WHEN c < 128 THEN c " +
+        "WHEN c < 2048 THEN 192 + (c // 64) + 128 + (c % 64) " +
+        "WHEN c < 65536 THEN 224 + (c // 4096) + 128 + ((c // 64) % 64) + 128 + (c % 64) " +
+        "ELSE 240 + (c // 262144) + 128 + ((c // 4096) % 64) + 128 + ((c // 64) % 64) + 128 + (c % 64) END"
       s"""WITH p AS (
          |  SELECT doc_id AS media_id, $hdrCase || coalesce(text, '') AS pt FROM documents),
          |r AS (
@@ -283,7 +291,8 @@ object Multimodal {
          |  SELECT media_id, $modCase AS modality,
          |    CAST(octet_length(encode(body)) AS BIGINT) AS n_bytes,
          |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [CAST(unicode(ch) AS BIGINT) for ch in string_split(body, '')]),
+         |      [CAST($utf8Sum AS BIGINT) for c in
+         |       [CAST(unicode(ch) AS BIGINT) for ch in string_split(body, '')]]),
          |      (a, x) -> a + x) AS BIGINT) AS checksum
          |  FROM r)
          |SELECT media_id, modality, n_bytes, checksum,

@@ -50,9 +50,7 @@ object StreamOps {
     * (verified) form of [[histogramStream]]: same binning map, same
     * windowed aggregate, minus the watermark. */
   def histogramBatch(spark: SparkSession, dir: String): DataFrame = {
-    val ea = graft.operators.EventsAnalytics
-    val bin = least(greatest(floor(col("value") / ea.HistBinWidth), lit(0.0)),
-      lit((ea.HistNumBins - 1).toDouble)).cast("long")
+    val bin = graft.operators.EventsAnalytics.binCol(col("value"))
     Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), bin.as("bin"))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("bin"))
@@ -241,9 +239,7 @@ object StreamOps {
     * stream shuffles (window, type, bin) partial counts only; append
     * mode emits each window's bins exactly once when it closes. */
   def histogramStream(events: DataFrame, horizon: String = "2 hours"): DataFrame = {
-    val ea = graft.operators.EventsAnalytics
-    val bin = least(greatest(floor(col("value") / ea.HistBinWidth), lit(0.0)),
-      lit((ea.HistNumBins - 1).toDouble)).cast("long")
+    val bin = graft.operators.EventsAnalytics.binCol(col("value"))
     events
       .withWatermark("ts", horizon)
       .select(col("ts"), col("event_type"), bin.as("bin"))
@@ -266,50 +262,74 @@ object StreamOps {
         rnd((col("value") - col("mean")) / col("std"), 4).as("z_score"))
 
   /** Funnel progress state: events still above the watermark (held for
-    * ordering) + the drained horizon + stage timestamps (-1 = unset). */
+    * ordering; timestamps in MICROSECONDS, matching the batch funnel's
+    * unix_micros arithmetic) + the drained horizon + stage timestamps
+    * (-1 = unset). */
   case class FunnelSt(buf: Seq[(Long, Long, String)], drainedTo: Long,
                       t1: Long, t2: Long, t3: Long)
-  case class FunnelOut(user_id: Long, stage: Long, t1_ms: Long, t2_ms: Long, t3_ms: Long)
+  case class FunnelOut(user_id: Long, stage: Long, t1_us: Long, t2_us: Long, t3_us: Long)
+
+  /** Microseconds since epoch — java.sql.Timestamp.getTime truncates to
+    * ms, and the batch funnel's strict `ts > t1` comparisons are µs
+    * (unix_micros), so a ms fold would miss sub-ms stage gaps. */
+  private def usOf(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Streaming conversion funnel — the streaming form of
     * [[graft.operators.EventsAnalytics.funnel]] (first view, first
     * click strictly after it, first purchase strictly after that),
     * correct under OUT-OF-ORDER arrival: new events buffer in state
     * until the watermark passes them, then fold into the stage machine
-    * in (event-time, event_id) order and leave the buffer. Because
+    * in (event-time µs, event_id) order and leave the buffer. Because
     * drains are watermark-monotone, the fold sees events in global
     * event-time order however they arrived, so the converged state
-    * equals the batch funnel on the same data. State is bounded by the
-    * watermark horizon (the buffer drains as the watermark advances);
-    * events at-or-below the drained horizon are dropped, the standard
-    * late-data contract. A group with held events arms an event-time
-    * timeout at its EARLIEST held timestamp — mapGroupsWithState only
-    * runs for groups with new input, so without the timeout a user who
-    * goes quiet would never drain. Emits the user's current stage each
-    * invocation (update semantics, [[latestByKeyStream]]'s shape). */
+    * equals the batch funnel on the same data. Events at-or-below the
+    * drained horizon are dropped, the standard late-data contract.
+    *
+    * State stays bounded on an open-ended user population: the buffer
+    * drains with the watermark, a COMPLETED journey (stage 3, empty
+    * buffer) removes its state immediately, and an idle user's state
+    * expires `idleMs` after their last drained event (event-time
+    * timeout). A group with held events instead arms its timeout at
+    * the EARLIEST held timestamp — mapGroupsWithState only runs for
+    * groups with new input, so without a timeout a quiet user would
+    * never drain. Emits the user's current stage each invocation
+    * (update semantics, [[latestByKeyStream]]'s shape). */
   def funnelStream(events: Dataset[Ev], horizon: String = "10 minutes",
-                   stages: Seq[String] = graft.operators.EventsAnalytics.FunnelStages): Dataset[FunnelOut] = {
+                   stages: Seq[String] = graft.operators.EventsAnalytics.FunnelStages,
+                   idleMs: Long = 24L * 3600 * 1000): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", horizon)
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelSt, FunnelOut](GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[Ev], state: GroupState[FunnelSt]) =>
           val st0 = state.getOption.getOrElse(FunnelSt(Nil, Long.MinValue, -1L, -1L, -1L))
-          val fresh = evs.map(e => (e.ts.getTime, e.event_id, e.event_type))
+          val fresh = evs.map(e => (usOf(e.ts), e.event_id, e.event_type))
             .filter(_._1 > st0.drainedTo).toSeq
-          val wm = state.getCurrentWatermarkMs()
-          val (ripe, hold) = (st0.buf ++ fresh).partition(_._1 <= wm)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (st0.buf ++ fresh).partition(_._1 <= wmUs)
           var (t1, t2, t3) = (st0.t1, st0.t2, st0.t3)
           ripe.sortBy(e => (e._1, e._2)).foreach { case (ts, _, tpe) =>
             if (tpe == stages(0)) { if (t1 < 0) t1 = ts }
             else if (tpe == stages(1)) { if (t2 < 0 && t1 >= 0 && ts > t1) t2 = ts }
             else if (tpe == stages(2)) { if (t3 < 0 && t2 >= 0 && ts > t2) t3 = ts }
           }
-          state.update(FunnelSt(hold, math.max(st0.drainedTo, wm), t1, t2, t3))
-          // re-wake this group when the watermark reaches its oldest
-          // held event (always > wm here, as setTimeoutTimestamp needs)
-          if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
-          FunnelOut(user, Seq(t1, t2, t3).count(_ >= 0).toLong, t1, t2, t3)
+          val stage = Seq(t1, t2, t3).count(_ >= 0).toLong
+          if (hold.isEmpty && (stage == 3 || state.hasTimedOut)) {
+            // journey complete, or idle past TTL with nothing pending:
+            // drop the state row — unbounded user populations must not
+            // accumulate one state entry per user forever
+            if (state.exists) state.remove()
+          } else {
+            state.update(FunnelSt(hold, math.max(st0.drainedTo, wmUs), t1, t2, t3))
+            if (hold.nonEmpty)
+              // re-wake when the watermark reaches the oldest held
+              // event (ceil to ms keeps it > the current watermark)
+              state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+            else
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleMs)
+          }
+          FunnelOut(user, stage, t1, t2, t3)
       }
   }
 

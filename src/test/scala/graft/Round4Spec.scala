@@ -275,10 +275,10 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
       val rows = spark.table("funnel")
         .as[graft.streaming.StreamOps.FunnelOut].collect()
       val u1 = rows.filter(_.user_id == 1L).maxBy(_.stage)
-      (u1.stage, u1.t1_ms, u1.t2_ms, u1.t3_ms) shouldBe
-        (3L, ts(10).getTime, ts(20).getTime, ts(30).getTime)
+      (u1.stage, u1.t1_us, u1.t2_us, u1.t3_us) shouldBe
+        (3L, ts(10).getTime * 1000, ts(20).getTime * 1000, ts(30).getTime * 1000)
       val u2 = rows.filter(_.user_id == 2L).maxBy(_.stage)
-      (u2.stage, u2.t1_ms, u2.t2_ms) shouldBe (1L, ts(15).getTime, -1L)
+      (u2.stage, u2.t1_us, u2.t2_us) shouldBe (1L, ts(15).getTime * 1000, -1L)
     } finally q.stop()
   }
 

@@ -59,9 +59,7 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
       q.processAllAvailable()
       val streamed = spark.table("hstream")
         .filter(col("window_start") < lit(ts(280)))
-      val ea = graft.operators.EventsAnalytics
-      val bin = least(greatest(floor(col("value") / ea.HistBinWidth), lit(0.0)),
-        lit((ea.HistNumBins - 1).toDouble)).cast("long")
+      val bin = graft.operators.EventsAnalytics.binCol(col("value"))
       val batch = data.toDF("ts", "event_type", "value")
         .select(col("ts"), col("event_type"), bin.as("bin"))
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"), col("bin"))
