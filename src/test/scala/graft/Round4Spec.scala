@@ -282,6 +282,39 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     } finally q.stop()
   }
 
+  test("funnelStream: sub-millisecond stage gaps fold at microsecond precision") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def tsUs(base: String, us: Int): Timestamp = {
+      val t = Timestamp.valueOf(base)
+      t.setNanos(us * 1000); t
+    }
+    // view at .000100, click at .000900 — same millisecond; a ms-level
+    // fold reads click.ts > view.ts as false and never converts
+    val input = MemoryStream[graft.streaming.StreamOps.Ev]
+    val q = graft.streaming.StreamOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_us")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        graft.streaming.StreamOps.Ev(1, tsUs("2024-01-01 00:10:00", 100), 1, "view", 1.0),
+        graft.streaming.StreamOps.Ev(2, tsUs("2024-01-01 00:10:00", 900), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(graft.streaming.StreamOps.Ev(3,
+        Timestamp.valueOf("2024-01-01 06:00:00"), 99, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(graft.streaming.StreamOps.Ev(4,
+        Timestamp.valueOf("2024-01-01 06:00:01"), 99, "view", 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_us")
+        .as[graft.streaming.StreamOps.FunnelOut].collect()
+        .filter(_.user_id == 1L).maxBy(_.stage)
+      u1.stage shouldBe 2L
+      (u1.t2_us - u1.t1_us) shouldBe 800L
+    } finally q.stop()
+  }
+
   test("mm_modality_route matches a driver-side recomputation") {
     val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
