@@ -263,17 +263,39 @@ object Ann {
     * parquet table (one directory per centroid). A probe query then
     * touches only its nprobe partitions — the scan skips the rest of
     * the corpus at the source, which is the entire point of IVF. */
-  def writeIvfIndex(spark: SparkSession, dir: String, out: String): Unit = {
+  /** Centroid assignment of a doc frame against this corpus's fixed
+    * centroids (broadcast; min_by argmin — the pqEncode pattern).
+    * Shared by the full index build and the incremental append. */
+  private def assignToIndex(spark: SparkSession, dir: String,
+                            docs: DataFrame): DataFrame = {
     val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-    Knn.docSet(spark, dir).crossJoin(broadcast(cent))
+    docs.crossJoin(broadcast(cent))
       .groupBy("doc_id")
       .agg(
         min_by(col("c_id"),
           struct(-dot(col("doc_vec"), col("c_vec")), col("c_id"))).as("c_id"),
         first(col("doc_vec")).as("doc_vec"))
-      .write.mode("overwrite").partitionBy("c_id").parquet(out)
   }
+
+  def writeIvfIndex(spark: SparkSession, dir: String, out: String,
+                    docs: Option[DataFrame] = None): Unit =
+    assignToIndex(spark, dir, docs.getOrElse(Knn.docSet(spark, dir)))
+      .write.mode("overwrite").partitionBy("c_id").parquet(out)
+
+  /** Incremental index maintenance — the serving-side ingest path: a
+    * batch of NEW vectors is assigned to the EXISTING centroids and
+    * appended into the partitioned layout. Only the new batch is
+    * scanned/assigned (a rebuild re-reads the whole corpus), the
+    * append writes only into the batch's own c_id directories, and
+    * probe-side dynamic partition pruning keeps working unchanged
+    * because the layout key is stable. Centroids intentionally do NOT
+    * move on append (the FAISS add-to-trained-index contract);
+    * re-train + rebuild when drift accumulates. */
+  def appendToIvfIndex(spark: SparkSession, dir: String,
+                       newDocs: DataFrame, out: String): Unit =
+    assignToIndex(spark, dir, newDocs)
+      .write.mode("append").partitionBy("c_id").parquet(out)
 
   /** Probe-side search over a [[writeIvfIndex]] layout: queries pick
     * their top-NProbe centroids (broadcast), and the join against the

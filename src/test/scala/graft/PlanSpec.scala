@@ -186,6 +186,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     direct.exceptAll(indexed).count() shouldBe 0
   }
 
+  test("incremental IVF index: appending a batch equals a full rebuild") {
+    val tmp = tempDir("graft-ivfapp")
+    val docs = Knn.docSet(spark, sfDir)
+    // build on the even half, then ingest the odd half as a new batch
+    Ann.writeIvfIndex(spark, sfDir, tmp,
+      Some(docs.filter(pmod(col("doc_id"), lit(2)) === 0)))
+    Ann.appendToIvfIndex(spark, sfDir,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), tmp)
+    val appended = Ann.ivfIndexed(spark, sfDir, tmp)
+    val direct = Ann.ivf(spark, sfDir)
+    appended.exceptAll(direct).count() shouldBe 0
+    direct.exceptAll(appended).count() shouldBe 0
+  }
+
   test("range join plans as an equi-join on time buckets, never a nested loop") {
     val p = plan(Relational.rangeJoin(spark, sfDir))
     p should not include "CartesianProduct"
