@@ -178,6 +178,48 @@ object Encoders {
       .orderBy("doc_id", "term")
   }
 
+  /** Top-[[KeywordsPerDoc]] TF-IDF keywords per document — the
+    * keyword-extraction read of the reference's fitted vectorizer
+    * (encoder.py:76-92: the highest-weighted vocabulary terms of a
+    * doc's vector ARE its keywords). The vocabulary is fitted once
+    * driver-side ([[fittedVocab]] pattern — ≤ dim rows) and broadcast
+    * with a dense popularity index; per-doc selection then runs
+    * through the bounded-heap [[graft.functions.TopKAgg.topKBy]]
+    * aggregate, so every map task reduces to ≤ k terms per doc before
+    * the one shuffle — never a per-doc sort of the full postings.
+    * Scores are quantized to fixed-point 1e9 BEFORE ranking so both
+    * engines rank the identical integers (a raw double tf·idf could
+    * order differently across libm implementations at near-ties);
+    * ties break on the vocabulary index, deterministically. */
+  val KeywordsPerDoc = 3
+
+  def keywordExtract(spark: SparkSession, dir: String,
+                     kTop: Int = KeywordsPerDoc, dim: Int = Dim): DataFrame = {
+    val nDocs = Tables.documents(spark, dir).count()
+    val vocabRows = docTerm(spark, dir).groupBy("tok")
+      .agg(sum("tf").as("total"), count(lit(1)).as("df"))
+      .orderBy(desc("total"), col("tok"))
+      .limit(dim)
+      .select("tok", "df").collect()
+      .zipWithIndex.map { case (r, i) =>
+        (r.getString(0), (i + 1).toLong,
+          math.log((1.0 + nDocs) / (1.0 + r.getLong(1))) + 1.0)
+      }.toSeq
+    val vocab = spark.createDataFrame(vocabRows).toDF("tok", "idx", "idf")
+    docTerm(spark, dir).join(broadcast(vocab), "tok")
+      .select(col("doc_id"), col("idx"),
+        floor(col("tf") * col("idf") * 1e9 + 0.5).cast("long").as("wq"))
+      .groupBy("doc_id")
+      .agg(graft.functions.TopKAgg.topKBy(col("wq").cast("double"), col("idx"), kTop).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("idx"), col("e.score").as("wq"))
+      .join(broadcast(vocab.select("idx", "tok")), "idx")
+      .select(col("doc_id"), col("rank"), col("tok").as("term"),
+        rnd(col("wq") / lit(1e9), 4).as("w"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Mean pooling (ref real_encoder.py:52-57 / encoder.py:42-48
     * `_mean_pooling`): per-token vectors averaged into a doc vector.
     * Token vectors come from a deterministic hash-derived stub lookup
@@ -283,6 +325,26 @@ object Encoders {
          |SELECT doc_id, tok AS term,
          |  (floor((weight / sqrt(sum(weight * weight) OVER (PARTITION BY doc_id))) * 1e4 + 0.5e0) / 1e4) AS w
          |FROM wtd ORDER BY doc_id, term""".stripMargin
+
+    def keywordExtract(kTop: Int = KeywordsPerDoc, dim: Int = Dim): String =
+      s"""WITH t AS $toksCte,
+         |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+         |v0 AS (SELECT tok, sum(tf) AS total, count(*) AS df FROM dt
+         |       GROUP BY tok ORDER BY total DESC, tok LIMIT $dim),
+         |vocab AS (SELECT tok, df,
+         |  row_number() OVER (ORDER BY total DESC, tok) AS idx FROM v0),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |wtd AS (
+         |  SELECT dt.doc_id, vocab.idx, vocab.tok,
+         |    CAST(floor(dt.tf * (ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) * 1e9 + 0.5e0) AS BIGINT) AS wq
+         |  FROM dt JOIN vocab USING (tok) CROSS JOIN nd),
+         |r AS (
+         |  SELECT doc_id, idx, tok, wq,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wq DESC, idx) AS rank
+         |  FROM wtd)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS term,
+         |  ${S.rnd("wq / 1e9", 4)} AS w
+         |FROM r WHERE rank <= $kTop ORDER BY doc_id, rank""".stripMargin
 
     def hashingSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim): String =
       s"""WITH t AS $toksCte,

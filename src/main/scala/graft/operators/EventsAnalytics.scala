@@ -123,7 +123,94 @@ object EventsAnalytics {
       .orderBy("event_id")
   }
 
+  val MovAvgWindow = 3
+
+  /** Per-user trailing moving average of `value` over the last
+    * [[MovAvgWindow]] events — the smoothing pass behind every ops
+    * time-series panel. The window is PARTITIONED BY user_id (each
+    * frame holds one user's history, never the whole log), ordered by
+    * (µs, event_id) so ties are deterministic, and the frame sum runs
+    * over per-row fixed-point longs so both engines accumulate the
+    * identical integers in any order. One shuffle (by user), no joins. */
+  def movingAvg(spark: SparkSession, dir: String, w: Int = MovAvgWindow): DataFrame = {
+    val frame = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"), floor(col("value") * 1e6 + 0.5).cast("long").as("fx"))
+      .select(col("event_id"), col("user_id"), rnd(col("value"), 4).as("value"),
+        rnd(sum("fx").over(frame) / count(lit(1)).over(frame) / lit(1e6), 4).as("mov_avg"))
+      .orderBy("event_id")
+  }
+
+  /** Session-length distribution: how many sessions have n events, and
+    * how long they run — the summary a product team reads off the
+    * sessionizer. Reuses [[graft.streaming.StreamOps.sessionizeBatch]]
+    * (its final sort is eliminated under this aggregate by Catalyst's
+    * EliminateSorts); sessions reduce to one row per (n_events) bucket,
+    * so the output is bounded by the longest session, not the log. */
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamOps.sessionizeBatch(spark, dir)
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        rnd(sum("duration_ms") / count(lit(1)), 2).as("avg_duration_ms"),
+        max("duration_ms").as("max_duration_ms"))
+      .orderBy("n_events")
+
+  /** Global top-[[TopUsersK]] users by lifetime value — the "whale"
+    * leaderboard. Two-level reduction: the per-user fixed-point sum is
+    * a map-side-combined keyed groupBy, then the GLOBAL top-k runs
+    * through the bounded-heap TopKByScore aggregate, so each partition
+    * forwards ≤ k candidate rows to the single final reducer — a global
+    * ORDER BY ... LIMIT k would instead range-shuffle every user row.
+    * Ties break on user_id ascending, deterministically. */
+  val TopUsersK = 20
+
+  def topUsers(spark: SparkSession, dir: String, k: Int = TopUsersK): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(fxSum(col("value"), 6).as("total"))
+      .agg(graft.functions.TopKAgg.topKBy(col("total"), col("user_id"), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("e.id").as("user_id"),
+        rnd(col("e.score"), 4).as("total_value"))
+      .orderBy("rank")
+
   object SqlOracle {
+    def topUsers(k: Int = TopUsersK): String =
+      s"""WITH u AS (
+         |  SELECT user_id, ${S.fxSum("value", 6)} AS total
+         |  FROM events GROUP BY user_id),
+         |r AS (
+         |  SELECT user_id, total,
+         |    row_number() OVER (ORDER BY total DESC, user_id) AS rank
+         |  FROM u)
+         |SELECT CAST(rank AS BIGINT) AS rank, user_id,
+         |  ${S.rnd("total", 4)} AS total_value
+         |FROM r WHERE rank <= $k ORDER BY rank""".stripMargin
+
+    // LAZY: this reaches into StreamOps.SqlOracle, whose histogram val
+    // reaches back into THIS object's binSql — an eager val here would
+    // run that cycle mid-init and interpolate binSql as null.
+    lazy val sessionStats: String =
+      s"""WITH sess AS (${graft.streaming.StreamOps.SqlOracle.sessionize})
+         |SELECT n_events, count(*) AS n_sessions,
+         |  ${S.rnd("CAST(sum(duration_ms) AS BIGINT) / CAST(count(*) AS DOUBLE)", 2)} AS avg_duration_ms,
+         |  max(duration_ms) AS max_duration_ms
+         |FROM sess GROUP BY n_events ORDER BY n_events""".stripMargin
+
+    def movingAvg(w: Int = MovAvgWindow): String =
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+         |    CAST(floor(value * 1e6 + 0.5e0) AS BIGINT) AS fx
+         |  FROM ${S.eventsUs} events)
+         |SELECT event_id, user_id, ${S.rnd("value", 4)} AS value,
+         |  ${S.rnd("CAST(sum(fx) OVER w AS BIGINT) / (count(*) OVER w) / 1e6", 4)} AS mov_avg
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+         |             ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin
+
     val funnel: String = {
       val Seq(k1, k2, k3) = FunnelStages
       s"""WITH e AS (

@@ -161,6 +161,30 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Small-quantity revenue per brand (the TPC-H Q17 pattern): lineitems
+    * whose quantity is under half their part's average quantity, i.e. a
+    * correlated aggregate subquery, DECORRELATED by hand into the plan
+    * Spark would want at 100 TB — the per-part average is a keyed
+    * (map-side-combined) groupBy on l_partkey, re-joined to lineitem on
+    * the same key so the two shuffles share partitioning, then the part
+    * dimension joins on its key for the brand. No correlated re-scan
+    * per outer row, which is what a naive subquery would execute. The
+    * per-part average is a fixed-point sum — order-free, so the filter
+    * threshold is bit-identical on any partitioning. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val avgQty = li.groupBy("l_partkey").agg(fxAvg(col("l_quantity"), 6).as("avg_qty"))
+    li.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(avgQty, "l_partkey")
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        rnd(fxSum(col("l_extendedprice"), 2) / lit(7.0), 2).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
   /** Exact distinct counts over several columns in one pass. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -288,6 +312,18 @@ object Relational {
          |  ${Sql.rnd(Sql.fxSum("CASE WHEN wo.o_custkey IS NULL THEN c_acctbal ELSE 0.0e0 END"), 2)} AS idle_acctbal
          |FROM customer LEFT JOIN wo ON c_custkey = wo.o_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+    val smallQtyRevenue: String =
+      s"""WITH a AS (
+         |  SELECT l_partkey, ${Sql.fxAvg("l_quantity", 6)} AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT p_brand, count(*) AS n_small,
+         |  ${Sql.rnd(s"(${Sql.fxSum("l_extendedprice", 2)}) / 7.0e0", 2)} AS avg_yearly
+         |FROM lineitem l
+         |JOIN a USING (l_partkey)
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE l_quantity < 0.5e0 * avg_qty
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
     val distinctCounts: String =
       """SELECT count(DISTINCT o_custkey) AS n_cust,

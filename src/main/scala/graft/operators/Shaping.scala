@@ -180,7 +180,87 @@ object Shaping {
         sum(when(col("has_doc").isNull, 1L).otherwise(0L)).as("n_vec_orphans"))
   }
 
+  val NOutputShards = 16
+
+  /** Deterministic hash-sharding of the corpus into [[NOutputShards]]
+    * output shards with per-shard balance stats — the write-side layout
+    * step of a training-data export (each shard becomes one output
+    * file/tar). The shard key is the explicit salted polynomial hash
+    * (engine-portable, retry-stable — never an engine hash builtin),
+    * the whole plan is one map-side-combined groupBy over a pure
+    * per-row projection, and the total-count join is a broadcast of a
+    * single row. The stats tell you at a glance whether the hash is
+    * balanced before you pay for the 100 TB write. */
+  def shardAssignment(spark: SparkSession, dir: String,
+                      nShards: Int = NOutputShards): DataFrame = {
+    val total = Tables.documents(spark, dir).agg(count(lit(1)).as("n_total"))
+    Tables.documents(spark, dir)
+      .select((polyHash(concat(lit("shard"), col("doc_id").cast("string"))) % nShards)
+        .as("shard"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("total_chars"),
+        rnd(col("n_docs") / col("n_total"), 4).as("share"))
+      .orderBy("shard")
+  }
+
+  /** Quality-weighted importance sampling: each doc survives with
+    * probability equal to its quality score, decided by the same
+    * deterministic hash-in-[0,1000) device as [[stratifiedSample]] —
+    * so a 0.9-quality doc is kept 9× as often as a 0.1 one, and the
+    * SAME docs survive on every engine, retry, and partitioning (the
+    * standard quality-upweighting step ahead of pretraining, without
+    * rand()'s retry instability). Pure per-row filter; the quality
+    * arithmetic runs in the scan projection, no shuffle anywhere. */
+  def importanceSample(spark: SparkSession, dir: String): DataFrame =
+    withQualityColumns(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("text")))
+      .filter(col("n_toks") > 0 && // quality is NaN on an empty doc: drop, don't roll dice
+        polyHash(concat(lit("imp"), col("doc_id").cast("string"))) % 1000 <
+          floor(col("quality") * 1000))
+      .select("doc_id", "lang", "n_toks", "quality")
+      .orderBy("doc_id")
+
   object SqlOracle {
+    def shardAssignment(nShards: Int = NOutputShards): String =
+      s"""WITH s AS (
+         |  SELECT ${S.polyHash("'shard' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+         |    n_chars
+         |  FROM documents),
+         |g AS (
+         |  SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM s GROUP BY shard),
+         |t AS (SELECT count(*) AS n_total FROM documents)
+         |SELECT shard, n_docs, total_chars,
+         |  ${S.rnd("n_docs / CAST(n_total AS DOUBLE)", 4)} AS share
+         |FROM g, t ORDER BY shard""".stripMargin
+
+    val importanceSample: String = {
+      val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString(", ")
+      val toksE = S.tokens("text")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len($toksE) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct($toksE)) AS BIGINT) AS n_uniq,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter($toksE, t -> t IN ($stop))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, n_toks,
+         |    (floor((
+         |      0.25e0 * least(1.0e0, n_toks / 100.0e0) +
+         |      0.35e0 * (n_uniq / CAST(n_toks AS DOUBLE)) +
+         |      0.2e0 * least(1.0e0, ((n_chars - (n_toks - 1)) / CAST(n_toks AS DOUBLE)) / 8.0e0) +
+         |      0.2e0 * (1.0e0 - n_stop / CAST(n_toks AS DOUBLE))) * 1e4 + 0.5e0) / 1e4) AS quality
+         |  FROM s)
+         |SELECT doc_id, lang, n_toks, quality FROM q
+         |WHERE n_toks > 0
+         |  AND ${S.polyHash("'imp' || CAST(doc_id AS VARCHAR)")} % 1000 < floor(quality * 1000)
+         |ORDER BY doc_id""".stripMargin
+    }
+
     def reservoirSample(k: Int = 20): String =
       s"""WITH p AS (
          |  SELECT lang, doc_id,

@@ -75,6 +75,33 @@ object VectorCore {
         rnd(fxAvg(col("x").cast("double"), 6), 6).as("c"))
       .orderBy("label", "dim")
 
+  /** Scalar int8 quantization audit (the FAISS SQ8 compression step: 4×
+    * smaller vectors than float32 at ~1e-3 absolute error) — per
+    * dimension: the fitted [lo, hi] range and the mean absolute
+    * reconstruction error of round-tripping every value through the
+    * 256-level grid. Two passes over the exploded (dim, x) frame: a
+    * 64-row min/max fit (map-side combined), broadcast back over the
+    * second pass as pure per-row arithmetic into the same
+    * map-side-combined per-dim reduce. Both aggregates are
+    * partitioning-independent (min/max exact, the error sum
+    * fixed-point), so the audit is bit-stable at any scale. */
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    def vals = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select((col("dim0") + 1).cast("long").as("dim"), col("x").cast("double").as("v"))
+    val ranges = vals.groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+    val q = floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5)
+    val recon = col("lo") + q * (col("hi") - col("lo")) / 255.0
+    vals.join(broadcast(ranges), "dim")
+      .select(col("dim"), col("lo"), col("hi"),
+        when(col("hi") > col("lo"), abs(col("v") - recon)).otherwise(0.0).as("err"))
+      .groupBy("dim", "lo", "hi")
+      .agg(rnd(fxAvg(col("err"), 9), 6).as("mean_abs_err"))
+      .select(col("dim"), rnd(col("lo"), 4).as("lo"), rnd(col("hi"), 4).as("hi"),
+        col("mean_abs_err"))
+      .orderBy("dim")
+  }
+
   object SqlOracle {
     private val joinFrom =
       """FROM (SELECT vec_id AS id_a, embedding AS va FROM embeddings) a
@@ -117,5 +144,22 @@ object VectorCore {
       s"""SELECT id_a, id_b, (floor((${S.euclid("va", "vb", Dim)}) * 1e4 + 0.5e0) / 1e4) AS dist
          |$joinFrom
          |ORDER BY id_a""".stripMargin
+
+    val quantizeInt8: String = {
+      val q = "floor((v - lo) / (hi - lo) * 255.0e0 + 0.5e0)"
+      s"""WITH vals AS (
+         |  SELECT CAST(i AS BIGINT) AS dim, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings, range(1, ${Dim + 1}) t(i)),
+         |r AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM vals GROUP BY dim),
+         |e AS (
+         |  SELECT vals.dim, lo, hi,
+         |    CASE WHEN hi > lo
+         |      THEN abs(v - (lo + $q * (hi - lo) / 255.0e0))
+         |      ELSE 0.0e0 END AS err
+         |  FROM vals JOIN r USING (dim))
+         |SELECT dim, ${S.rnd("lo", 4)} AS lo, ${S.rnd("hi", 4)} AS hi,
+         |  ${S.rnd(S.fxAvg("err", 9), 6)} AS mean_abs_err
+         |FROM e GROUP BY dim, lo, hi ORDER BY dim""".stripMargin
+    }
   }
 }

@@ -333,6 +333,59 @@ object StreamOps {
       }
   }
 
+  /** Moving-average state: held (us, event_id, fx) events above the
+    * watermark + the trailing ≤ w−1 drained fixed-point values + the
+    * drained horizon. */
+  case class MovAvgSt(buf: Seq[(Long, Long, Long)], tail: Seq[Long], drainedTo: Long)
+  case class MovAvgOut(user_id: Long, event_id: Long, mov_avg: Double)
+
+  /** Streaming per-user trailing moving average — the streaming form of
+    * [[graft.operators.EventsAnalytics.movingAvg]], correct under
+    * OUT-OF-ORDER arrival via [[funnelStream]]'s watermark-ordered
+    * fold: events buffer in state until the watermark passes them, then
+    * drain in (event-time µs, event_id) order through the trailing
+    * window, so each emitted average equals the batch operator's row
+    * for that event. State stays bounded: the buffer drains with the
+    * watermark, the tail holds w−1 longs, and an idle user's state
+    * (tail included) expires `idleMs` after their last drained event —
+    * a user returning later starts a fresh smoothing window, the
+    * documented trade for not holding one state row per ever-seen user. */
+  def movingAvgStream(events: Dataset[Ev],
+                      w: Int = graft.operators.EventsAnalytics.MovAvgWindow,
+                      horizon: String = "10 minutes",
+                      idleMs: Long = 24L * 3600 * 1000): Dataset[MovAvgOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", horizon)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[MovAvgSt, MovAvgOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[MovAvgSt]) =>
+          val st0 = state.getOption.getOrElse(MovAvgSt(Nil, Nil, Long.MinValue))
+          val fresh = evs
+            .map(e => (usOf(e.ts), e.event_id, math.floor(e.value * 1e6 + 0.5).toLong))
+            .filter(_._1 > st0.drainedTo).toSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ripe, hold) = (st0.buf ++ fresh).partition(_._1 <= wmUs)
+          var tail = st0.tail
+          val out = ripe.sortBy(e => (e._1, e._2)).map { case (_, id, fx) =>
+            val win = (tail :+ fx).takeRight(w)
+            tail = win.takeRight(w - 1)
+            MovAvgOut(user, id,
+              math.floor(win.sum.toDouble / win.length / 1e6 * 1e4 + 0.5) / 1e4)
+          }
+          if (hold.isEmpty && state.hasTimedOut) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(MovAvgSt(hold, tail, math.max(st0.drainedTo, wmUs)))
+            if (hold.nonEmpty)
+              state.setTimeoutTimestamp(hold.map(_._1).min / 1000L + 1L)
+            else
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleMs)
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: a session is
     * emitted when a later event for the user passes the inactivity gap,
     * or (with ProcessingTimeTimeout, the production default) when the

@@ -283,4 +283,32 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     // the within-batch survivor is a map-side min
     p.toLowerCase should include("partial_min")
   }
+
+  test("keyword extract: per-doc top-k via partial aggregation, vocab broadcast, no window") {
+    val p = plan(Encoders.keywordExtract(spark, sfDir))
+    p.toLowerCase should include("partial_topkbyscore")
+    p should include("BroadcastHashJoin")
+    p should not include "Window"
+  }
+
+  test("moving average: windows only over per-user partitions, never one partition") {
+    val p = plan(EventsAnalytics.movingAvg(spark, sfDir))
+    p should include("hashpartitioning(user_id")
+    p should not include "SinglePartition"
+  }
+
+  test("small-qty revenue: decorrelated into keyed joins, never a per-row re-scan") {
+    val p = plan(Relational.smallQtyRevenue(spark, sfDir))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  test("shard assignment and importance sample: pure per-row maps ahead of one reduce") {
+    val ps = plan(Shaping.shardAssignment(spark, sfDir))
+    // one groupBy exchange + the presentation sort; the total-count row broadcasts
+    "hashpartitioning".r.findAllIn(ps).size should be <= 2
+    val pi = plan(Shaping.importanceSample(spark, sfDir))
+    pi should not include "Window"
+    "Exchange".r.findAllIn(pi).size should be <= 1 // presentation sort only
+  }
 }

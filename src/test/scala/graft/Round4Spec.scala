@@ -282,6 +282,35 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     } finally q.stop()
   }
 
+  test("movingAvgStream: out-of-order arrival converges to the batch moving average") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    def ev(id: Long, m: Int, u: Long, v: Double) =
+      graft.streaming.StreamOps.Ev(id, ts(m), u, "view", v)
+    val input = MemoryStream[graft.streaming.StreamOps.Ev]
+    val q = graft.streaming.StreamOps.movingAvgStream(input.toDS())
+      .writeStream.format("memory").queryName("movavg")
+      .outputMode("append").start()
+    try {
+      // user 1's three events arrive OUT of event-time order; the
+      // drained averages must still be the event-time trailing-3 ones
+      input.addData(ev(2, 20, 1, 2.0), ev(3, 30, 1, 4.0), ev(1, 10, 1, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(6, 400, 99, 1.0)) // watermark pusher
+      q.processAllAvailable()
+      input.addData(ev(7, 401, 99, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("movavg")
+        .as[graft.streaming.StreamOps.MovAvgOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.event_id).map(_.mov_avg).toSeq
+      def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+      got shouldBe Seq(1.0, 1.5, rnd4(7.0 / 3))
+    } finally q.stop()
+  }
+
   test("funnelStream: sub-millisecond stage gaps fold at microsecond precision") {
     val s = spark
     import s.implicits._
@@ -517,5 +546,145 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
       .select("click_cnt").first().getLong(0)
     raw.filter(to_date(col("ts")) === lit(day0) &&
       col("event_type") === "click").count() shouldBe cell
+  }
+
+  test("no oracle SQL carries an interpolated Scala null (object-init cycle guard)") {
+    // A val-initialization cycle between SqlOracle objects interpolates
+    // the not-yet-assigned member as the lowercase string "null"
+    // (legitimate SQL in this repo always writes NULL uppercase) — it
+    // parses, silently changes semantics, and only fails at crosscheck.
+    for ((name, sql) <- SparkEntry.oracleSql)
+      withClue(s"$name: ") { "\\bnull\\b".r.findFirstIn(sql) shouldBe None }
+  }
+
+  test("events_moving_avg matches a driver-side recomputation") {
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = evs.groupBy(_._2).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      sorted.zipWithIndex.map { case ((id, _, _, _), i) =>
+        val win = sorted.slice(math.max(0, i - 2), i + 1)
+          .map(r => math.floor(r._4 * 1e6 + 0.5).toLong)
+        id -> rnd4(win.sum.toDouble / win.length / 1e6)
+      }
+    }.toMap
+    val got = EventsAnalytics.movingAvg(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    got shouldBe expected
+  }
+
+  test("events_session_stats: session-length histogram reconciles with the raw log") {
+    val stats = EventsAnalytics.sessionStats(spark, sfDir).collect()
+    stats.map(_.getLong(0)).min should be >= 1L
+    // every event belongs to exactly one session
+    val total = stats.map(r => r.getLong(0) * r.getLong(1)).sum
+    total shouldBe Tables.events(spark, sfDir).count()
+    for (r <- stats) r.getDouble(2) should be <= r.getLong(3).toDouble
+  }
+
+  test("shard_assignment: every doc lands in exactly one balanced shard") {
+    val rows = Shaping.shardAssignment(spark, sfDir).collect()
+    rows.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet) shouldBe true
+    val nDocs = Tables.documents(spark, sfDir).count()
+    rows.map(_.getLong(1)).sum shouldBe nDocs
+    // deterministic hash sharding should be roughly balanced: no shard
+    // holds more than 3x its fair share at this sf
+    rows.map(_.getLong(1)).max.toDouble should be < 3.0 * nDocs / 16
+  }
+
+  test("sample_importance: keeps exactly the docs whose hash clears their quality quota") {
+    def polyHash(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val all = Shaping.withQualityColumns(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text")))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = Shaping.importanceSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    kept should not be empty
+    kept.length.toLong should be < all.size.toLong
+    for ((id, q) <- kept) all(id) shouldBe q
+    // the exact advertised contract: doc kept <=> its deterministic
+    // hash-in-[0,1000) falls under floor(quality*1000). (A mean-quality
+    // comparison is NOT asserted: the expected uplift is Var(q)/E(q),
+    // which at this sf is inside sampling noise.)
+    val expected = all.collect {
+      case (id, q) if polyHash(s"imp$id") % 1000 < math.floor(q * 1000) => id
+    }.toSet
+    kept.map(_._1).toSet shouldBe expected
+  }
+
+  test("text_keyword_extract: ranked keywords are the doc's own top-weighted vocab terms") {
+    val rows = Encoders.keywordExtract(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    rows should not be empty
+    val byDoc = rows.groupBy(_._1)
+    for ((_, rs) <- byDoc) {
+      val sorted = rs.sortBy(_._2)
+      sorted.map(_._2) shouldBe (1L to sorted.length)
+      // scores non-increasing down the ranks
+      sorted.map(_._4).sliding(2).foreach {
+        case Array(a, b) => a should be >= b
+        case _ =>
+      }
+      sorted.length should be <= Encoders.KeywordsPerDoc
+    }
+    // keywords actually occur in their documents
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet).toMap
+    for ((doc, _, term, _) <- rows.take(200)) texts(doc) should contain(term)
+  }
+
+  test("v_quantize_int8: one row per dim, reconstruction error within half a grid step") {
+    val rows = VectorCore.quantizeInt8(spark, sfDir).collect()
+    rows.length shouldBe VectorCore.Dim
+    rows.map(_.getLong(0)).toSeq shouldBe (1L to VectorCore.Dim)
+    for (r <- rows) {
+      val (lo, hi, err) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      hi should be >= lo
+      err should be >= 0.0
+      // mean |v - recon| can never exceed half the 256-level grid step
+      err should be <= (hi - lo) / 255.0 / 2.0 + 1e-6
+    }
+  }
+
+  test("events_top_users matches a driver-side recomputation") {
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val totals = Tables.events(spark, sfDir).select("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1)
+      .map { case (u, rs) =>
+        u -> rs.map(r => math.floor(r._2 * 1e6 + 0.5).toLong).sum / 1e6
+      }
+    val expected = totals.toSeq.sortBy { case (u, t) => (-t, u) }
+      .take(EventsAnalytics.TopUsersK)
+      .zipWithIndex
+      .map { case ((u, t), i) => (i + 1L, u, rnd4(t)) }
+    val got = EventsAnalytics.topUsers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    got shouldBe expected
+  }
+
+  test("q_small_qty_revenue matches a driver-side correlated recomputation") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val avgQ = li.groupBy(_._1).map { case (pk, rs) =>
+      pk -> rs.map(r => math.floor(r._2 * 1e6 + 0.5).toLong).sum / rs.length / 1e6
+    }
+    val brand = Tables.part(spark, sfDir).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = li.filter { case (pk, q, _) => q < 0.5 * avgQ(pk) }
+      .groupBy(r => brand(r._1))
+      .map { case (b, rs) =>
+        val s = rs.map(r => math.floor(r._3 * 1e2 + 0.5).toLong).sum / 1e2
+        (b, rs.length.toLong, math.floor(s / 7.0 * 1e2 + 0.5) / 1e2)
+      }.toSet
+    val got = Relational.smallQtyRevenue(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe expected
   }
 }
