@@ -77,7 +77,8 @@ object Ann {
     * real deployments (same plan shape per iteration). */
   def ivf(spark: SparkSession, dir: String, k: Int = K,
           docFilter: org.apache.spark.sql.Column = lit(true),
-          centroids: Option[DataFrame] = None): DataFrame = {
+          centroids: Option[DataFrame] = None,
+          nProbe: Int = NProbe): DataFrame = {
     // default: fixed seed centroids (oracle-mirrorable); production
     // passes Lloyd-trained centroids from [[fitCentroids]] — (c_id,
     // c_vec array<float>) — and the probe plan is identical
@@ -101,7 +102,7 @@ object Ann {
       .groupBy("q_id")
       .agg(
         graft.functions.TopKAgg.topKBy(
-          dot(col("q_vec"), col("c_vec")), col("c_id"), NProbe).as("tk"),
+          dot(col("q_vec"), col("c_vec")), col("c_id"), nProbe).as("tk"),
         first(col("q_vec")).as("q_vec"))
       .select(col("q_id"), col("q_vec"), explode(col("tk")).as("e"))
       .select(col("q_id"), col("q_vec"), col("e.id").as("c_id"))
@@ -488,7 +489,7 @@ object Ann {
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
 
-    def ivfSql(docFilter: String): String =
+    def ivfSql(docFilter: String, nProbe: Int = NProbe): String =
       s"""WITH q0 AS ${Knn.SqlOracle.queriesCte()},
          |d0 AS (SELECT * FROM ${Knn.SqlOracle.docsCte()} d WHERE $docFilter),
          |cent AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
@@ -508,7 +509,7 @@ object Ann {
          |  SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, c_id) AS r
-         |    FROM qscore) WHERE r <= $NProbe),
+         |    FROM qscore) WHERE r <= $nProbe),
          |cands AS (
          |  SELECT DISTINCT q_id, doc_id
          |  FROM dassign JOIN qprobe USING (c_id)),

@@ -87,6 +87,25 @@ object Eval {
       .orderBy("q_id")
   }
 
+  /** nprobe values swept by [[annRecallIvfSweep]] (the full range up to
+    * every-centroid-probed would be exact search). */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4)
+
+  /** Recall-vs-nprobe sweep — the IVF tuning table (FAISS's standard
+    * recall/latency trade-off curve): mean recall-vs-exact of the same
+    * index probed at 1, 2 and 4 lists. One branch per nprobe value
+    * unioned into a 3-row result; each branch is the [[annRecall]]
+    * plan, whose per-query recalls reduce to a fixed-point mean. This
+    * is what turns the ANN parameter choice from a guess into a
+    * measured decision before a 100 TB index build. */
+  def annRecallIvfSweep(spark: SparkSession, dir: String,
+                        probes: Seq[Int] = SweepProbes): DataFrame =
+    probes.map { np =>
+      annRecall(spark, dir, Ann.ivf(spark, dir, nProbe = np))
+        .agg(rnd(fxAvg(col("recall"), 6), 4).as("mean_recall"))
+        .select(lit(np.toLong).as("nprobe"), col("mean_recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+
   def annRecallLsh(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.lshHyperplane(spark, dir))
   def annRecallIvf(spark: SparkSession, dir: String): DataFrame =
@@ -209,6 +228,13 @@ object Eval {
          |FROM (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < ${Knn.NQueries}) q
          |LEFT JOIN hit USING (q_id)
          |ORDER BY q_id""".stripMargin
+
+    def annRecallIvfSweep(probes: Seq[Int] = SweepProbes): String =
+      probes.map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  ${S.rnd(S.fxAvg("recall", 6), 4)} AS mean_recall
+           |FROM (${annRecall(Ann.SqlOracle.ivfSql("TRUE", np))}) r$np""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY nprobe")
 
     /** Round-trip double literal (exponent marker forces DOUBLE). */
     private def dbl(x: Double): String = {

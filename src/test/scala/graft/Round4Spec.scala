@@ -638,6 +638,22 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     for ((doc, _, term, _) <- rows.take(200)) texts(doc) should contain(term)
   }
 
+  test("eval_ann_recall_sweep: recall is monotone in nprobe and tops out at the single-config value") {
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val rows = Eval.annRecallIvfSweep(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    rows.map(_._1).toSeq shouldBe Eval.SweepProbes.map(_.toLong)
+    // probing more lists can only add candidates
+    rows.map(_._2).sliding(2).foreach {
+      case Array(a, b) => b should be >= a
+      case _ =>
+    }
+    // the nprobe=4 row must equal the mean of the single-config recall query
+    val single = Eval.annRecallIvf(spark, sfDir).collect().map(_.getDouble(1))
+    val fxMean = single.map(x => math.floor(x * 1e6 + 0.5).toLong).sum / single.length / 1e6
+    rows.last._2 shouldBe rnd4(fxMean)
+  }
+
   test("v_quantize_int8: one row per dim, reconstruction error within half a grid step") {
     val rows = VectorCore.quantizeInt8(spark, sfDir).collect()
     rows.length shouldBe VectorCore.Dim
