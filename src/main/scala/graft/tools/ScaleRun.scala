@@ -25,7 +25,11 @@ object ScaleRun {
     "text_quality_score",
     // events family (generated log): sequential-join funnel, distinct+
     // join retention, stats-broadcast anomaly sweep
-    "events_funnel", "events_retention", "events_anomaly")
+    "events_funnel", "events_retention", "events_anomaly",
+    // round-4 additions: per-user window (moving average), global
+    // top-k through the bounded heap, fit+broadcast+topk keyword
+    // extraction
+    "events_moving_avg", "events_top_users", "text_keyword_extract")
 
   def scaleJson(spark: SparkSession, d1: String, d10: String): String = {
     def timed(name: String, dir: String): Double = {
