@@ -112,17 +112,27 @@ object Encoders {
     * (exchange reuse does not fire across these subtrees; the executed
     * search plan scanned the corpus 6×). The ref fits its
     * TfidfVectorizer exactly once the same way (encoder.py:76-92). */
-  private def fittedVocab(spark: SparkSession, dir: String, dim: Int): DataFrame = {
+  private def fittedVocab(spark: SparkSession, dir: String, dim: Int): DataFrame =
+    spark.createDataFrame(
+      fitVocab(spark, dir, dim).map { case (tok, _, idf) => (tok, idf) })
+      .toDF("tok", "idf")
+
+  /** The ONE vocabulary-fit contract (ordering, tie-break, idf
+    * smoothing), collected driver-side: (tok, popularity index 1..dim,
+    * smoothed idf). [[fittedVocab]] and [[keywordExtract]] both derive
+    * from this so the fit can never diverge between them. */
+  private def fitVocab(spark: SparkSession, dir: String,
+                       dim: Int): Seq[(String, Long, Double)] = {
     val nDocs = Tables.documents(spark, dir).count()
-    val rows = docTerm(spark, dir).groupBy("tok")
+    docTerm(spark, dir).groupBy("tok")
       .agg(sum("tf").as("total"), count(lit(1)).as("df"))
       .orderBy(desc("total"), col("tok"))
       .limit(dim)
       .select("tok", "df").collect()
-      .map(r => (r.getString(0),
-        math.log((1.0 + nDocs) / (1.0 + r.getLong(1))) + 1.0))
-      .toSeq
-    spark.createDataFrame(rows).toDF("tok", "idf")
+      .zipWithIndex.map { case (r, i) =>
+        (r.getString(0), (i + 1).toLong,
+          math.log((1.0 + nDocs) / (1.0 + r.getLong(1))) + 1.0)
+      }.toSeq
   }
 
   /** (doc_id, tok, weight) unrounded TF-IDF weights over the given
@@ -187,24 +197,22 @@ object Encoders {
     * through the bounded-heap [[graft.functions.TopKAgg.topKBy]]
     * aggregate, so every map task reduces to ≤ k terms per doc before
     * the one shuffle — never a per-doc sort of the full postings.
-    * Scores are quantized to fixed-point 1e9 BEFORE ranking so both
-    * engines rank the identical integers (a raw double tf·idf could
-    * order differently across libm implementations at near-ties);
-    * ties break on the vocabulary index, deterministically. */
+    * Two-level quantization makes the cross-engine ranking robust by
+    * construction: the idf is quantized at 1e6 FIRST (the driver's
+    * Math.log and the oracle's DuckDB ln() may differ in the last ulp
+    * — neither is guaranteed correctly rounded — and the coarse grid
+    * collapses any sub-ulp difference, leaving ~1e-10 total flip
+    * probability across the ≤ dim vocabulary arguments), then the
+    * tf·idf score is quantized to fixed-point 1e9 BEFORE ranking so
+    * both engines rank the identical integers; ties break on the
+    * vocabulary index, deterministically. */
   val KeywordsPerDoc = 3
 
   def keywordExtract(spark: SparkSession, dir: String,
                      kTop: Int = KeywordsPerDoc, dim: Int = Dim): DataFrame = {
-    val nDocs = Tables.documents(spark, dir).count()
-    val vocabRows = docTerm(spark, dir).groupBy("tok")
-      .agg(sum("tf").as("total"), count(lit(1)).as("df"))
-      .orderBy(desc("total"), col("tok"))
-      .limit(dim)
-      .select("tok", "df").collect()
-      .zipWithIndex.map { case (r, i) =>
-        (r.getString(0), (i + 1).toLong,
-          math.log((1.0 + nDocs) / (1.0 + r.getLong(1))) + 1.0)
-      }.toSeq
+    val vocabRows = fitVocab(spark, dir, dim).map { case (tok, idx, idf) =>
+      (tok, idx, math.floor(idf * 1e6 + 0.5) / 1e6)
+    }
     val vocab = spark.createDataFrame(vocabRows).toDF("tok", "idx", "idf")
     docTerm(spark, dir).join(broadcast(vocab), "tok")
       .select(col("doc_id"), col("idx"),
@@ -336,7 +344,7 @@ object Encoders {
          |nd AS (SELECT count(*) AS n_docs FROM documents),
          |wtd AS (
          |  SELECT dt.doc_id, vocab.idx, vocab.tok,
-         |    CAST(floor(dt.tf * (ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) * 1e9 + 0.5e0) AS BIGINT) AS wq
+         |    CAST(floor(dt.tf * (floor((ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) * 1e6 + 0.5e0) / 1e6) * 1e9 + 0.5e0) AS BIGINT) AS wq
          |  FROM dt JOIN vocab USING (tok) CROSS JOIN nd),
          |r AS (
          |  SELECT doc_id, idx, tok, wq,

@@ -315,10 +315,17 @@ object StreamOps {
             else if (tpe == stages(2)) { if (t3 < 0 && t2 >= 0 && ts > t2) t3 = ts }
           }
           val stage = Seq(t1, t2, t3).count(_ >= 0).toLong
-          if (hold.isEmpty && (stage == 3 || state.hasTimedOut)) {
-            // journey complete, or idle past TTL with nothing pending:
-            // drop the state row — unbounded user populations must not
-            // accumulate one state entry per user forever
+          if (hold.isEmpty && (stage == 3 ||
+              (state.hasTimedOut && ripe.isEmpty))) {
+            // journey complete, or a GENUINE idle timeout (nothing
+            // drained this invocation, nothing held — quiet for
+            // idleMs): drop the state row — unbounded user populations
+            // must not accumulate one state entry per user forever.
+            // A drain-timeout (armed at the oldest held event) also
+            // has hasTimedOut=true but ripe non-empty; removing then
+            // would discard stage progress (t1/t2) and the drainedTo
+            // late-data guard after any stage gap longer than the
+            // watermark horizon, undercounting conversions vs batch.
             if (state.exists) state.remove()
           } else {
             state.update(FunnelSt(hold, math.max(st0.drainedTo, wmUs), t1, t2, t3))
@@ -373,7 +380,15 @@ object StreamOps {
             MovAvgOut(user, id,
               math.floor(win.sum.toDouble / win.length / 1e6 * 1e4 + 0.5) / 1e4)
           }
-          if (hold.isEmpty && state.hasTimedOut) {
+          if (state.hasTimedOut && ripe.isEmpty && hold.isEmpty) {
+            // a GENUINE idle timeout: nothing drained this invocation
+            // and nothing held — the user has been quiet for idleMs. A
+            // drain-timeout (armed at the oldest held event) also
+            // arrives with hasTimedOut=true but with ripe non-empty;
+            // removing state then would discard the tail and drainedTo
+            // right after a drain, restarting the window and
+            // re-admitting late duplicates after ANY gap longer than
+            // the watermark horizon instead of after idleMs.
             if (state.exists) state.remove()
           } else {
             state.update(MovAvgSt(hold, tail, math.max(st0.drainedTo, wmUs)))

@@ -311,6 +311,83 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     } finally q.stop()
   }
 
+  test("movingAvgStream: the tail survives a drain-timeout (gap > horizon, < idle TTL)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    def ev(id: Long, m: Int, u: Long, v: Double) =
+      graft.streaming.StreamOps.Ev(id, ts(m), u, "view", v)
+    val input = MemoryStream[graft.streaming.StreamOps.Ev]
+    val q = graft.streaming.StreamOps.movingAvgStream(input.toDS())
+      .writeStream.format("memory").queryName("movavg_gap")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, 10, 1, 1.0))
+      q.processAllAvailable()
+      // push the watermark far past event 1: its drain-timeout fires
+      // with an emptied buffer — the tail must NOT be dropped
+      input.addData(ev(90, 60, 99, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(91, 61, 99, 1.0))
+      q.processAllAvailable()
+      // an hour after event 1 (gap > 10-minute horizon, << 24 h TTL;
+      // event time above the current watermark, so not late data)
+      input.addData(ev(2, 70, 1, 3.0))
+      q.processAllAvailable()
+      input.addData(ev(92, 120, 99, 1.0))
+      q.processAllAvailable()
+      input.addData(ev(93, 121, 99, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("movavg_gap")
+        .as[graft.streaming.StreamOps.MovAvgOut].collect()
+        .filter(_.user_id == 1L).sortBy(_.event_id).map(_.mov_avg).toSeq
+      // event 2 averages (1.0, 3.0) = 2.0; a dropped tail would read 3.0
+      got shouldBe Seq(1.0, 2.0)
+    } finally q.stop()
+  }
+
+  test("funnelStream: stage progress survives a drain-timeout (gap > horizon, < idle TTL)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+    def ev(id: Long, m: Int, u: Long, t: String) =
+      graft.streaming.StreamOps.Ev(id, ts(m), u, t, 1.0)
+    val input = MemoryStream[graft.streaming.StreamOps.Ev]
+    val q = graft.streaming.StreamOps.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("funnel_gap")
+      .outputMode("update").start()
+    try {
+      input.addData(ev(1, 10, 1, "view"))
+      q.processAllAvailable()
+      // drain the view via watermark pushers (its drain-timeout fires
+      // with an emptied buffer; t1 must survive)
+      input.addData(ev(90, 60, 99, "view"))
+      q.processAllAvailable()
+      input.addData(ev(91, 61, 99, "view"))
+      q.processAllAvailable()
+      // the click comes an hour after the view — far past the
+      // 10-minute horizon but well inside the 24 h idle TTL
+      input.addData(ev(2, 70, 1, "click"))
+      q.processAllAvailable()
+      input.addData(ev(92, 180, 99, "view"))
+      q.processAllAvailable()
+      input.addData(ev(93, 181, 99, "view"))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_gap")
+        .as[graft.streaming.StreamOps.FunnelOut].collect()
+        .filter(_.user_id == 1L).maxBy(_.stage)
+      // a state row dropped at the drain-timeout would leave t1=-1 and
+      // never count the click
+      u1.stage shouldBe 2L
+      u1.t1_us shouldBe ts(10).getTime * 1000
+      u1.t2_us shouldBe ts(70).getTime * 1000
+    } finally q.stop()
+  }
+
   test("funnelStream: sub-millisecond stage gaps fold at microsecond precision") {
     val s = spark
     import s.implicits._
