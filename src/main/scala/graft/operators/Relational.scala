@@ -185,6 +185,26 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Top supplier(s) by lineitem revenue (the TPC-H Q15 pattern — a
+    * correlated max subquery): per-supplier revenue is one keyed
+    * fixed-point groupBy; the global maximum is a SINGLE-ROW aggregate
+    * broadcast back over the (one row per supplier) revenue frame as a
+    * filter — argmax with no global sort and no window, and revenue
+    * ties all surface, ordered by key. The double equality in the join
+    * is safe because fxSum yields exact multiples of 0.01 on both
+    * engines. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(fxSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2)
+        .as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), rnd(col("total_rev"), 2).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
   /** Exact distinct counts over several columns in one pass. */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -324,6 +344,17 @@ object Relational {
          |JOIN part ON p_partkey = l_partkey
          |WHERE l_quantity < 0.5e0 * avg_qty
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+    val topSupplier: String =
+      s"""WITH rev AS (
+         |  SELECT l_suppkey,
+         |    ${Sql.fxSum("l_extendedprice * (1.0e0 - l_discount)", 2)} AS total_rev
+         |  FROM lineitem GROUP BY l_suppkey),
+         |mx AS (SELECT max(total_rev) AS max_rev FROM rev)
+         |SELECT s_suppkey, s_name, ${Sql.rnd("total_rev", 2)} AS total_rev
+         |FROM rev JOIN mx ON total_rev = max_rev
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY s_suppkey""".stripMargin
 
     val distinctCounts: String =
       """SELECT count(DISTINCT o_custkey) AS n_cust,

@@ -731,6 +731,23 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     rows.last._2 shouldBe rnd4(fxMean)
   }
 
+  test("q_top_supplier matches a driver-side argmax recomputation") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val rev = li.groupBy(_._1).map { case (sk, rs) =>
+      sk -> rs.map(r => math.floor(r._2 * (1.0 - r._3) * 1e2 + 0.5).toLong).sum / 1e2
+    }
+    val mx = rev.values.max
+    val names = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = rev.filter(_._2 == mx).toSeq.sortBy(_._1)
+      .map { case (sk, t) => (sk, names(sk), math.floor(t * 1e2 + 0.5) / 1e2) }
+    val got = Relational.topSupplier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    got shouldBe expected
+  }
+
   test("v_quantize_int8: one row per dim, reconstruction error within half a grid step") {
     val rows = VectorCore.quantizeInt8(spark, sfDir).collect()
     rows.length shouldBe VectorCore.Dim
