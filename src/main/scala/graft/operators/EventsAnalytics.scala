@@ -157,6 +157,27 @@ object EventsAnalytics {
         max("duration_ms").as("max_duration_ms"))
       .orderBy("n_events")
 
+  /** Daily and trailing-7-day active users with the DAU/WAU stickiness
+    * ratio — the standard engagement panel. The log first reduces to
+    * DISTINCT (user, day) — bounded by users × active-days, not event
+    * count — then each active day contributes to the 7 target days
+    * whose trailing window contains it (a bounded 7× explode on the
+    * already-reduced frame; a range self-join would pair-expand).
+    * Both counts are exact distincts over keyed shuffles. */
+  def activeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        rnd(col("dau") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Global top-[[TopUsersK]] users by lifetime value — the "whale"
     * leaderboard. Two-level reduction: the per-user fixed-point sum is
     * a map-side-combined keyed groupBy, then the GLOBAL top-k runs
@@ -177,6 +198,21 @@ object EventsAnalytics {
       .orderBy("rank")
 
   object SqlOracle {
+    val activeUsers: String =
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         |dau AS (
+         |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+         |  FROM ud GROUP BY day),
+         |wau AS (
+         |  SELECT ud.day + CAST(i AS INTEGER) AS day,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         |  FROM ud, range(0, 7) t(i) GROUP BY ud.day + CAST(i AS INTEGER))
+         |SELECT day, dau, wau,
+         |  ${S.rnd("dau / CAST(wau AS DOUBLE)", 4)} AS stickiness
+         |FROM dau JOIN wau USING (day)
+         |ORDER BY day""".stripMargin
+
     def topUsers(k: Int = TopUsersK): String =
       s"""WITH u AS (
          |  SELECT user_id, ${S.fxSum("value", 6)} AS total

@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * are skipped (the generated dir has no such tables). */
 object GenRun {
   private val SkipPrefixes = Seq(
-    "q1_", "q3_", "q_window_topn", "q_distinct_count", "q_semi_anti_join")
+    "q1_", "q3_", "q_window_topn", "q_distinct_count", "q_semi_anti_join",
+    "q_small_qty_revenue", "q_top_supplier")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

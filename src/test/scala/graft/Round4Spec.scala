@@ -761,6 +761,22 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("events_active_users matches a driver-side recomputation") {
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct
+    val dau = ud.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._1).distinct.size.toLong }
+    val wau = ud.flatMap { case (u, d) => (0 to 6).map(i => (u, d.plusDays(i))) }
+      .groupBy(_._2).map { case (d, rs) => d -> rs.map(_._1).distinct.size.toLong }
+    val expected = dau.toSeq.sortBy(_._1.toString).map { case (d, n) =>
+      (d, n, wau(d), rnd4(n.toDouble / wau(d)))
+    }
+    val got = EventsAnalytics.activeUsers(spark, sfDir).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    got shouldBe expected
+  }
+
   test("events_top_users matches a driver-side recomputation") {
     def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     val totals = Tables.events(spark, sfDir).select("user_id", "value").collect()
