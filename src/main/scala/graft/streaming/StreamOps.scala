@@ -340,6 +340,24 @@ object StreamOps {
       }
   }
 
+  /** Live daily-active-users counter — the streaming form of
+    * [[graft.operators.EventsAnalytics.activeUsers]]'s DAU side: the
+    * stream first deduplicates (user, day) within the watermark
+    * horizon (state = one row per active user-day, dropped as the
+    * watermark passes — bounded however many events repeat), then a
+    * per-day windowed count emits each closed day exactly once in
+    * append mode. The horizon must cover a full day plus allowed
+    * lateness so a user's second event on the same day always meets
+    * the dedup state. */
+  def dauStream(events: DataFrame, horizon: String = "25 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .select(col("ts"), col("user_id"), to_date(col("ts")).as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").cast("date").as("day"), col("dau"))
+
   /** Moving-average state: held (us, event_id, fx) events above the
     * watermark + the trailing ≤ w−1 drained fixed-point values + the
     * drained horizon. */

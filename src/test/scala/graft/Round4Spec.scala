@@ -348,6 +348,35 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     } finally q.stop()
   }
 
+  test("dauStream: closed days report the batch DAU") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def ev(id: Long, ts: String, u: Long) =
+      graft.streaming.StreamOps.Ev(id, Timestamp.valueOf(ts), u, "view", 1.0)
+    val input = MemoryStream[graft.streaming.StreamOps.Ev]
+    val q = graft.streaming.StreamOps.dauStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dau")
+      .outputMode("append").start()
+    try {
+      // day 1: user 1 twice + user 2; day 2: users 1 and 3
+      input.addData(
+        ev(1, "2024-01-01 01:00:00", 1), ev(2, "2024-01-01 09:30:00", 1),
+        ev(3, "2024-01-01 15:00:00", 2),
+        ev(4, "2024-01-02 08:00:00", 1), ev(5, "2024-01-02 19:00:00", 3))
+      q.processAllAvailable()
+      // watermark pushers: close both days (horizon 25 h)
+      input.addData(ev(90, "2024-01-05 00:00:00", 99))
+      q.processAllAvailable()
+      input.addData(ev(91, "2024-01-05 00:01:00", 99))
+      q.processAllAvailable()
+      val got = spark.table("dau").collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+      got("2024-01-01") shouldBe 2L
+      got("2024-01-02") shouldBe 2L
+    } finally q.stop()
+  }
+
   test("funnelStream: stage progress survives a drain-timeout (gap > horizon, < idle TTL)") {
     val s = spark
     import s.implicits._
