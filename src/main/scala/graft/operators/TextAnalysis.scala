@@ -48,6 +48,46 @@ object TextAnalysis {
       .orderBy(desc("cnt"), col("gram"))
       .limit(topN)
 
+  /** Per-doc bigram language-model score — the CCNet/Gopher-style
+    * perplexity quality signal: the corpus itself is the LM (Laplace-
+    * smoothed bigram MLE, P(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)), and each
+    * doc scores the mean log-prob of its own bigrams. Low scores flag
+    * gibberish/boilerplate; high scores flag natural text.
+    *
+    * Scale shape: corpus unigram/bigram counts are map-side-combined
+    * keyed groupBys; the doc-bigram stream joins them on the bigram
+    * and on w1 — KEYED joins, never a broadcast of the (unbounded)
+    * bigram table — and the single-row vocabulary size broadcasts.
+    * Determinism: each bigram's ln() output is quantized at 1e6 before
+    * the per-doc integer mean (Spark's StrictMath-based log and
+    * DuckDB's libm ln can differ in the last ulp; the coarse grid
+    * collapses that), so both engines average identical integers. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    def docToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+    val grams = docToks.filter(size(col("_toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("_toks")) - 1), i =>
+          struct(element_at(col("_toks"), i).as("w1"),
+            concat(element_at(col("_toks"), i), lit(" "),
+              element_at(col("_toks"), i + 1)).as("gram")))).as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.gram"))
+    val uni = docToks.select(explode(col("_toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocabSize = uni.agg(count(lit(1)).as("vocab"))
+    val big = grams.groupBy("gram").agg(count(lit(1)).as("c2"))
+    grams.join(big, "gram")
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("doc_id"),
+        floor(log((col("c2") + 1) / (col("c1") + col("vocab")).cast("double")) * 1e6 + 0.5)
+          .cast("long").as("qlp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        rnd(sum("qlp") / count(lit(1)) / lit(1e6), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary coverage — the tokenizer-health metric of a training
     * pipeline: build the top-`vocabSize` tokens by total occurrence
     * count (ties by token), then report per-language token totals and
@@ -328,6 +368,27 @@ object TextAnalysis {
          |                     for i in range(1, len(toks))]) AS gram FROM t)
          |SELECT gram, count(*) AS cnt FROM g
          |GROUP BY gram ORDER BY cnt DESC, gram LIMIT $topN""".stripMargin
+
+    val bigramLmScore: String =
+      s"""WITH t AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |ge AS (
+         |  SELECT doc_id, s['w1'] AS w1, s['gram'] AS gram FROM (
+         |    SELECT doc_id,
+         |      unnest([{'w1': toks[i], 'gram': toks[i] || ' ' || toks[i+1]}
+         |              for i in range(1, len(toks))]) AS s
+         |    FROM t WHERE len(toks) >= 2)),
+         |c1 AS (
+         |  SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
+         |v AS (SELECT count(*) AS vocab FROM c1),
+         |c2 AS (SELECT gram, count(*) AS c2 FROM ge GROUP BY gram),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(floor(ln((c2 + 1) / CAST(c1.c1 + vocab AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS qlp
+         |  FROM ge JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  ${S.rnd("CAST(sum(qlp) AS BIGINT) / count(*) / 1e6", 4)} AS lm_score
+         |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     def vocabCoverage(vocabSize: Int = 1000): String =
       s"""WITH toks AS (

@@ -790,6 +790,28 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("text_bigram_lm matches a driver-side recomputation") {
+    def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty).toSeq))
+    val uni = texts.flatMap(_._2).groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val vocab = uni.size.toLong
+    val allGrams = texts.flatMap { case (_, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (p.head, p.mkString(" "))).toSeq
+    }
+    val c2 = allGrams.groupBy(_._2).map { case (g, gs) => g -> gs.size.toLong }
+    val expected = texts.filter(_._2.length >= 2).map { case (id, ts) =>
+      val qlps = ts.sliding(2).filter(_.length == 2).map { p =>
+        val prob = (c2(p.mkString(" ")) + 1) / (uni(p.head) + vocab).toDouble
+        math.floor(math.log(prob) * 1e6 + 0.5).toLong
+      }.toSeq
+      (id, qlps.length.toLong, rnd4(qlps.sum.toDouble / qlps.length / 1e6))
+    }.toSet
+    val got = TextAnalysis.bigramLmScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    got shouldBe expected
+  }
+
   test("events_active_users matches a driver-side recomputation") {
     def rnd4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
     val ud = Tables.events(spark, sfDir)
