@@ -29,7 +29,8 @@ object ScaleRun {
     // round-4 additions: per-user window (moving average), global
     // top-k through the bounded heap, fit+broadcast+topk keyword
     // extraction
-    "events_moving_avg", "events_top_users", "text_keyword_extract")
+    "events_moving_avg", "events_top_users", "text_keyword_extract",
+    "text_bigram_lm")
 
   def scaleJson(spark: SparkSession, d1: String, d10: String): String = {
     def timed(name: String, dir: String): Double = {

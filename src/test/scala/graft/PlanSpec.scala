@@ -303,6 +303,14 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p should not include "BroadcastNestedLoopJoin"
   }
 
+  test("bigram LM: keyed count joins, no pair expansion, map-side combine") {
+    val p = plan(TextAnalysis.bigramLmScore(spark, sfDir))
+    // the only nested-loop join is the single-row vocab-size broadcast
+    p should not include "CartesianProduct"
+    "BroadcastNestedLoopJoin".r.findAllIn(p).size should be <= 1
+    p.toLowerCase should include("partial_count")
+  }
+
   test("shard assignment and importance sample: pure per-row maps ahead of one reduce") {
     val ps = plan(Shaping.shardAssignment(spark, sfDir))
     // one groupBy exchange + the presentation sort; the total-count row broadcasts
