@@ -222,7 +222,39 @@ object Shaping {
       .select("doc_id", "lang", "n_toks", "quality")
       .orderBy("doc_id")
 
+  /** Per-source mixture-resampling weights: the factor each ingest
+    * source's docs must be up/down-sampled by to hit a UNIFORM target
+    * mixture (weight = target share ÷ actual share = N/(k·n_s)) — the
+    * mixture-balancing step a pretraining pipeline runs before
+    * sampling, next to [[stratifiedSample]]'s per-language quotas.
+    * One map-side-combined groupBy; the corpus totals are a single
+    * broadcast row. Weights > 1 mean the source must repeat (or be
+    * upsampled); < 1 means downsample — both feed the same
+    * hash-in-[0,1000) keep/repeat device the samplers use. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = bySource
+      .agg(sum("n_docs").as("n_total"), count(lit(1)).as("k_sources"))
+    bySource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"),
+        rnd(col("n_docs") / col("n_total"), 4).as("share"),
+        rnd(col("n_total") / (col("k_sources") * col("n_docs")), 4).as("weight"))
+      .orderBy("source")
+  }
+
   object SqlOracle {
+    val mixtureWeights: String =
+      s"""WITH s AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |t AS (
+         |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |    count(*) AS k_sources FROM s)
+         |SELECT source, n_docs,
+         |  ${S.rnd("n_docs / CAST(n_total AS DOUBLE)", 4)} AS share,
+         |  ${S.rnd("n_total / CAST(k_sources * n_docs AS DOUBLE)", 4)} AS weight
+         |FROM s, t ORDER BY source""".stripMargin
+
     def shardAssignment(nShards: Int = NOutputShards): String =
       s"""WITH s AS (
          |  SELECT ${S.polyHash("'shard' || CAST(doc_id AS VARCHAR)")} % $nShards AS shard,

@@ -690,6 +690,16 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     for (r <- stats) r.getDouble(2) should be <= r.getLong(3).toDouble
   }
 
+  test("corpus_mixture_weights: weighted shares rebalance to uniform") {
+    val rows = Shaping.mixtureWeights(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    rows.map(_._2).sum shouldBe Tables.documents(spark, sfDir).count()
+    rows.map(_._3).sum shouldBe 1.0 +- 0.01
+    // applying each source's weight to its share yields the uniform target
+    for ((_, _, share, weight) <- rows)
+      (share * weight) shouldBe (1.0 / rows.length) +- 0.001
+  }
+
   test("shard_assignment: every doc lands in exactly one balanced shard") {
     val rows = Shaping.shardAssignment(spark, sfDir).collect()
     rows.map(_.getLong(0)).toSet.subsetOf((0L until 16L).toSet) shouldBe true
