@@ -23,15 +23,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // The dedup oracles are UNCAPPED SQL while the Spark operators cap
-    // pathological blocks at Dedup.MaxBlock — oracle equality therefore
-    // requires every observed block at this sf to be under the cap.
-    // Check it explicitly so a data refresh shows up as this line, not
-    // as a confusing row-count diff (ADVICE r2).
-    try operators.Dedup.maxBlockSizes(spark, sfDir).foreach { case (k, v) =>
-      val verdict = if (v > operators.Dedup.MaxBlock) "VIOLATED" else "ok"
-      System.err.println(
-        s"[verify] block-cap $verdict: $k max=$v cap=${operators.Dedup.MaxBlock}")
+    // Most dedup oracles are UNCAPPED SQL while the Spark operators cap
+    // pathological blocks — oracle equality therefore requires every
+    // observed block at this sf to be under its operator's cap. Check
+    // it explicitly so a data refresh shows up as this line, not as a
+    // confusing row-count diff (ADVICE r2). The simhash band cap is
+    // MIRRORED in its oracle (approximate-by-cap), so that entry
+    // (cap = -1) is informational and can never be violated.
+    try operators.Dedup.maxBlockSizes(spark, sfDir).foreach { case (k, v, cap) =>
+      val verdict =
+        if (cap < 0) "mirrored-in-oracle" else if (v > cap) "VIOLATED" else "ok"
+      System.err.println(s"[verify] block-cap $verdict: $k max=$v cap=$cap")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] block-cap check failed: ${e.getMessage}")
     }

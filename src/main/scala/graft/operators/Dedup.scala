@@ -33,9 +33,11 @@ object Dedup {
     * label) shared by more rows than this is dropped before any pairs
     * are expanded — it carries no discriminating signal and its b²
     * expansion is the one quadratic hot spot these operators otherwise
-    * have at scale. Chosen above every observed sf0.1 block size
-    * (max: 1825-member SimHash band) so the verified oracles are
-    * unaffected; real deployments tune it per operator. */
+    * have at scale. Chosen above every observed sf0.1 block size so
+    * the verified oracles are unaffected (the 1825-member sf0.1
+    * SimHash band that used to set this bound now falls under
+    * [[SimHashMaxBand]]'s tighter, oracle-mirrored cap); real
+    * deployments tune it per operator. */
   val MaxBlock = 4096
 
   /** Tighter cap for the COLLECT-LIST bucket expansions (minhash LSH,
@@ -46,6 +48,16 @@ object Dedup {
     * [[MaxBlock]]. Observed sf0.1 maxima (Verify's block-cap lines):
     * minhash 9, embedding-LSH 202 — oracles unaffected. */
   val MaxBucket = 1024
+
+  /** SimHash-specific band cap — TIGHTER than [[MaxBlock]] and, unlike
+    * every other cap, MIRRORED IN THE ORACLE SQL: generated/homogeneous
+    * corpora concentrate into few 16-bit bands (measured: a 1825-member
+    * band at sf0.1; the 10× scale corpus reads exponent ~1.5 through
+    * the b² within-band join), so banding is declared approximate-by-
+    * cap — a band shared by more than this many docs is skipped by
+    * DEFINITION, in both engines. MinHash-LSH remains the primary
+    * near-dup path; SimHash banding is the cheap approximate fallback. */
+  val SimHashMaxBand = 1024
 
   /** Word 3-gram shingles, in token order (empty when < 3 tokens).
     * NOTE: `text` should be a *materialized token array reference* in
@@ -233,11 +245,13 @@ object Dedup {
         graft.functions.native.simhash62(tokens(col("text"))).as("fp"))
 
   /** SimHash near-dup pairs: docs sharing the 16-bit band prefix whose
-    * fingerprints are within `maxHamming`. The band equi-join bounds
-    * the pair expansion; pathological bands (more than `maxBlock`
-    * members) are dropped before the join. */
+    * fingerprints are within `maxHamming`. Bands larger than `maxBlock`
+    * (default [[SimHashMaxBand]]) are dropped before the join — this
+    * cap is PART OF THE OPERATOR'S SEMANTICS and mirrored in the oracle
+    * SQL (approximate-by-cap), unlike the safety-net [[MaxBlock]] caps
+    * whose oracles are uncapped. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 6,
-                   maxBlock: Int = MaxBlock): DataFrame = {
+                   maxBlock: Int = SimHashMaxBand): DataFrame = {
     val fp = Skew.capBlocks(
       simhashFingerprints(spark, dir)
         .select(col("doc_id"), col("fp"), shiftright(col("fp"), 46).as("band")),
@@ -401,13 +415,16 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Max observed members per blocking key for every capped blocking,
-    * at the given sf dir. The verified oracles are UNCAPPED SQL, so
-    * oracle equality silently depends on every observed block staying
-    * under [[MaxBlock]] — Verify calls this and fails loudly if the
-    * contract is violated (ADVICE r2), instead of surfacing as a
-    * confusing row-count diff. */
-  def maxBlockSizes(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+  /** (blocking name, max observed members, applicable cap) for every
+    * capped blocking at the given sf dir. Most verified oracles are
+    * UNCAPPED SQL, so oracle equality silently depends on every
+    * observed block staying under its operator's cap — Verify calls
+    * this and fails loudly if the contract is violated (ADVICE r2),
+    * instead of surfacing as a confusing row-count diff. The simhash
+    * band is the exception: its cap is mirrored in the oracle
+    * (approximate-by-cap), so its entry carries cap = -1 and is
+    * informational only. */
+  def maxBlockSizes(spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
     def maxCnt(df: DataFrame, keys: String*): Long =
       df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
         .agg(max("c")).collect()(0).getLong(0)
@@ -436,11 +453,11 @@ object Dedup {
             .bitwiseAND((1 << Ann.BandBits) - 1).as("bkt"))): _*)).as("bk"))
       .select(col("bk.band"), col("bk.bkt"))
     Seq(
-      "simhash_band" -> maxCnt(simBands, "band"),
-      "ngram_lang_t0" -> maxCnt(ngramBlocks, "lang", "t0"),
-      "embedding_label" -> maxCnt(labelBlocks, "label"),
-      "minhash_bucket" -> maxCnt(mhBuckets, "band", "key"),
-      "embedding_lsh_bucket" -> maxCnt(lshBuckets, "band", "bkt"))
+      ("simhash_band", maxCnt(simBands, "band"), -1L),
+      ("ngram_lang_t0", maxCnt(ngramBlocks, "lang", "t0"), MaxBlock.toLong),
+      ("embedding_label", maxCnt(labelBlocks, "label"), MaxBlock.toLong),
+      ("minhash_bucket", maxCnt(mhBuckets, "band", "key"), MaxBucket.toLong),
+      ("embedding_lsh_bucket", maxCnt(lshBuckets, "band", "bkt"), MaxBucket.toLong))
   }
 
   object SqlOracle {
@@ -573,13 +590,18 @@ object Dedup {
          |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fp
          |  FROM bits GROUP BY doc_id)""".stripMargin
 
-    def simhashPairs(maxHamming: Int = 6): String =
-      s"""WITH $fpCte
+    /** Mirrors the [[Dedup.SimHashMaxBand]] cap: oversized bands are
+      * excluded by definition (approximate-by-cap semantics). */
+    def simhashPairs(maxHamming: Int = 6,
+                     maxBand: Int = SimHashMaxBand): String =
+      s"""WITH $fpCte,
+         |bst AS (SELECT fp >> 46 AS band, count(*) AS bsz FROM fp GROUP BY band)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b
          |  ON (a.fp >> 46) = (b.fp >> 46) AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming
+         |JOIN bst ON bst.band = (a.fp >> 46)
+         |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming AND bst.bsz <= $maxBand
          |ORDER BY id_a, id_b""".stripMargin
 
     def embeddingLsh(threshold: Double = 0.4): String =

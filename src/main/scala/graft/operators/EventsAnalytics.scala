@@ -54,19 +54,23 @@ object EventsAnalytics {
   }
 
   /** Cohort retention matrix: users grouped by the date of their first
-    * event, counted on each later day they were active. The raw log
-    * reduces to distinct (user, day) BEFORE the cohort join, so the
-    * join input is bounded by users × active-days, not event count. */
-  def retention(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+    * event, counted on each later day they were active. ONE shuffle of
+    * the event stream: groupBy(user) with a map-side-combined
+    * collect_set of active days (bounded — ≤ the calendar span, not
+    * event count), cohort = min day of the sorted set, explode, and a
+    * constant-size (cohorts × offsets) final groupBy. The previous
+    * distinct + cohort-groupBy + join form shuffled the stream three
+    * times and read exponent 0.47 at 10×; this folds all per-user work
+    * into the single aggregation. */
+  def retention(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort"))
-    e.distinct()
-      .join(cohorts, "user_id")
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("day"))).as("days"))
+      .select(element_at(col("days"), 1).as("cohort"), explode(col("days")).as("day"))
       .groupBy(col("cohort"), datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort", "offset_days")
-  }
 
   val HistBinWidth = 25.0
   val HistNumBins = 20

@@ -55,9 +55,14 @@ object TextAnalysis {
     * gibberish/boilerplate; high scores flag natural text.
     *
     * Scale shape: corpus unigram/bigram counts are map-side-combined
-    * keyed groupBys; the doc-bigram stream joins them on the bigram
-    * and on w1 — KEYED joins, never a broadcast of the (unbounded)
-    * bigram table — and the single-row vocabulary size broadcasts.
+    * keyed groupBys; the unigram counts fold into the BIGRAM-VOCAB
+    * table first (w1 is a prefix of the gram key, so that join is
+    * vocab×vocab, never touches the stream, and absorbs the hot-w1
+    * skew — "the …" has many distinct bigrams but each is one row);
+    * the doc-bigram stream then takes ONE keyed join on the gram.
+    * The earlier form joined the stream twice, once on raw w1 — a
+    * classic hot-key join that read exponent 1.09 at 10×. The
+    * single-row vocabulary size broadcasts.
     * Determinism: each bigram's ln() output is quantized at 1e6 before
     * the per-doc integer mean (Spark's StrictMath-based log and
     * DuckDB's libm ln can differ in the last ulp; the coarse grid
@@ -68,20 +73,22 @@ object TextAnalysis {
     val grams = docToks.filter(size(col("_toks")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("_toks")) - 1), i =>
-          struct(element_at(col("_toks"), i).as("w1"),
-            concat(element_at(col("_toks"), i), lit(" "),
-              element_at(col("_toks"), i + 1)).as("gram")))).as("g"))
-      .select(col("doc_id"), col("g.w1"), col("g.gram"))
+          concat(element_at(col("_toks"), i), lit(" "),
+            element_at(col("_toks"), i + 1)))).as("gram"))
     val uni = docToks.select(explode(col("_toks")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocabSize = uni.agg(count(lit(1)).as("vocab"))
-    val big = grams.groupBy("gram").agg(count(lit(1)).as("c2"))
-    grams.join(big, "gram")
+    // gram → quantized log-prob lookup table: bigram counts with the
+    // unigram denominator folded in (w1 recovered from the gram prefix)
+    val lm = grams.groupBy("gram").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
       .join(uni, "w1")
       .crossJoin(broadcast(vocabSize))
-      .select(col("doc_id"),
+      .select(col("gram"),
         floor(log((col("c2") + 1) / (col("c1") + col("vocab")).cast("double")) * 1e6 + 0.5)
           .cast("long").as("qlp"))
+    grams.join(lm, "gram")
+      .select(col("doc_id"), col("qlp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         rnd(sum("qlp") / count(lit(1)) / lit(1e6), 4).as("lm_score"))
