@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions._
@@ -114,12 +114,23 @@ object PerfStats {
   /** Paired statistical comparison of two metric populations (ref:
     * experiments/stats.py `paired_tests` — scipy ttest_rel + wilcoxon):
     * per-user mean 'click' latency vs mean 'view' latency, paired on
-    * users having both. Emits the paired t statistic (+ df) and the
-    * Wilcoxon signed-rank W⁺ (average ranks over |d| ties, zero
-    * differences dropped — scipy's defaults). p-values need a t/normal
-    * CDF and are left to the caller (no scipy in-engine); the
-    * statistics themselves are exact. All moments are fixed-point sums
-    * so results are accumulation-order-free. */
+    * users having both. Emits the paired t statistic (+ df + two-sided
+    * p-value) and the Wilcoxon signed-rank W⁺ (average ranks over |d|
+    * ties, zero differences dropped — scipy's defaults) with its
+    * normal-approximation p-value. All moments are fixed-point sums so
+    * results are accumulation-order-free.
+    *
+    * p-value determinism (the oracle mirrors every step): the t CDF
+    * uses the exact closed form for integer df — for even df a pure
+    * product-sum recurrence (only IEEE +,·,/,√, all correctly rounded,
+    * so bit-identical across engines); for odd df the same plus one
+    * atan, whose output is quantized at 1e9 before use (JVM StrictMath
+    * vs libm can differ in the last ulp). The Wilcoxon p uses the
+    * tie-corrected normal approximation (no continuity correction,
+    * scipy's correction=False default) with Φ via the Abramowitz-
+    * Stegun 7.1.26 erf polynomial (|err| ≤ 1.5e-7, quoted well inside
+    * the 1e-6 output grid), whose single exp() is 1e9-quantized the
+    * same way. */
   def pairedTests(spark: SparkSession, dir: String,
                   typeA: String = "click", typeB: String = "view"): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -135,7 +146,9 @@ object PerfStats {
     // 0-based position; min(position)+1 per distinct |d| is the exact
     // min-rank regardless of how ties were split across partitions.
     // Shuffle volume is one (ad, d) pair per row — no single-partition
-    // coalesce anywhere.
+    // coalesce anywhere. W+ and the tie-correction sum are exact:
+    // average ranks are multiples of 0.5 (dyadic, so double addition
+    // is associativity-free here) and the tie cubes are longs.
     import spark.implicits._
     val ranked = d.select(abs(col("d")).as("ad"), col("d")).as[(Double, Double)]
       .orderBy("ad").rdd.zipWithIndex()
@@ -144,16 +157,66 @@ object PerfStats {
     val w = ranked.groupBy("ad")
       .agg(min("r").as("r_min"), count(lit(1)).as("n_tie"),
         sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_pos"))
-      .agg(coalesce(sum((col("r_min") + (col("n_tie") - 1) / 2.0) * col("n_pos")),
-        lit(0.0)).as("w_plus"))
-    d.agg(
+      .agg(
+        coalesce(sum((col("r_min") + (col("n_tie") - 1) / 2.0) * col("n_pos")),
+          lit(0.0)).as("w_plus"),
+        coalesce(sum(col("n_tie") * col("n_tie") * col("n_tie") - col("n_tie")),
+          lit(0L)).as("_ties3"))
+    val base = d.agg(
       count(lit(1)).as("n"),
-      rnd(fxSum(col("d"), 6) / count(lit(1)) /
-        sqrt((fxSum(col("d") * col("d"), 6) -
-          fxSum(col("d"), 6) * fxSum(col("d"), 6) / count(lit(1))) /
-          (count(lit(1)) - 1) / count(lit(1))), 4).as("t_stat"),
-      (count(lit(1)) - 1).as("t_df"))
-      .crossJoin(w.select(rnd(col("w_plus"), 4).as("wilcoxon_w")))
+      fxSum(col("d"), 6).as("_sd"),
+      fxSum(col("d") * col("d"), 6).as("_sd2"))
+
+    // ---- expression builders over the single (base × w) row ----
+    val n = col("n")
+    val varTerm = (col("_sd2") - col("_sd") * col("_sd") / n) / (n - 1) / n
+    val tRaw = col("_sd") / n / sqrt(varTerm)
+    val tAbs = abs(tRaw)
+    val nuD = (n - 1).cast("double")
+    val u = nuD / (nuD + tAbs * tAbs)
+    // m = floor(ν/2) = the term count of BOTH closed-form branches:
+    // even ν sums j = 0..ν/2−1; odd ν sums j = 0..(ν−3)/2, i.e.
+    // (ν−1)/2 terms — both equal floor(ν/2).
+    val m = floor(nuD / 2).cast("int")
+    // Π_{i=1}^{j} (u·num(i)/den(i)), left-folded exactly as the
+    // oracle's list_reduce so every IEEE multiply associates the same
+    def prodTerm(j: Column, num: Column => Column, den: Column => Column) =
+      when(j === 0, lit(1.0)).otherwise(
+        aggregate(sequence(lit(1), j), lit(1.0),
+          (acc, i) => acc * (u * num(i) / den(i))))
+    def sumTerms(term: Column => Column) =
+      when(m <= 0, lit(0.0)).otherwise(
+        aggregate(transform(sequence(lit(0), m - 1), term),
+          lit(0.0), (acc, x) => acc + x))
+    val sumE = sumTerms(j => prodTerm(j,
+      i => (i * 2 - 1).cast("double"), i => (i * 2).cast("double")))
+    val sumO = sumTerms(j => prodTerm(j,
+      i => (i * 2).cast("double"), i => (i * 2 + 1).cast("double")))
+    val fEven = lit(0.5) + tAbs / (lit(2.0) * sqrt(nuD + tAbs * tAbs)) * sumE
+    val qatan = rnd(atan(tAbs / sqrt(nuD)), 9)
+    val fOdd = lit(0.5) +
+      (qatan + tAbs * sqrt(nuD) / (nuD + tAbs * tAbs) * sumO) / lit(math.Pi)
+    val pT = lit(2.0) * (lit(1.0) - when(pmod(n - 1, lit(2L)) === 0, fEven).otherwise(fOdd))
+    // Wilcoxon normal approximation with tie correction
+    val mnW = (n * (n + 1)).cast("double") / lit(4.0)
+    val vrW = (n * (n + 1) * (n * 2 + 1)).cast("double") / lit(24.0) -
+      col("_ties3").cast("double") / lit(48.0)
+    val zW = abs(col("w_plus") - mnW) / sqrt(vrW)
+    val xW = zW / sqrt(lit(2.0))
+    val tau = lit(1.0) / (lit(1.0) + lit(0.3275911) * xW)
+    val qexp = rnd(exp(-(xW * xW)), 9)
+    val pW = tau * (lit(0.254829592) + tau * (lit(-0.284496736) +
+      tau * (lit(1.421413741) + tau * (lit(-1.453152027) +
+        tau * lit(1.061405429))))) * qexp
+
+    base.crossJoin(w).select(
+      n,
+      rnd(tRaw, 4).as("t_stat"),
+      (n - 1).as("t_df"),
+      when(n >= 2 && (col("_sd2") - col("_sd") * col("_sd") / n) > 0,
+        rnd(pT, 6)).as("paired_t_pvalue"),
+      rnd(col("w_plus"), 4).as("wilcoxon_w"),
+      when(vrW > 0, rnd(pW, 6)).as("wilcoxon_pvalue"))
   }
 
   /** Sketch-based summaries for cardinalities/quantiles too big for
@@ -203,7 +266,19 @@ object PerfStats {
         |  (floor((count(*) / ${Sql.fxSum("value", 6)}) * 1e4 + 0.5e0) / 1e4) AS throughput_vps
         |FROM events GROUP BY batch_id ORDER BY batch_id""".stripMargin
 
-    def pairedTests(typeA: String = "click", typeB: String = "view"): String =
+    /** Mirrors [[PerfStats.pairedTests]] step for step: identical IEEE
+      * arithmetic for the closed-form t CDF (left-folded list_reduce ≡
+      * Spark's aggregate fold), with the lone atan/exp outputs
+      * 1e9-quantized on both engines before use. */
+    def pairedTests(typeA: String = "click", typeB: String = "view"): String = {
+      def fold(numSql: String, denSql: String): String =
+        s"""list_reduce(list_prepend(0.0, [CASE WHEN j = 0 THEN 1.0 ELSE
+           |      list_reduce(list_prepend(1.0,
+           |        [u * CAST($numSql AS DOUBLE) / CAST($denSql AS DOUBLE)
+           |         for i in range(1, j + 1)]), (pa, px) -> pa * px)
+           |      END for j in range(0, m)]), (sa, sx) -> sa + sx)""".stripMargin
+      val pw = "tau * (0.254829592 + tau * (-0.284496736 + tau * (1.421413741 + " +
+        "tau * (-1.453152027 + tau * 1.061405429)))) * qexp"
       s"""WITH a AS (
          |  SELECT user_id, ${Sql.fxAvg("value", 6)} AS a
          |  FROM events WHERE event_type = '$typeA' GROUP BY user_id),
@@ -217,14 +292,50 @@ object PerfStats {
          |  SELECT d, rank() OVER (ORDER BY abs(d)) AS r_min,
          |    count(*) OVER (PARTITION BY abs(d)) AS n_tie
          |  FROM d0),
-         |x AS (SELECT d, r_min + (n_tie - 1) / 2.0 AS r_avg FROM r)
-         |SELECT count(*) AS n,
-         |  (floor((${Sql.fxSum("d", 6)} / count(*) /
-         |    sqrt((${Sql.fxSum("d * d", 6)} - ${Sql.fxSum("d", 6)} * ${Sql.fxSum("d", 6)} / count(*)) /
-         |      (count(*) - 1) / count(*))) * 1e4 + 0.5e0) / 1e4) AS t_stat,
-         |  count(*) - 1 AS t_df,
-         |  (floor((sum(CASE WHEN d > 0 THEN r_avg ELSE 0.0 END)) * 1e4 + 0.5e0) / 1e4) AS wilcoxon_w
-         |FROM x""".stripMargin
+         |x AS (SELECT d, r_min + (n_tie - 1) / 2.0 AS r_avg, n_tie FROM r),
+         |agg AS (
+         |  SELECT count(*) AS n,
+         |    ${Sql.fxSum("d", 6)} AS sd, ${Sql.fxSum("d * d", 6)} AS sd2,
+         |    coalesce(sum(CASE WHEN d > 0 THEN r_avg ELSE 0.0 END), 0.0) AS wp,
+         |    coalesce(sum(n_tie * n_tie - 1), 0) AS ties3
+         |  FROM x),
+         |calc AS (
+         |  SELECT *, sd / n / sqrt((sd2 - sd * sd / n) / (n - 1) / n) AS traw,
+         |    CAST(n - 1 AS DOUBLE) AS nud
+         |  FROM agg),
+         |tc AS (
+         |  SELECT *, abs(traw) AS tabs,
+         |    nud / (nud + abs(traw) * abs(traw)) AS u,
+         |    CAST(floor(nud / 2) AS INTEGER) AS m
+         |  FROM calc),
+         |sums AS (
+         |  SELECT *,
+         |    ${fold("2 * i - 1", "2 * i")} AS sume,
+         |    ${fold("2 * i", "2 * i + 1")} AS sumo
+         |  FROM tc),
+         |pv AS (
+         |  SELECT *,
+         |    CASE WHEN (n - 1) % 2 = 0
+         |      THEN 0.5 + tabs / (2.0 * sqrt(nud + tabs * tabs)) * sume
+         |      ELSE 0.5 + (${Sql.rnd("atan(tabs / sqrt(nud))", 9)} +
+         |        tabs * sqrt(nud) / (nud + tabs * tabs) * sumo) / 3.141592653589793
+         |    END AS fcdf,
+         |    CAST(n * (n + 1) AS DOUBLE) / 4.0 AS mnw,
+         |    CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0 -
+         |      CAST(ties3 AS DOUBLE) / 48.0 AS vrw
+         |  FROM sums),
+         |wil AS (
+         |  SELECT *, abs(wp - mnw) / sqrt(vrw) / sqrt(2.0) AS xw FROM pv)
+         |SELECT n,
+         |  ${Sql.rnd("traw", 4)} AS t_stat,
+         |  n - 1 AS t_df,
+         |  CASE WHEN n >= 2 AND (sd2 - sd * sd / n) > 0
+         |    THEN ${Sql.rnd("2.0 * (1.0 - fcdf)", 6)} END AS paired_t_pvalue,
+         |  ${Sql.rnd("wp", 4)} AS wilcoxon_w,
+         |  CASE WHEN vrw > 0 THEN ${Sql.rnd(pw, 6)} END AS wilcoxon_pvalue
+         |FROM wil, LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * xw) AS tau,
+         |  ${Sql.rnd("exp(-(xw * xw))", 9)} AS qexp) t""".stripMargin
+    }
 
     val runSummaryRollup: String =
       s"""SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
