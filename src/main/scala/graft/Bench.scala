@@ -9,8 +9,41 @@ import org.apache.spark.sql.SparkSession
   * blowup shows up here as exp→2 at bench time instead of at 100 TB.
   * Fixed per-job overhead inflates t1, so exponents read *low*; the
   * signal watched is "well below 2", not "exactly 1".
+  *
+  * EVERY timing pass runs in fresh child JVMs ([[tools.BenchRun]] in
+  * family-sized batches for the per-query passes, [[tools.ScaleRun]]
+  * for the scale section): BENCH_r02-r04 proved a single long-lived
+  * JVM decays over a 100+-query marathon until its numbers are
+  * physically impossible (r04: warm total 798 s > cold total 396 s for
+  * identical plans). The parent only orchestrates, generates scratch
+  * corpora, and falls back in-process if a spawn fails.
   */
 object Bench {
+  /** Child JVM with THIS JVM's startup flags (add-opens, -Xmx, -D) and
+    * classpath; returns its stdout lines, or None on spawn/exit
+    * failure. Child stderr (Spark logging) is discarded — piping it
+    * while blocking on stdout would deadlock once the pipe fills. */
+  private def spawn(mainClass: String, args: Seq[String]): Option[Seq[String]] =
+    try {
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(s"${System.getProperty("java.home")}/bin/java")
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add(mainClass); args.foreach(a => cmd.add(a))
+      val pb = new ProcessBuilder(cmd)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      if (p.waitFor() != 0) None else Some(out.linesIterator.toSeq)
+    } catch { case _: Throwable => None }
+
+  /** Queries per child JVM: small enough that churn stays bounded
+    * (r04's decay set in far beyond this), large enough to amortize
+    * the ~15 s child Spark init over a family of queries. */
+  val BatchSize = 16
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,26 +55,48 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/parquet-reader paths once so per-query times
-    // measure the operators, not first-query initialization.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // in-process fallback (spawn failure only) — warm the engine once
+    // so a fallback's first query doesn't pay Spark/parquet init
+    lazy val warmedFallback: Unit = {
+      try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    }
     def timed(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, dir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    // Two passes: the first run of a query pays its one-time whole-stage
-    // codegen (janino) cost — real, but paid once per query shape in a
-    // long-lived engine; the second run measures steady-state execution.
-    // "queries"/"value" report the warm (steady-state) numbers, the
-    // cold first-run numbers ride along under *_cold for comparison.
-    val names = SparkEntry.queries.keys.toSeq
-    val cold = names.map(n => n -> timed(n, sfDir)).toMap
-    val warm = names.map(n => n -> timed(n, sfDir)).toMap
+    def fallback(batch: Seq[String]): Seq[(String, (Double, Double))] = {
+      warmedFallback
+      batch.map(n => n -> (timed(n, sfDir), timed(n, sfDir)))
+    }
+    // Sorted names group query families into the same child batch.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results: Seq[(String, (Double, Double))] =
+      names.grouped(BatchSize).toSeq.flatMap { batch =>
+        spawn("graft.tools.BenchRun", sfDir +: batch) match {
+          case Some(lines) =>
+            val m = lines.flatMap { l =>
+              l.trim.split("\\s+") match {
+                case Array("BENCHQ", n, c, w) =>
+                  try Some(n -> (c.toDouble, w.toDouble))
+                  catch { case _: NumberFormatException => None }
+                case _ => None
+              }
+            }.toMap
+            // a query missing from child stdout (mid-batch crash) is
+            // re-timed in-process rather than dropped
+            val missing = batch.filterNot(m.contains)
+            batch.filter(m.contains).map(n => n -> m(n)) ++
+              (if (missing.isEmpty) Nil else fallback(missing))
+          case None => fallback(batch)
+        }
+      }
+    val cold = results.map { case (n, (c, _)) => n -> c }.toMap
+    val warm = results.map { case (n, (_, w)) => n -> w }.toMap
     def js(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // The caller keeps only the LAST ~2000 chars of stdout and parses
-    // the JSON line from that window — full-precision times for 60+
+    // the JSON line from that window — full-precision times for 100+
     // queries blow past it and the line never parses (BENCH_r01-r03 all
     // recorded parsed:null). The final line therefore carries 2-decimal
     // times only; full precision + cold breakdown + the scale section
@@ -63,38 +118,11 @@ object Bench {
         val d1 = s"$base/x1"; val d10 = s"$base/x10"
         sources.DataGen.writeDataset(spark, d1, 5000L, 2000L, nEvents = 100000L)
         sources.DataGen.writeDataset(spark, d10, 50000L, 20000L, nEvents = 1000000L)
-        // The scale timings run in a FRESH child JVM (tools.ScaleRun):
-        // after the 60+-query × 2-pass marathon above, this JVM's
-        // GC/metaspace/codegen churn makes wall times meaningless —
-        // r02/r03 recorded 34-44 s min-of-2 for queries that measure
-        // 0.7-1.0 s in a fresh JVM on byte-identical data, and those
-        // phantom exponents read as quadratic blowups. The child gets
-        // this JVM's exact startup flags (add-opens, -Xmx, -D) and
-        // classpath; on any spawn/parse failure we fall back in-process.
-        val body: String = {
-          val childOut =
-            try {
-              val jvmArgs = java.lang.management.ManagementFactory
-                .getRuntimeMXBean.getInputArguments
-              val cmd = new java.util.ArrayList[String]()
-              cmd.add(s"${System.getProperty("java.home")}/bin/java")
-              jvmArgs.forEach(a => cmd.add(a))
-              cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
-              cmd.add("graft.tools.ScaleRun"); cmd.add(d1); cmd.add(d10)
-              val pb = new ProcessBuilder(cmd)
-              // discard child stderr (Spark logging): letting it pipe
-              // while we block on stdout would deadlock once the pipe
-              // buffer fills
-              pb.redirectError(ProcessBuilder.Redirect.DISCARD)
-              val p = pb.start()
-              val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-              if (p.waitFor() != 0) None
-              else out.linesIterator.map(_.trim)
-                .filter(l => l.startsWith("{\"scale\":") && l.endsWith("}"))
-                .toSeq.lastOption
-            } catch { case _: Throwable => None }
-          childOut.getOrElse(tools.ScaleRun.scaleJson(spark, d1, d10))
-        }
+        val body: String = spawn("graft.tools.ScaleRun", Seq(d1, d10))
+          .flatMap(_.map(_.trim)
+            .filter(l => l.startsWith("{\"scale\":") && l.endsWith("}"))
+            .lastOption)
+          .getOrElse(tools.ScaleRun.scaleJson(spark, d1, d10))
         // the generated corpora are bench-local scratch — remove them so
         // repeated runs don't accumulate parquet under /tmp
         import java.nio.file.{Files, Path}
@@ -109,9 +137,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$scaleJson}"""
     // Full-precision record for the repo (and for later rounds' diffing);
     // also printed on an earlier stdout line, which scrolls out of the
-    // caller's tail window but survives in a full log.
+    // caller's tail window but survives in a full log. The committed
+    // artifact is the sf0.1 one; any other SF writes a suffixed file so
+    // a validation run at sf0.01 can't silently overwrite the committed
+    // sf0.1 numbers (round-4 lesson).
+    val sfName = sfDir.replaceAll("/+$", "").split('/').last
+    val detailPath =
+      if (sfName == "sf0.1") "/root/repo/BENCH_DETAIL.json"
+      else s"/root/repo/BENCH_DETAIL.$sfName.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
+      java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case _: Throwable => }
     println(detail)
     // Hard budget for the final line: the caller's tail window is 2000

@@ -23,16 +23,25 @@ import graft.functions.{Sql => S}
 object Encoders {
   val Dim = 64
 
+  /** Optional corpus cap (doc_id < cap) for the by-size experiment
+    * sweep; None leaves the plan untouched. The filter lands on the
+    * parquet scan (PushedFilters), so a capped leg reads only its
+    * prefix. */
+  private def capped(d: DataFrame, maxDoc: Option[Long]): DataFrame =
+    maxDoc.fold(d)(c => d.filter(col("doc_id") < c))
+
   /** (doc_id, tok) exploded token stream. */
-  private def toks(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def toks(spark: SparkSession, dir: String,
+                   maxDoc: Option[Long] = None): DataFrame =
+    capped(Tables.documents(spark, dir), maxDoc)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
 
   /** (doc_id, bucket, cnt): integer hashing-TF bucket counts — the
     * sparse building block shared by [[hashingTf]] and the
     * inverted-index search pipeline. */
-  def bucketCounts(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame =
-    toks(spark, dir)
+  def bucketCounts(spark: SparkSession, dir: String, dim: Int = Dim,
+                   maxDoc: Option[Long] = None): DataFrame =
+    toks(spark, dir, maxDoc)
       .select(col("doc_id"), (polyHash(col("tok")) % dim).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
 
@@ -59,7 +68,8 @@ object Encoders {
     * the bucket join shuffles only the sparse postings, never dense
     * vectors. */
   def hashingSearch(spark: SparkSession, dir: String, k: Int = 10,
-                    nq: Int = 5, dim: Int = Dim): DataFrame = {
+                    nq: Int = 5, dim: Int = Dim,
+                    maxDoc: Option[Long] = None): DataFrame = {
     // norms ride along as a window over the counts frame (the
     // tfIdfSearch shape): the filters on the window's own partition
     // key push below it to the scans, so the q side is a pruned scan
@@ -67,7 +77,7 @@ object Encoders {
     // norm pipeline, which re-ran the counts subtree per reference and
     // broadcast the full norm table (every doc's norm) for the q side.
     val byDoc = Window.partitionBy("doc_id")
-    val cn = bucketCounts(spark, dir, dim)
+    val cn = bucketCounts(spark, dir, dim, maxDoc)
       .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
     val qc = cn.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("bucket"),
@@ -86,8 +96,9 @@ object Encoders {
   /** (doc_id, tok, weight) unrounded TF-IDF weights — shared by
     * [[tfIdf]] (verified rounded projection) and [[tfIdfSearch]]. */
   /** (doc_id, tok, tf) per-document term counts. */
-  private def docTerm(spark: SparkSession, dir: String): DataFrame =
-    toks(spark, dir).groupBy("doc_id", "tok")
+  private def docTerm(spark: SparkSession, dir: String,
+                      maxDoc: Option[Long] = None): DataFrame =
+    toks(spark, dir, maxDoc).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
 
   /** (tok, idf) as a lazy plan subtree — for single-reference plans
@@ -112,19 +123,20 @@ object Encoders {
     * (exchange reuse does not fire across these subtrees; the executed
     * search plan scanned the corpus 6×). The ref fits its
     * TfidfVectorizer exactly once the same way (encoder.py:76-92). */
-  private def fittedVocab(spark: SparkSession, dir: String, dim: Int): DataFrame =
+  private def fittedVocab(spark: SparkSession, dir: String, dim: Int,
+                          maxDoc: Option[Long] = None): DataFrame =
     spark.createDataFrame(
-      fitVocab(spark, dir, dim).map { case (tok, _, idf) => (tok, idf) })
+      fitVocab(spark, dir, dim, maxDoc).map { case (tok, _, idf) => (tok, idf) })
       .toDF("tok", "idf")
 
   /** The ONE vocabulary-fit contract (ordering, tie-break, idf
     * smoothing), collected driver-side: (tok, popularity index 1..dim,
     * smoothed idf). [[fittedVocab]] and [[keywordExtract]] both derive
     * from this so the fit can never diverge between them. */
-  private def fitVocab(spark: SparkSession, dir: String,
-                       dim: Int): Seq[(String, Long, Double)] = {
-    val nDocs = Tables.documents(spark, dir).count()
-    docTerm(spark, dir).groupBy("tok")
+  private def fitVocab(spark: SparkSession, dir: String, dim: Int,
+                       maxDoc: Option[Long] = None): Seq[(String, Long, Double)] = {
+    val nDocs = capped(Tables.documents(spark, dir), maxDoc).count()
+    docTerm(spark, dir, maxDoc).groupBy("tok")
       .agg(sum("tf").as("total"), count(lit(1)).as("df"))
       .orderBy(desc("total"), col("tok"))
       .limit(dim)
@@ -137,9 +149,9 @@ object Encoders {
 
   /** (doc_id, tok, weight) unrounded TF-IDF weights over the given
     * (tok, idf) vocabulary. */
-  private def tfIdfWeights(spark: SparkSession, dir: String,
-                           vocab: DataFrame): DataFrame =
-    docTerm(spark, dir).join(broadcast(vocab), "tok")
+  private def tfIdfWeights(spark: SparkSession, dir: String, vocab: DataFrame,
+                           maxDoc: Option[Long] = None): DataFrame =
+    docTerm(spark, dir, maxDoc).join(broadcast(vocab), "tok")
       .select(col("doc_id"), col("tok"),
         (col("tf") * col("idf")).as("weight"))
 
@@ -152,12 +164,13 @@ object Encoders {
     * sums (fxSum — associative, so accumulation-order-free; an
     * unordered double sum is not), mirrored exactly in the oracle. */
   def tfIdfSearch(spark: SparkSession, dir: String, k: Int = 10,
-                  nq: Int = 5, dim: Int = Dim): DataFrame = {
+                  nq: Int = 5, dim: Int = Dim,
+                  maxDoc: Option[Long] = None): DataFrame = {
     // norms ride along as a window over the weights frame, so the plan
     // needs no separate norm aggregate and — crucially — no shuffle
     // join of the scored pairs back against a norm table
     val byDoc = Window.partitionBy("doc_id")
-    val wn = tfIdfWeights(spark, dir, fittedVocab(spark, dir, dim))
+    val wn = tfIdfWeights(spark, dir, fittedVocab(spark, dir, dim, maxDoc), maxDoc)
       .withColumn("nrm", sqrt(
         sum(floor(col("weight") * col("weight") * 1e9 + 0.5).cast("long"))
           .over(byDoc) / 1e9))
@@ -312,6 +325,12 @@ object Encoders {
     private val toksCte =
       s"(SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM documents)"
 
+    /** Corpus-cap mirrors of [[Encoders.capped]]. */
+    private def docsFrom(maxDoc: Option[Long]): String =
+      maxDoc.fold("documents")(c => s"(SELECT * FROM documents WHERE doc_id < $c) documents")
+    private def toksCteOf(maxDoc: Option[Long]): String =
+      s"(SELECT doc_id, unnest(${S.tokens("text")}) AS tok FROM ${docsFrom(maxDoc)})"
+
     def hashingTf(dim: Int = Dim): String =
       s"""WITH t AS $toksCte,
          |b AS (SELECT doc_id, ${S.polyHash("tok")} % $dim AS bucket FROM t),
@@ -354,8 +373,9 @@ object Encoders {
          |  ${S.rnd("wq / 1e9", 4)} AS w
          |FROM r WHERE rank <= $kTop ORDER BY doc_id, rank""".stripMargin
 
-    def hashingSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim): String =
-      s"""WITH t AS $toksCte,
+    def hashingSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim,
+                      maxDoc: Option[Long] = None): String =
+      s"""WITH t AS ${toksCteOf(maxDoc)},
          |b AS (SELECT doc_id, ${S.polyHash("tok")} % $dim AS bucket FROM t),
          |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
          |n AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS BIGINT)) AS norm
@@ -378,12 +398,13 @@ object Encoders {
          |FROM ranked WHERE rank <= $k
          |ORDER BY q_id, rank""".stripMargin
 
-    def tfIdfSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim): String =
-      s"""WITH t AS $toksCte,
+    def tfIdfSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim,
+                    maxDoc: Option[Long] = None): String =
+      s"""WITH t AS ${toksCteOf(maxDoc)},
          |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
          |vocab AS (SELECT tok, sum(tf) AS total, count(*) AS df FROM dt
          |          GROUP BY tok ORDER BY total DESC, tok LIMIT $dim),
-         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |nd AS (SELECT count(*) AS n_docs FROM ${docsFrom(maxDoc)}),
          |w AS (
          |  SELECT doc_id, dt.tok,
          |    dt.tf * (ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) AS weight

@@ -47,9 +47,39 @@ object Experiment {
         Encoders.tfIdfSearch(spark, dir, k, nq, dim), "tfidf", k, nq, dim))
       .orderBy("model")
 
+  /** The reference's by-corpus-size sweep (ref: experiments/
+    * produce_h3_summary_and_plots.py — h3_summary_by_n_docs.csv, one
+    * row per (n_docs, model)): the SAME evaluation harness over
+    * doc_id-prefix sub-corpora, each leg re-fitting its own vocabulary
+    * on its prefix exactly as the ref refits per generated corpus
+    * size. Caps are absolute id prefixes so the declared oracle SQL is
+    * SF-independent; `n_docs` reports each leg's actual size (at small
+    * SFs a cap can exceed the corpus and legs coincide — rows stay
+    * distinct via `corpus_cap`). Legs are independent union arms, so
+    * they parallelize across the cluster like [[matrix]]'s. */
+  def sizes(spark: SparkSession, dir: String, caps: Seq[Long] = SizeCaps,
+            k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame =
+    caps.map { c =>
+      summaryFor(spark, dir,
+        Encoders.hashingSearch(spark, dir, k, nq, dim, Some(c)),
+        "hashing_tf", k, nq, dim, Some(c))
+        .unionByName(summaryFor(spark, dir,
+          Encoders.tfIdfSearch(spark, dir, k, nq, dim, Some(c)),
+          "tfidf", k, nq, dim, Some(c)))
+        .withColumn("corpus_cap", lit(c))
+    }.reduce(_ unionByName _)
+      .select(col("corpus_cap"), col("model"), col("dim"), col("n_docs"),
+        col("n_queries"), col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
+      .orderBy("corpus_cap", "model")
+
+  val SizeCaps: Seq[Long] = Seq(20L, 100L, 400L)
+
   private def summaryFor(spark: SparkSession, dir: String, retrieval: DataFrame,
-                         model: String, k: Int, nq: Int, dim: Int): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+                         model: String, k: Int, nq: Int, dim: Int,
+                         maxDoc: Option[Long] = None): DataFrame = {
+    val docs = maxDoc.fold(Tables.documents(spark, dir))(c =>
+      Tables.documents(spark, dir).filter(col("doc_id") < c))
+      .select(col("doc_id"), col("lang"))
     val ret = retrieval.select(col("q_id"), col("rank"), col("doc_id"))
     // retrieved set is nq·k rows — broadcast it against the doc langs
     val h = broadcast(ret)
@@ -116,12 +146,28 @@ object Experiment {
          |${summaryFor(Encoders.SqlOracle.tfIdfSearch(k, nq, dim), "tfidf", k, nq, dim)}
          |) ORDER BY model""".stripMargin
 
+    def sizes(caps: Seq[Long] = SizeCaps, k: Int = K, nq: Int = NQ,
+              dim: Int = Encoders.Dim): String =
+      caps.flatMap { c =>
+        Seq(
+          s"""SELECT CAST($c AS BIGINT) AS corpus_cap, * FROM (
+             |${summaryFor(Encoders.SqlOracle.hashingSearch(k, nq, dim, Some(c)), "hashing_tf", k, nq, dim, Some(c))}
+             |)""".stripMargin,
+          s"""SELECT CAST($c AS BIGINT) AS corpus_cap, * FROM (
+             |${summaryFor(Encoders.SqlOracle.tfIdfSearch(k, nq, dim, Some(c)), "tfidf", k, nq, dim, Some(c))}
+             |)""".stripMargin)
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL ",
+        "\n) ORDER BY corpus_cap, model")
+
     private def summaryFor(retrievalSql: String, model: String,
-                           k: Int, nq: Int, dim: Int): String =
+                           k: Int, nq: Int, dim: Int,
+                           maxDoc: Option[Long] = None): String = {
+      val docs = maxDoc.fold("documents")(c =>
+        s"(SELECT * FROM documents WHERE doc_id < $c) documents")
       s"""WITH ret AS (SELECT q_id, rank, doc_id FROM (
          |$retrievalSql) t_ret),
-         |ql AS (SELECT doc_id AS q_id, lang AS q_lang FROM documents WHERE doc_id < $nq),
-         |dl AS (SELECT doc_id, lang AS d_lang FROM documents),
+         |ql AS (SELECT doc_id AS q_id, lang AS q_lang FROM $docs WHERE doc_id < $nq),
+         |dl AS (SELECT doc_id, lang AS d_lang FROM $docs),
          |h AS (
          |  SELECT r.q_id, r.rank, CAST(q_lang = d_lang AS BIGINT) AS rel
          |  FROM ret r JOIN ql USING (q_id) JOIN dl USING (doc_id)),
@@ -140,7 +186,7 @@ object Experiment {
          |  FROM cumu WHERE rel = 1 GROUP BY q_id),
          |perq AS (
          |  SELECT q.q_id, pq.p5, pq.p10, ap.ap
-         |  FROM (SELECT doc_id AS q_id FROM documents WHERE doc_id < $nq) q
+         |  FROM (SELECT doc_id AS q_id FROM $docs WHERE doc_id < $nq) q
          |  LEFT JOIN pq USING (q_id) LEFT JOIN ap USING (q_id)),
          |agg AS (
          |  SELECT count(*) AS n_queries,
@@ -149,8 +195,9 @@ object Experiment {
          |    (floor((${S.fxAvg("coalesce(ap, 0.0)", 6)}) * 1e4 + 0.5e0) / 1e4) AS map
          |  FROM perq)
          |SELECT '$model' AS model, CAST($dim AS BIGINT) AS dim,
-         |  (SELECT count(*) FROM documents) AS n_docs,
+         |  (SELECT count(*) FROM $docs) AS n_docs,
          |  n_queries, mean_p_at_5, mean_p_at_10, map
          |FROM agg""".stripMargin
+    }
   }
 }

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query bench timings, executed in a FRESH JVM spawned by
+  * [[graft.Bench]] (args: sfDir name1 name2 ...).
+  *
+  * Why a child process: BENCH_r04's in-process 103-query × 2-pass
+  * marathon decayed its host JVM so badly the recorded numbers were
+  * physically impossible — warm total 798 s over a 396 s cold total,
+  * with identical plans reading 4.5 s cold / 77 s "warm". The same
+  * GC/metaspace/codegen-cache churn that forced the scale section into
+  * [[ScaleRun]] children invalidates the headline passes too; batching
+  * the inventory across fresh JVMs bounds the churn so the numbers
+  * measure plans, not host decay.
+  *
+  * Protocol: one `BENCHQ <name> <cold_s> <warm_s>` line per query on
+  * stdout — line-based so the parent needs no JSON parsing and a
+  * mid-batch crash still yields the completed prefix. Cold = first run
+  * (pays the query's one-time whole-stage-codegen), warm = second run
+  * (steady state). A one-time engine warmup runs first so the first
+  * query's cold time measures its plan, not Spark/parquet init.
+  */
+object BenchRun {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    def timed(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { graft.SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach { n =>
+      val cold = timed(n)
+      val warm = timed(n)
+      println(s"BENCHQ $n $cold $warm")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}

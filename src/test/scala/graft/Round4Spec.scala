@@ -860,7 +860,7 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
       .select("l_partkey", "l_quantity", "l_extendedprice").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     val avgQ = li.groupBy(_._1).map { case (pk, rs) =>
-      pk -> rs.map(r => math.floor(r._2 * 1e6 + 0.5).toLong).sum / rs.length / 1e6
+      pk -> rs.map(r => math.floor(r._2 * 1e6 + 0.5).toLong).sum.toDouble / rs.length / 1e6
     }
     val brand = Tables.part(spark, sfDir).select("p_partkey", "p_brand").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
