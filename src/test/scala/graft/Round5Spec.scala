@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators._
+
+/** Round-5 additions: multi-index SimHash candidate generation and the
+  * by-corpus-size experiment sweep. */
+class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("simhash multi-index pairs equal the exhaustive within-band pair set") {
+    // driver-side oracle: all same-band pairs within maxHamming,
+    // recomputed from the collected fingerprints — the chunk scheme is
+    // candidate pruning only and must not change the result
+    val maxHamming = 6
+    val fps = Dedup.simhashFingerprints(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byBand = fps.groupBy { case (_, fp) => fp >>> 46 }
+      .filter { case (_, ds) => ds.length <= Dedup.SimHashMaxBand }
+    val expected = (for {
+      (_, ds) <- byBand.toSeq
+      Array((ia, fa), (ib, fb)) <- ds.sortBy(_._1).combinations(2).map(_.toArray)
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= maxHamming
+    } yield (ia, ib, h.toLong)).toSet
+    expected should not be empty
+    val got = Dedup.simhashPairs(spark, sfDir, maxHamming).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe expected
+  }
+
+  test("simhash multi-index and plain-band fallback agree (maxHamming 11 vs 12)") {
+    // 11 → 12 chunks (multi-index); 12 → plain band join (fallback
+    // threshold). The fallback's pair set at maxHamming 11 must be a
+    // subset relationship check via re-filtering the permissive run.
+    val mi = Dedup.simhashPairs(spark, sfDir, maxHamming = 11).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pb = Dedup.simhashPairs(spark, sfDir, maxHamming = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 <= 11).toSet
+    mi shouldBe pb
+  }
+
+  test("simhash pairs plan: no CartesianProduct, pair distinct present") {
+    val df = Dedup.simhashPairs(spark, sfDir)
+    val p = plan(df)
+    p should not include "CartesianProduct"
+    // the multi-index join replicates each row nChunks×; the duplicate
+    // candidates must collapse through an aggregate/distinct
+    p.toLowerCase should include("hashaggregate")
+  }
+
+  test("experiment sizes: one row per (cap, model), monotone corpus sizes") {
+    val rows = Experiment.sizes(spark, sfDir).collect()
+    rows.length shouldBe Experiment.SizeCaps.length * 2
+    // n_docs grows (weakly) with the cap and never exceeds it
+    for (m <- Seq("hashing_tf", "tfidf")) {
+      val byCap = rows.filter(_.getString(1) == m).sortBy(_.getLong(0))
+      byCap.map(_.getLong(0)) shouldBe Experiment.SizeCaps.toArray
+      for (r <- byCap) r.getLong(3) should be <= r.getLong(0)
+      byCap.map(_.getLong(3)).sliding(2).foreach {
+        case Array(a, b) => a should be <= b
+        case _ =>
+      }
+    }
+  }
+
+  test("experiment sizes: the corpus cap reaches the parquet scan as a pushed filter") {
+    // each capped leg must prune at the scan — a cap that filters
+    // post-scan would read the full corpus once per leg
+    val p = Experiment.sizes(spark, sfDir).queryExecution.executedPlan.toString
+    p should include("PushedFilters")
+    p should include("LessThan(doc_id")
+  }
+}
