@@ -118,11 +118,42 @@ object Bench {
         val d1 = s"$base/x1"; val d10 = s"$base/x10"
         sources.DataGen.writeDataset(spark, d1, 5000L, 2000L, nEvents = 100000L)
         sources.DataGen.writeDataset(spark, d10, 50000L, 20000L, nEvents = 1000000L)
-        val body: String = spawn("graft.tools.ScaleRun", Seq(d1, d10))
-          .flatMap(_.map(_.trim)
-            .filter(l => l.startsWith("{\"scale\":") && l.endsWith("}"))
-            .lastOption)
-          .getOrElse(tools.ScaleRun.scaleJson(spark, d1, d10))
+        // Family-sized child batches, same reasoning as the per-query
+        // passes: ScaleRun's full subset is 21 queries × 6 executions
+        // in one JVM — enough churn that mid-list x1 timings read
+        // inflated (r05 run A: dedup_exact t1 3.5 s vs t10 1.1 s, a
+        // physically backwards pair for a linear groupBy). Each batch
+        // runs in TWO fresh children and the parent keeps per-query
+        // minima: a child whose whole lifetime is degraded (r05 run C:
+        // one child read 78 s min-of-2 for a query that measures 3.8 s
+        // in a fresh JVM) can sink min-of-N within itself, but not the
+        // cross-child minimum.
+        def parseScaleq(lines: Seq[String]): Map[String, (Double, Double)] =
+          lines.flatMap { l =>
+            l.trim.split("\\s+") match {
+              case Array("SCALEQ", n, a, b) =>
+                try Some(n -> (a.toDouble, b.toDouble))
+                catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }.toMap
+        val merged: Seq[(String, (Double, Double))] =
+          tools.ScaleRun.Subset.grouped(6).toSeq.flatMap { batch =>
+            val tries = (1 to 2).flatMap(_ =>
+              spawn("graft.tools.ScaleRun", Seq(d1, d10) ++ batch).map(parseScaleq))
+            val got =
+              if (tries.nonEmpty) batch.flatMap { n =>
+                val ts = tries.flatMap(_.get(n))
+                if (ts.isEmpty) None
+                else Some(n -> (ts.map(_._1).min, ts.map(_._2).min))
+              }
+              else tools.ScaleRun.measure(spark, d1, d10, batch)
+                .map { case (n, t1, t10) => n -> (t1, t10) }
+            got
+          }
+        val body: String = merged
+          .map { case (n, (t1, t10)) => tools.ScaleRun.entryJson(n, t1, t10) }
+          .mkString("{\"scale\":{", ",", "}}")
         // the generated corpora are bench-local scratch — remove them so
         // repeated runs don't accumulate parquet under /tmp
         import java.nio.file.{Files, Path}
@@ -163,8 +194,11 @@ object Bench {
         else s""","q_fast_n":${fast.size},"q_fast_total":${r2(fast.values.sum)},"q_fast_below":${r2(thresh)}"""
       s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${jsShort(slow)}$fastPart,"total_cold":${r2(totalCold)},"sf":"$sfDir"}"""
     }
+    // 1500, not 2000: sbt appends a ~230-char GC-stats warning AFTER
+    // this line (observed in r05 logs), and that shares the caller's
+    // 2000-char tail window — budget for it plus slack.
     val line = Seq(0.0, 0.15, 0.25, 0.4, 0.6, 1.0, 1.5, 2.5)
-      .map(finalLine).find(_.length <= 1750)
+      .map(finalLine).find(_.length <= 1500)
       .getOrElse(finalLine(Double.MaxValue))
     println(line)
     spark.stop()

@@ -30,19 +30,29 @@ object ScaleRun {
     // top-k through the bounded heap, fit+broadcast+topk keyword
     // extraction
     "events_moving_avg", "events_top_users", "text_keyword_extract",
-    "text_bigram_lm")
+    "text_bigram_lm",
+    // round-5 additions (affordable now that the parent batches the
+    // subset across fresh child JVMs): the remaining pair-expansion /
+    // blocking shapes — PPJoin-verified shingle LSH, hyperplane-bucket
+    // embedding near-dup, broadcast-shingle decontamination — plus the
+    // end-to-end TF-IDF search pipeline (vocab fit + inverted index)
+    "dedup_ngram_jaccard", "dedup_embedding_lsh", "dedup_cross_corpus",
+    "pipeline_tfidf_search")
 
-  def scaleJson(spark: SparkSession, d1: String, d10: String): String = {
+  /** Warm-up + interleaved min-of-2 (t1, t10) per query — the
+    * measurement kernel shared by the child main (line protocol) and
+    * the parent's in-process fallback. Interleaving x1/x10 spreads
+    * residual drift across both sizes instead of reading as an
+    * exponent. */
+  def measure(spark: SparkSession, d1: String, d10: String,
+              subset: Seq[String] = Subset): Seq[(String, Double, Double)] = {
     def timed(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try { graft.SparkEntry.queries(name)(spark, dir).count() }
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val entries = Subset.map { n =>
-      // warm up both sizes (one-time codegen), then interleave x1/x10
-      // timings and take the min per size so residual drift spreads
-      // across both sizes instead of reading as an exponent
+    subset.map { n =>
       timed(n, d1); timed(n, d10)
       var t1 = Double.MaxValue
       var t10 = Double.MaxValue
@@ -50,16 +60,27 @@ object ScaleRun {
         t1 = math.min(t1, timed(n, d1))
         t10 = math.min(t10, timed(n, d10))
       }
-      val exp =
-        if (t1 > 0 && t10 > 0) (math.log(t10 / t1) / math.log(10.0)).toString
-        else "null"
-      s""""$n":{"t1":$t1,"t10":$t10,"exp":$exp}"""
+      (n, t1, t10)
     }
-    s"""{"scale":{${entries.mkString(",")}}}"""
   }
 
+  def entryJson(n: String, t1: Double, t10: Double): String = {
+    val exp =
+      if (t1 > 0 && t10 > 0) (math.log(t10 / t1) / math.log(10.0)).toString
+      else "null"
+    s""""$n":{"t1":$t1,"t10":$t10,"exp":$exp}"""
+  }
+
+  def scaleJson(spark: SparkSession, d1: String, d10: String,
+                subset: Seq[String] = Subset): String =
+    s"""{"scale":{${measure(spark, d1, d10, subset)
+      .map { case (n, t1, t10) => entryJson(n, t1, t10) }.mkString(",")}}}"""
+
   def main(args: Array[String]): Unit = {
-    val Array(d1, d10) = args
+    // args: x1Dir x10Dir [queryName...] — no names = the full Subset
+    // (the parent batches names across children to bound JVM churn)
+    val d1 = args(0); val d10 = args(1)
+    val subset = if (args.length > 2) args.drop(2).toSeq else Subset
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,7 +90,13 @@ object ScaleRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(scaleJson(spark, d1, d10))
+    // line protocol (like BenchRun): one SCALEQ line per query so the
+    // parent can merge minima across redundant children; the JSON form
+    // rides along for a human reading the log
+    measure(spark, d1, d10, subset).foreach { case (n, t1, t10) =>
+      println(s"SCALEQ $n $t1 $t10")
+      System.out.flush()
+    }
     spark.stop()
   }
 }
