@@ -80,14 +80,23 @@ object TextAnalysis {
     val vocabSize = uni.agg(count(lit(1)).as("vocab"))
     // gram → quantized log-prob lookup table: bigram counts with the
     // unigram denominator folded in (w1 recovered from the gram prefix)
+    // shuffle_hash hints on BOTH vocab joins: the static size estimate
+    // sees only the (tiny) parquet file behind each subtree and cannot
+    // price the explode's row multiplication, so without the hint the
+    // planner BROADCASTS the exploded doc-bigram stream (observed at
+    // 10×: the whole 5M-row stream collected to the driver — the source
+    // of 3-78 s run-to-run variance; at 100 TB an OOM). Both vocab
+    // tables also grow with corpus size (Heaps' law), so the scale-safe
+    // plan is a shuffle on the join key with the hash map built on the
+    // vocab side — which is what the hint pins, at every scale.
     val lm = grams.groupBy("gram").agg(count(lit(1)).as("c2"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .join(uni, "w1")
+      .join(uni.hint("shuffle_hash"), "w1")
       .crossJoin(broadcast(vocabSize))
       .select(col("gram"),
         floor(log((col("c2") + 1) / (col("c1") + col("vocab")).cast("double")) * 1e6 + 0.5)
           .cast("long").as("qlp"))
-    grams.join(lm, "gram")
+    grams.join(lm.hint("shuffle_hash"), "gram")
       .select(col("doc_id"), col("qlp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),

@@ -309,6 +309,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p should not include "CartesianProduct"
     "BroadcastNestedLoopJoin".r.findAllIn(p).size should be <= 1
     p.toLowerCase should include("partial_count")
+    // both vocab joins are pinned shuffle-hash: the static estimate
+    // can't price the explode, so an unhinted plan BROADCASTS the
+    // exploded doc-bigram stream (measured: the whole 10× stream
+    // collected to the driver; an OOM at real scale)
+    p should not include "BroadcastHashJoin"
+    "ShuffledHashJoin".r.findAllIn(p).size shouldBe 2
   }
 
   test("shard assignment and importance sample: pure per-row maps ahead of one reduce") {
