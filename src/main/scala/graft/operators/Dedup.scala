@@ -452,6 +452,30 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication-leakage matrix — the data-mixture
+    * diagnostic run before weighting corpus sources: for each
+    * (unordered) source pair, the number of verified near-duplicate
+    * doc pairs spanning them (diagonal entries = within-source dups).
+    * A hot off-diagonal cell means two "independent" sources are
+    * substantially the same crawl and their mixture weights
+    * double-count it.
+    *
+    * Scale shape: the input is [[minhashLsh]]'s verified pair OUTPUT —
+    * already bucketed/capped and orders of magnitude smaller than the
+    * corpus — joined twice against the (doc_id, source) projection;
+    * the matrix itself is at most sources², a constant. */
+  def sourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select("id_a", "id_b")
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** (blocking name, max observed members, applicable cap) for every
     * capped blocking at the given sf dir. Most verified oracles are
     * UNCAPPED SQL, so oracle equality silently depends on every
@@ -586,6 +610,16 @@ object Dedup {
          |SELECT node AS doc_id, min(r) AS rep_id,
          |  CAST(CASE WHEN node = min(r) THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+    /** Mirrors [[Dedup.sourceMatrix]] over the same minhash pair set. */
+    def sourceMatrix(threshold: Double = 0.5): String =
+      s"""WITH mh AS (SELECT id_a, id_b FROM (
+         |${minhashLsh(threshold)}) t_mh),
+         |d AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b, count(*) AS n_pairs
+         |FROM mh JOIN d a ON a.doc_id = mh.id_a JOIN d b ON b.doc_id = mh.id_b
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
     def crossCorpus(nEval: Long = 50): String =
       s"""WITH sh AS (

@@ -71,6 +71,23 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("source matrix: totals tie out to the pair set, diagonal = within-source") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = graft.Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = Dedup.sourceMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    m.map(_._3).sum shouldBe pairs.length
+    // every cell normalized (src_a <= src_b) and recomputable from pairs
+    val expected = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (src(a), src(b))
+      if (sa <= sb) (sa, sb) else (sb, sa)
+    }.map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+    m.toSet shouldBe expected
+    for ((a, b, _) <- m) a should be <= b
+  }
+
   test("experiment sizes: the corpus cap reaches the parquet scan as a pushed filter") {
     // each capped leg must prune at the scan — a cap that filters
     // post-scan would read the full corpus once per leg
