@@ -36,9 +36,10 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("simhash multi-index and plain-band fallback agree (maxHamming 11 vs 12)") {
-    // 11 → 12 chunks (multi-index); 12 → plain band join (fallback
-    // threshold). The fallback's pair set at maxHamming 11 must be a
-    // subset relationship check via re-filtering the permissive run.
+    // maxHamming 11 → 12 chunks (multi-index path); maxHamming 12 →
+    // plain band join (fallback threshold). Re-filtering the permissive
+    // run's pairs to hamming ≤ 11 must reproduce the multi-index set
+    // exactly — the two candidate schemes may not change membership.
     val mi = Dedup.simhashPairs(spark, sfDir, maxHamming = 11).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val pb = Dedup.simhashPairs(spark, sfDir, maxHamming = 12).collect()
