@@ -137,19 +137,32 @@ object Bench {
               case _ => None
             }
           }.toMap
+        // min over SUCCESSFUL attempts only: -1.0 is the child's
+        // failure sentinel, and min(-1, t) would let one failed
+        // redundant child poison a good measurement — the opposite of
+        // what the two-child redundancy is for. -1 survives only when
+        // every attempt failed.
+        def minOk(ts: Seq[Double]): Double = {
+          val ok = ts.filter(_ > 0)
+          if (ok.isEmpty) -1.0 else ok.min
+        }
         val merged: Seq[(String, (Double, Double))] =
           tools.ScaleRun.Subset.grouped(6).toSeq.flatMap { batch =>
             val tries = (1 to 2).flatMap(_ =>
               spawn("graft.tools.ScaleRun", Seq(d1, d10) ++ batch).map(parseScaleq))
-            val got =
-              if (tries.nonEmpty) batch.flatMap { n =>
-                val ts = tries.flatMap(_.get(n))
-                if (ts.isEmpty) None
-                else Some(n -> (ts.map(_._1).min, ts.map(_._2).min))
-              }
-              else tools.ScaleRun.measure(spark, d1, d10, batch)
+            val (seen, missing) = batch.partition(n => tries.exists(_.contains(n)))
+            val fromChildren = seen.map { n =>
+              val ts = tries.flatMap(_.get(n))
+              n -> (minOk(ts.map(_._1)), minOk(ts.map(_._2)))
+            }
+            // a query absent from EVERY child's output (child JVM crash
+            // mid-batch after a successful spawn) is re-timed in-process
+            // rather than silently dropped — same contract as BENCHQ
+            val fromFallback =
+              if (missing.isEmpty) Nil
+              else tools.ScaleRun.measure(spark, d1, d10, missing)
                 .map { case (n, t1, t10) => n -> (t1, t10) }
-            got
+            fromChildren ++ fromFallback
           }
         val body: String = merged
           .map { case (n, (t1, t10)) => tools.ScaleRun.entryJson(n, t1, t10) }

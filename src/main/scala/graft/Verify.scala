@@ -4,6 +4,17 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The oracle map actually dumped to oracle_sql.json: the static
+    * [[SparkEntry.oracleSql]] contract plus per-SF literal overlays for
+    * the queries whose oracles embed driver-computed quantized idf
+    * values (the NDCG-discount-table technique, parameterized by the
+    * corpus's (N, df) integer stats at dump time — see
+    * [[operators.Encoders.idfLiterals]]). Every key still comes from
+    * the static map; overlays only swap the idf *computation* for the
+    * fitted values, leaving vocabulary selection derived in SQL. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    SparkEntry.oracleSql
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,7 +60,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -118,7 +118,10 @@ object PerfStats {
     * p-value) and the Wilcoxon signed-rank W⁺ (average ranks over |d|
     * ties, zero differences dropped — scipy's defaults) with its
     * normal-approximation p-value. All moments are fixed-point sums so
-    * results are accumulation-order-free.
+    * results are accumulation-order-free. The Wilcoxon p-value is null
+    * in the regime where scipy's method='auto' would switch to the
+    * exact signed-rank distribution (tie-free n ≤ 50) — there the
+    * approximation would silently diverge from the reference.
     *
     * p-value determinism (the oracle mirrors every step): the t CDF
     * uses the exact closed form for integer df — for even df a pure
@@ -178,28 +181,42 @@ object PerfStats {
     // even ν sums j = 0..ν/2−1; odd ν sums j = 0..(ν−3)/2, i.e.
     // (ν−1)/2 terms — both equal floor(ν/2).
     val m = floor(nuD / 2).cast("int")
-    // Π_{i=1}^{j} (u·num(i)/den(i)), left-folded exactly as the
-    // oracle's list_reduce so every IEEE multiply associates the same
-    def prodTerm(j: Column, num: Column => Column, den: Column => Column) =
-      when(j === 0, lit(1.0)).otherwise(
-        aggregate(sequence(lit(1), j), lit(1.0),
-          (acc, i) => acc * (u * num(i) / den(i))))
-    def sumTerms(term: Column => Column) =
-      when(m <= 0, lit(0.0)).otherwise(
-        aggregate(transform(sequence(lit(0), m - 1), term),
-          lit(0.0), (acc, x) => acc + x))
-    val sumE = sumTerms(j => prodTerm(j,
-      i => (i * 2 - 1).cast("double"), i => (i * 2).cast("double")))
-    val sumO = sumTerms(j => prodTerm(j,
-      i => (i * 2).cast("double"), i => (i * 2 + 1).cast("double")))
+    // Σ_{j=0}^{m-1} Π_{i=1}^{j} (u·num(i)/den(i)) as ONE O(m) left
+    // fold carrying (prefix product p, running sum s) — ν is the
+    // paired-user count, so the naive per-term prefix recomputation is
+    // O(ν²) and hangs at millions of users. Each prefix product still
+    // associates ((1·x₁)·x₂)… and the sum still starts from the j=0
+    // term 1.0, so the IEEE value stream is unchanged — and the oracle
+    // mirrors the identical fold.
+    def sumTerms(num: Column => Column, den: Column => Column) = {
+      val folded = aggregate(
+        sequence(lit(1), m - 1),
+        struct(lit(1.0).as("p"), lit(1.0).as("s")),
+        (acc, i) => {
+          val t = u * num(i) / den(i)
+          struct((acc("p") * t).as("p"), (acc("s") + acc("p") * t).as("s"))
+        })
+      // sequence(1, m-1) DESCENDS when m-1 < 1 — guard both degenerate
+      // term counts explicitly instead
+      when(m <= 0, lit(0.0)).when(m === 1, lit(1.0)).otherwise(folded("s"))
+    }
+    val sumE = sumTerms(
+      i => (i * 2 - 1).cast("double"), i => (i * 2).cast("double"))
+    val sumO = sumTerms(
+      i => (i * 2).cast("double"), i => (i * 2 + 1).cast("double"))
     val fEven = lit(0.5) + tAbs / (lit(2.0) * sqrt(nuD + tAbs * tAbs)) * sumE
     val qatan = rnd(atan(tAbs / sqrt(nuD)), 9)
     val fOdd = lit(0.5) +
       (qatan + tAbs * sqrt(nuD) / (nuD + tAbs * tAbs) * sumO) / lit(math.Pi)
     val pT = lit(2.0) * (lit(1.0) - when(pmod(n - 1, lit(2L)) === 0, fEven).otherwise(fOdd))
-    // Wilcoxon normal approximation with tie correction
-    val mnW = (n * (n + 1)).cast("double") / lit(4.0)
-    val vrW = (n * (n + 1) * (n * 2 + 1)).cast("double") / lit(24.0) -
+    // Wilcoxon normal approximation with tie correction. Moments are
+    // computed in double arithmetic from the first factor on: the
+    // all-integer n(n+1)(2n+1) silently wraps 64-bit near n ≈ 2.1M
+    // paired users in Spark while DuckDB raises on BIGINT overflow —
+    // promoting before the product keeps both engines on the same
+    // (exact up to 2^53, then correctly-rounded) path.
+    val mnW = n.cast("double") * (n + 1) / lit(4.0)
+    val vrW = n.cast("double") * (n + 1) * (n * 2 + 1) / lit(24.0) -
       col("_ties3").cast("double") / lit(48.0)
     val zW = abs(col("w_plus") - mnW) / sqrt(vrW)
     val xW = zW / sqrt(lit(2.0))
@@ -216,7 +233,15 @@ object PerfStats {
       when(n >= 2 && (col("_sd2") - col("_sd") * col("_sd") / n) > 0,
         rnd(pT, 6)).as("paired_t_pvalue"),
       rnd(col("w_plus"), 4).as("wilcoxon_w"),
-      when(vrW > 0, rnd(pW, 6)).as("wilcoxon_pvalue"))
+      // In scipy's method='auto' regime (ref stats.py uses the
+      // defaults), a tie-free sample of n ≤ 50 gets the EXACT signed-
+      // rank distribution, not the normal approximation — emitting the
+      // approximation there would silently diverge from the reference
+      // (n = 1 even raises in scipy, recorded as None). Gate the
+      // p-value to null in that regime; with ties, or above n = 50,
+      // scipy itself approximates and the values agree.
+      when(vrW > 0 && !(n <= 50 && col("_ties3") === 0L), rnd(pW, 6))
+        .as("wilcoxon_pvalue"))
   }
 
   /** Sketch-based summaries for cardinalities/quantiles too big for
@@ -271,12 +296,24 @@ object PerfStats {
       * Spark's aggregate fold), with the lone atan/exp outputs
       * 1e9-quantized on both engines before use. */
     def pairedTests(typeA: String = "click", typeB: String = "view"): String = {
-      def fold(numSql: String, denSql: String): String =
-        s"""list_reduce(list_prepend(0.0, [CASE WHEN j = 0 THEN 1.0 ELSE
-           |      list_reduce(list_prepend(1.0,
-           |        [u * CAST($numSql AS DOUBLE) / CAST($denSql AS DOUBLE)
-           |         for i in range(1, j + 1)]), (pa, px) -> pa * px)
-           |      END for j in range(0, m)]), (sa, sx) -> sa + sx)""".stripMargin
+      // One O(m) fold carrying (prefix product p, running sum s) —
+      // mirrors the operator's aggregate() struct fold value for value:
+      // each prefix product still associates ((1·x₁)·x₂)… and the sum
+      // still starts from the j=0 term 1.0, so the IEEE value stream is
+      // identical. list_reduce's accumulator shares the element type,
+      // so loop indices ride in as structs. Field ORDER is load-bearing:
+      // DuckDB evaluates struct fields sequentially and a later field's
+      // acc.p reads the already-updated p, so s (which needs the OLD p)
+      // must come first.
+      def fold(num: String => String, den: String => String): String = {
+        val t = s"(u * CAST(${num("x.p")} AS DOUBLE) / CAST(${den("x.p")} AS DOUBLE))"
+        s"""CASE WHEN m <= 0 THEN 0.0 WHEN m = 1 THEN 1.0 ELSE
+           |      (list_reduce(list_prepend(
+           |        {'s': CAST(1.0 AS DOUBLE), 'p': CAST(1.0 AS DOUBLE)},
+           |        [{'s': CAST(0.0 AS DOUBLE), 'p': CAST(i AS DOUBLE)} for i in range(1, m)]),
+           |        (acc, x) -> {'s': acc.s + acc.p * $t, 'p': acc.p * $t})).s
+           |      END""".stripMargin
+      }
       val pw = "tau * (0.254829592 + tau * (-0.284496736 + tau * (1.421413741 + " +
         "tau * (-1.453152027 + tau * 1.061405429)))) * qexp"
       s"""WITH a AS (
@@ -310,8 +347,8 @@ object PerfStats {
          |  FROM calc),
          |sums AS (
          |  SELECT *,
-         |    ${fold("2 * i - 1", "2 * i")} AS sume,
-         |    ${fold("2 * i", "2 * i + 1")} AS sumo
+         |    ${fold(i => s"2 * $i - 1", i => s"2 * $i")} AS sume,
+         |    ${fold(i => s"2 * $i", i => s"2 * $i + 1")} AS sumo
          |  FROM tc),
          |pv AS (
          |  SELECT *,
@@ -320,8 +357,8 @@ object PerfStats {
          |      ELSE 0.5 + (${Sql.rnd("atan(tabs / sqrt(nud))", 9)} +
          |        tabs * sqrt(nud) / (nud + tabs * tabs) * sumo) / 3.141592653589793
          |    END AS fcdf,
-         |    CAST(n * (n + 1) AS DOUBLE) / 4.0 AS mnw,
-         |    CAST(n * (n + 1) * (2 * n + 1) AS DOUBLE) / 24.0 -
+         |    CAST(n AS DOUBLE) * (n + 1) / 4.0 AS mnw,
+         |    CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0 -
          |      CAST(ties3 AS DOUBLE) / 48.0 AS vrw
          |  FROM sums),
          |wil AS (
@@ -332,7 +369,8 @@ object PerfStats {
          |  CASE WHEN n >= 2 AND (sd2 - sd * sd / n) > 0
          |    THEN ${Sql.rnd("2.0 * (1.0 - fcdf)", 6)} END AS paired_t_pvalue,
          |  ${Sql.rnd("wp", 4)} AS wilcoxon_w,
-         |  CASE WHEN vrw > 0 THEN ${Sql.rnd(pw, 6)} END AS wilcoxon_pvalue
+         |  CASE WHEN vrw > 0 AND NOT (n <= 50 AND ties3 = 0)
+         |    THEN ${Sql.rnd(pw, 6)} END AS wilcoxon_pvalue
          |FROM wil, LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * xw) AS tau,
          |  ${Sql.rnd("exp(-(xw * xw))", 9)} AS qexp) t""".stripMargin
     }

@@ -37,7 +37,11 @@ object ScaleRun {
     // embedding near-dup, broadcast-shingle decontamination — plus the
     // end-to-end TF-IDF search pipeline (vocab fit + inverted index)
     "dedup_ngram_jaccard", "dedup_embedding_lsh", "dedup_cross_corpus",
-    "pipeline_tfidf_search")
+    "pipeline_tfidf_search",
+    // round-6 addition: the paired-test p-value pipeline — its t-CDF
+    // fold is O(df) in the paired-user count (was O(df²) before r6),
+    // and this is the probe that keeps it honest
+    "stats_paired_tests")
 
   /** Warm-up + interleaved min-of-2 (t1, t10) per query — the
     * measurement kernel shared by the child main (line protocol) and
