@@ -129,23 +129,63 @@ object Encoders {
       fitVocab(spark, dir, dim, maxDoc).map { case (tok, _, idf) => (tok, idf) })
       .toDF("tok", "idf")
 
-  /** The ONE vocabulary-fit contract (ordering, tie-break, idf
-    * smoothing), collected driver-side: (tok, popularity index 1..dim,
-    * smoothed idf). [[fittedVocab]] and [[keywordExtract]] both derive
-    * from this so the fit can never diverge between them. */
-  private def fitVocab(spark: SparkSession, dir: String, dim: Int,
-                       maxDoc: Option[Long] = None): Seq[(String, Long, Double)] = {
+  /** The ONE vocabulary-fit contract (ordering, tie-break), collected
+    * driver-side: (corpus doc count, rows (tok, popularity index
+    * 1..dim, document frequency)). Every fitted derivation —
+    * [[fittedVocab]], [[keywordExtract]], [[bm25TopK]] and the idf
+    * literal tables the Verify overlay embeds in oracle SQL — reads
+    * this, so the fit can never diverge between them. */
+  def fitVocabRaw(spark: SparkSession, dir: String, dim: Int,
+                  maxDoc: Option[Long] = None): (Long, Seq[(String, Long, Long)]) = {
     val nDocs = capped(Tables.documents(spark, dir), maxDoc).count()
-    docTerm(spark, dir, maxDoc).groupBy("tok")
+    val rows = docTerm(spark, dir, maxDoc).groupBy("tok")
       .agg(sum("tf").as("total"), count(lit(1)).as("df"))
       .orderBy(desc("total"), col("tok"))
       .limit(dim)
       .select("tok", "df").collect()
       .zipWithIndex.map { case (r, i) =>
-        (r.getString(0), (i + 1).toLong,
-          math.log((1.0 + nDocs) / (1.0 + r.getLong(1))) + 1.0)
+        (r.getString(0), (i + 1).toLong, r.getLong(1))
       }.toSeq
+    (nDocs, rows)
   }
+
+  /** (tok, idx, smoothed tf-idf idf) — the TfidfVectorizer fit. */
+  private def fitVocab(spark: SparkSession, dir: String, dim: Int,
+                       maxDoc: Option[Long] = None): Seq[(String, Long, Double)] = {
+    val (nDocs, rows) = fitVocabRaw(spark, dir, dim, maxDoc)
+    rows.map { case (tok, idx, df) =>
+      (tok, idx, math.log((1.0 + nDocs) / (1.0 + df)) + 1.0)
+    }
+  }
+
+  /** (idx → ⌊idf·1e6+0.5⌋) literal rows for the tf-idf keyword oracle —
+    * EXACTLY the quantized values [[keywordExtract]] ranks with, so an
+    * oracle carrying them (Verify's per-SF overlay) does no ln() of its
+    * own and the cross-engine libm-divergence risk is zero. */
+  def idfLiteralsTfIdf(spark: SparkSession, dir: String,
+                       dim: Int = Dim): Seq[(Long, Long)] =
+    fitVocab(spark, dir, dim).map { case (_, idx, idf) =>
+      (idx, math.floor(idf * 1e6 + 0.5).toLong)
+    }
+
+  /** (tok, idx, ⌊idf·1e6+0.5⌋) with the BM25 idf
+    * ln(1 + (N − df + 0.5)/(df + 0.5)) — Robertson's formulation with
+    * the +1 floor that keeps it positive (the Lucene variant). The
+    * quantized integer is the ONE idf representation [[bm25TopK]]
+    * scores with and the Verify overlay embeds as oracle literals. */
+  def bm25IdfRows(spark: SparkSession, dir: String, dim: Int = Dim,
+                  maxDoc: Option[Long] = None): Seq[(String, Long, Long)] = {
+    val (nDocs, rows) = fitVocabRaw(spark, dir, dim, maxDoc)
+    rows.map { case (tok, idx, df) =>
+      (tok, idx,
+        math.floor(math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5).toLong)
+    }
+  }
+
+  /** (idx → idf6) BM25 idf literal rows for the Verify oracle overlay. */
+  def idfLiteralsBm25(spark: SparkSession, dir: String,
+                      dim: Int = Dim): Seq[(Long, Long)] =
+    bm25IdfRows(spark, dir, dim).map { case (_, idx, q) => (idx, q) }
 
   /** (doc_id, tok, weight) unrounded TF-IDF weights over the given
     * (tok, idf) vocabulary. */
@@ -185,6 +225,81 @@ object Encoders {
       .select(col("q_id"), col("doc_id"), (col("ip") / (col("qn") * col("dn"))).as("score"))
     Knn.topKPerQuery(scored, k)
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** BM25 top-k keyword retrieval — the keyword half of [[hybridSearch]]
+    * and a standalone scorer (the standard Okapi/Lucene formulation the
+    * reference's search_modes=["vector","hybrid"] knob implies for its
+    * Weaviate target, auto_run_tests.py:624; the ref's local path never
+    * dispatches a keyword scorer, so the semantics here are the public
+    * BM25 ones). Query docs are doc_id < nq, query term frequency is
+    * ignored (Lucene's convention); k1 = 1.2, b = 0.75 appear as the
+    * SAME decimal literals in the oracle so both engines parse the
+    * identical doubles (k1+1 is written 2.2, 1−b is written 0.25 —
+    * re-deriving them arithmetically can differ by 1 ulp).
+    *
+    * Scale shape: vocabulary fit is the one [[fitVocabRaw]] pass
+    * (≤ dim rows collected); doc lengths ride as a window over the
+    * per-(doc,term) counts; the idf table and the nq·|vocab| query-term
+    * postings broadcast; the only wide shuffle is the per-(q,doc)
+    * partial-aggregated sum — sparse postings, never dense vectors.
+    * Determinism: idf is a driver-quantized 1e6 integer, each term
+    * contribution is floor-quantized at 1e9, and per-(q,doc) scores are
+    * exact integer sums, ranked (score desc, doc_id asc). */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 10,
+               nq: Int = 5, dim: Int = Dim,
+               maxDoc: Option[Long] = None): DataFrame = {
+    val vocab = spark.createDataFrame(bm25IdfRows(spark, dir, dim, maxDoc))
+      .toDF("tok", "idx", "idf6").drop("idx")
+    val byDoc = Window.partitionBy("doc_id")
+    val dt = docTerm(spark, dir, maxDoc)
+      .withColumn("dl", sum("tf").over(byDoc))
+    val stats = docTerm(spark, dir, maxDoc).agg(sum("tf").as("tot"))
+      .crossJoin(capped(Tables.documents(spark, dir), maxDoc)
+        .agg(count(lit(1)).as("n_docs")))
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val cq = dt.join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        floor((col("idf6") / lit(1e6)) * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+          * 1e9 + 0.5).cast("long").as("cq"))
+    val q = docTerm(spark, dir, maxDoc).filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    val scored = cq.filter(col("doc_id") >= nq)
+      .join(broadcast(q), "tok")
+      .groupBy("q_id", "doc_id").agg(sum("cq").as("sq"))
+      .select(col("q_id"), col("doc_id"), (col("sq") / lit(1e9)).as("score"))
+    Knn.topKPerQuery(scored, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a vector arm (the
+    * cosine top-k of the named encoder) and the [[bm25TopK]] keyword
+    * arm — RRF(d) = Σ_arms 1/(60 + rank_arm(d)), Cormack et al.'s
+    * standard constant, the rank-based fusion Weaviate ships as
+    * hybrid "rankedFusion". Rank-based fusion needs no cross-arm score
+    * normalization, and the RRF sum is two exact small-denominator
+    * divisions — deterministic across engines with no quantization
+    * ceremony. Each arm is an independent subplan (they parallelize
+    * like [[Experiment.matrix]]'s legs); fusion itself touches only
+    * 2·nq·k rank rows. */
+  def hybridSearch(spark: SparkSession, dir: String, k: Int = 10,
+                   nq: Int = 5, dim: Int = Dim,
+                   model: String = "hashing_tf"): DataFrame = {
+    val vec = (if (model == "tfidf") tfIdfSearch(spark, dir, k, nq, dim)
+               else hashingSearch(spark, dir, k, nq, dim))
+      .select(col("q_id"), col("doc_id"), col("rank").as("rv"))
+    val kw = bm25TopK(spark, dir, k, nq, dim)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
+    val fused = vec.join(kw, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0))).as("score"))
+    Knn.topKPerQuery(fused, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 6).as("score"))
       .orderBy("q_id", "rank")
   }
 
@@ -428,6 +543,77 @@ object Encoders {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
          |FROM ranked WHERE rank <= $k
          |ORDER BY q_id, rank""".stripMargin
+
+    /** BM25 oracle. `idf = Some(idx → idf6)` (Verify's per-SF overlay)
+      * swaps the in-SQL ln() for the driver-fitted literal values —
+      * vocabulary membership/ordering stays derived in SQL, so a fit
+      * divergence still mismatches, but DuckDB evaluates no ln and the
+      * cross-engine libm risk is zero. `idf = None` (the static
+      * contract map) keeps the self-contained two-level-quantized ln. */
+    def bm25TopK(k: Int = 10, nq: Int = 5, dim: Int = Dim,
+                 maxDoc: Option[Long] = None,
+                 idf: Option[Seq[(Long, Long)]] = None): String = {
+      val idfCte = idf match {
+        case Some(rows) =>
+          val vals = rows.map { case (idx, q) => s"($idx, $q)" }.mkString(", ")
+          s"""idf AS (SELECT vocab.tok, l.idf6
+             |  FROM vocab JOIN (VALUES $vals) l(idx, idf6) USING (idx))""".stripMargin
+        case None =>
+          s"""idf AS (SELECT vocab.tok,
+             |  CAST(floor(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1e6 + 0.5e0) AS BIGINT) AS idf6
+             |  FROM vocab CROSS JOIN nd)""".stripMargin
+      }
+      s"""WITH t AS ${toksCteOf(maxDoc)},
+         |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+         |v0 AS (SELECT tok, sum(tf) AS total, count(*) AS df FROM dt
+         |       GROUP BY tok ORDER BY total DESC, tok LIMIT $dim),
+         |vocab AS (SELECT tok, df,
+         |  row_number() OVER (ORDER BY total DESC, tok) AS idx FROM v0),
+         |nd AS (SELECT count(*) AS n_docs FROM ${docsFrom(maxDoc)}),
+         |$idfCte,
+         |dld AS (SELECT doc_id, tok, tf,
+         |  sum(tf) OVER (PARTITION BY doc_id) AS dl FROM dt),
+         |st AS (SELECT sum(tf) AS tot FROM dt),
+         |sc AS (
+         |  SELECT doc_id, tok,
+         |    CAST(floor((idf6 / 1e6) * (tf * 2.2e0) /
+         |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / (CAST(tot AS DOUBLE) / n_docs)))
+         |      * 1e9 + 0.5e0) AS BIGINT) AS cq
+         |  FROM dld JOIN idf USING (tok) CROSS JOIN st CROSS JOIN nd),
+         |q AS (SELECT doc_id AS q_id, tok FROM dt WHERE doc_id < $nq),
+         |s AS (SELECT q_id, sc.doc_id, CAST(sum(cq) AS BIGINT) AS sq
+         |      FROM sc JOIN q USING (tok) WHERE sc.doc_id >= $nq
+         |      GROUP BY q_id, sc.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, sq,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sq DESC, doc_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("sq / 1e9", 4)} AS score
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+    }
+
+    /** RRF hybrid oracle over the named vector arm + BM25. */
+    def hybridSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim,
+                     model: String = "hashing_tf",
+                     idf: Option[Seq[(Long, Long)]] = None): String = {
+      val vecSql =
+        if (model == "tfidf") tfIdfSearch(k, nq, dim) else hashingSearch(k, nq, dim)
+      s"""WITH vecr AS (SELECT q_id, doc_id, rank AS rv FROM (
+         |$vecSql) tv),
+         |kwr AS (SELECT q_id, doc_id, rank AS rk FROM (
+         |${bm25TopK(k, nq, dim, None, idf)}) tk),
+         |fused AS (
+         |  SELECT coalesce(v.q_id, w.q_id) AS q_id,
+         |    coalesce(v.doc_id, w.doc_id) AS doc_id,
+         |    coalesce(1e0 / (60 + v.rv), 0e0) + coalesce(1e0 / (60 + w.rk), 0e0) AS score
+         |  FROM vecr v FULL JOIN kwr w ON v.q_id = w.q_id AND v.doc_id = w.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 6)} AS score
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+    }
 
     val meanPooling: String = {
       val p = HashP

@@ -34,18 +34,31 @@ object Experiment {
     summaryFor(spark, dir,
       Encoders.hashingSearch(spark, dir, k, nq, dim), "hashing_tf", k, nq, dim)
 
-  /** The ref's model-comparison matrix (auto_run_tests runs every
-    * encoder and group-bys "by model"): the SAME evaluation harness
-    * applied to each encoder's retrieval, one summary row per model.
-    * Each leg is an independent subplan, so legs parallelize across
-    * the cluster and adding an encoder is one more union arm. */
+  /** The ref's experiment grid (auto_run_tests runs every encoder and
+    * group-bys "by model"; its H2 grid additionally sweeps
+    * search_modes = ["vector", "hybrid"], auto_run_tests.py:624, with
+    * search_mode a grouping key, :221): the SAME evaluation harness
+    * applied to each (encoder, search_mode) retrieval — vector = the
+    * encoder's cosine top-k, hybrid = RRF fusion of that arm with
+    * BM25 ([[Encoders.hybridSearch]]). One row per (model,
+    * search_mode); each leg is an independent subplan, so legs
+    * parallelize across the cluster and a new mode is one more union
+    * arm. */
   def matrix(spark: SparkSession, dir: String, k: Int = K,
-             nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame =
-    summaryFor(spark, dir,
-      Encoders.hashingSearch(spark, dir, k, nq, dim), "hashing_tf", k, nq, dim)
-      .unionByName(summaryFor(spark, dir,
-        Encoders.tfIdfSearch(spark, dir, k, nq, dim), "tfidf", k, nq, dim))
-      .orderBy("model")
+             nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame = {
+    def leg(ret: DataFrame, model: String, mode: String) =
+      summaryFor(spark, dir, ret, model, k, nq, dim)
+        .withColumn("search_mode", lit(mode))
+        .select(col("model"), col("search_mode"), col("dim"), col("n_docs"),
+          col("n_queries"), col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
+    leg(Encoders.hashingSearch(spark, dir, k, nq, dim), "hashing_tf", "vector")
+      .unionByName(leg(Encoders.tfIdfSearch(spark, dir, k, nq, dim), "tfidf", "vector"))
+      .unionByName(leg(Encoders.hybridSearch(spark, dir, k, nq, dim, "hashing_tf"),
+        "hashing_tf", "hybrid"))
+      .unionByName(leg(Encoders.hybridSearch(spark, dir, k, nq, dim, "tfidf"),
+        "tfidf", "hybrid"))
+      .orderBy("model", "search_mode")
+  }
 
   /** The reference's by-corpus-size sweep (ref: experiments/
     * produce_h3_summary_and_plots.py — h3_summary_by_n_docs.csv, one
@@ -139,12 +152,23 @@ object Experiment {
     def summary(k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): String =
       summaryFor(Encoders.SqlOracle.hashingSearch(k, nq, dim), "hashing_tf", k, nq, dim)
 
-    def matrix(k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): String =
-      s"""SELECT * FROM (
-         |${summaryFor(Encoders.SqlOracle.hashingSearch(k, nq, dim), "hashing_tf", k, nq, dim)}
-         |) UNION ALL SELECT * FROM (
-         |${summaryFor(Encoders.SqlOracle.tfIdfSearch(k, nq, dim), "tfidf", k, nq, dim)}
-         |) ORDER BY model""".stripMargin
+    def matrix(k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim,
+               idf: Option[Seq[(Long, Long)]] = None): String = {
+      def leg(retrievalSql: String, model: String, mode: String) =
+        s"""SELECT model, '$mode' AS search_mode, dim, n_docs, n_queries,
+           |  mean_p_at_5, mean_p_at_10, map FROM (
+           |${summaryFor(retrievalSql, model, k, nq, dim)}
+           |) leg_${model}_$mode""".stripMargin
+      Seq(
+        leg(Encoders.SqlOracle.hashingSearch(k, nq, dim), "hashing_tf", "vector"),
+        leg(Encoders.SqlOracle.tfIdfSearch(k, nq, dim), "tfidf", "vector"),
+        leg(Encoders.SqlOracle.hybridSearch(k, nq, dim, "hashing_tf", idf),
+          "hashing_tf", "hybrid"),
+        leg(Encoders.SqlOracle.hybridSearch(k, nq, dim, "tfidf", idf),
+          "tfidf", "hybrid"))
+        .mkString("SELECT * FROM (\n", "\n) UNION ALL SELECT * FROM (\n",
+          "\n) ORDER BY model, search_mode")
+    }
 
     def sizes(caps: Seq[Long] = SizeCaps, k: Int = K, nq: Int = NQ,
               dim: Int = Encoders.Dim): String =
