@@ -12,8 +12,31 @@ object Verify {
     * [[operators.Encoders.idfLiterals]]). Every key still comes from
     * the static map; overlays only swap the idf *computation* for the
     * fitted values, leaving vocabulary selection derived in SQL. */
-  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
-    SparkEntry.oracleSql
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val overlays =
+      try {
+        val idfT = operators.Encoders.idfLiteralsTfIdf(spark, sfDir)
+        val idfB = operators.Encoders.idfLiteralsBm25(spark, sfDir)
+        val qlp = operators.TextAnalysis.bigramQlpLiterals(spark, sfDir)
+        Map(
+          "text_keyword_extract" ->
+            operators.Encoders.SqlOracle.keywordExtract(idf = Some(idfT)),
+          "text_bigram_lm" ->
+            operators.TextAnalysis.SqlOracle.bigramLmScore(Some(qlp)),
+          "text_bm25_topk" ->
+            operators.Encoders.SqlOracle.bm25TopK(idf = Some(idfB)),
+          "pipeline_hybrid_search" ->
+            operators.Encoders.SqlOracle.hybridSearch(idf = Some(idfB)),
+          "pipeline_experiment_matrix" ->
+            operators.Experiment.SqlOracle.matrix(idf = Some(idfB)))
+      } catch { case e: Throwable =>
+        // overlay literals come from small fit jobs; if one fails, the
+        // static self-contained oracles are still a complete contract
+        System.err.println(s"[verify] literal overlay failed (static oracles kept): ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    SparkEntry.oracleSql ++ overlays
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args

@@ -468,7 +468,25 @@ object Encoders {
          |  (floor((weight / sqrt(sum(weight * weight) OVER (PARTITION BY doc_id))) * 1e4 + 0.5e0) / 1e4) AS w
          |FROM wtd ORDER BY doc_id, term""".stripMargin
 
-    def keywordExtract(kTop: Int = KeywordsPerDoc, dim: Int = Dim): String =
+    /** `idf = Some(idx → idf6)` (Verify's per-SF overlay) swaps the
+      * in-SQL ln() for the driver-fitted quantized literals, joined on
+      * the vocabulary index the SQL still derives itself. */
+    def keywordExtract(kTop: Int = KeywordsPerDoc, dim: Int = Dim,
+                       idf: Option[Seq[(Long, Long)]] = None): String = {
+      val wtdCte = idf match {
+        case Some(rows) =>
+          val vals = rows.map { case (idx, q) => s"($idx, $q)" }.mkString(", ")
+          s"""wtd AS (
+             |  SELECT dt.doc_id, vocab.idx, vocab.tok,
+             |    CAST(floor(dt.tf * (l.idf6 / 1e6) * 1e9 + 0.5e0) AS BIGINT) AS wq
+             |  FROM dt JOIN vocab USING (tok)
+             |  JOIN (VALUES $vals) l(idx, idf6) ON l.idx = vocab.idx)""".stripMargin
+        case None =>
+          s"""wtd AS (
+             |  SELECT dt.doc_id, vocab.idx, vocab.tok,
+             |    CAST(floor(dt.tf * (floor((ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) * 1e6 + 0.5e0) / 1e6) * 1e9 + 0.5e0) AS BIGINT) AS wq
+             |  FROM dt JOIN vocab USING (tok) CROSS JOIN nd)""".stripMargin
+      }
       s"""WITH t AS $toksCte,
          |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
          |v0 AS (SELECT tok, sum(tf) AS total, count(*) AS df FROM dt
@@ -476,10 +494,7 @@ object Encoders {
          |vocab AS (SELECT tok, df,
          |  row_number() OVER (ORDER BY total DESC, tok) AS idx FROM v0),
          |nd AS (SELECT count(*) AS n_docs FROM documents),
-         |wtd AS (
-         |  SELECT dt.doc_id, vocab.idx, vocab.tok,
-         |    CAST(floor(dt.tf * (floor((ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) * 1e6 + 0.5e0) / 1e6) * 1e9 + 0.5e0) AS BIGINT) AS wq
-         |  FROM dt JOIN vocab USING (tok) CROSS JOIN nd),
+         |$wtdCte,
          |r AS (
          |  SELECT doc_id, idx, tok, wq,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY wq DESC, idx) AS rank
@@ -487,6 +502,7 @@ object Encoders {
          |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS term,
          |  ${S.rnd("wq / 1e9", 4)} AS w
          |FROM r WHERE rank <= $kTop ORDER BY doc_id, rank""".stripMargin
+    }
 
     def hashingSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim,
                       maxDoc: Option[Long] = None): String =

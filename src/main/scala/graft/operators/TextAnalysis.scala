@@ -68,6 +68,19 @@ object TextAnalysis {
     * DuckDB's libm ln can differ in the last ulp; the coarse grid
     * collapses that), so both engines average identical integers. */
   def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val (grams, lm) = bigramLmParts(spark, dir)
+    grams.join(lm.select("gram", "qlp").hint("shuffle_hash"), "gram")
+      .select(col("doc_id"), col("qlp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        rnd(sum("qlp") / count(lit(1)) / lit(1e6), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc-bigram stream (doc_id, gram), LM table (gram, c2, c1v, qlp))
+    * — shared by [[bigramLmScore]] and [[bigramQlpLiterals]] so the
+    * verified query and the oracle-literal dump can never diverge. */
+  private def bigramLmParts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     def docToks = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("_toks"))
     val grams = docToks.filter(size(col("_toks")) >= 2)
@@ -93,15 +106,25 @@ object TextAnalysis {
       .withColumn("w1", substring_index(col("gram"), " ", 1))
       .join(uni.hint("shuffle_hash"), "w1")
       .crossJoin(broadcast(vocabSize))
-      .select(col("gram"),
+      .select(col("gram"), col("c2"),
+        (col("c1") + col("vocab")).as("c1v"),
         floor(log((col("c2") + 1) / (col("c1") + col("vocab")).cast("double")) * 1e6 + 0.5)
           .cast("long").as("qlp"))
-    grams.join(lm.hint("shuffle_hash"), "gram")
-      .select(col("doc_id"), col("qlp"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        rnd(sum("qlp") / count(lit(1)) / lit(1e6), 4).as("lm_score"))
-      .orderBy("doc_id")
+    (grams, lm)
+  }
+
+  /** Distinct (c2, c1+vocab → qlp) rows of the LM table — the literal
+    * form the Verify overlay embeds in the oracle SQL so DuckDB never
+    * evaluates an ln() of its own (the cross-engine libm risk). The
+    * values are computed by the SAME Catalyst expression the verified
+    * query scores with; the distinct arg-pair count grows ~√corpus
+    * (count values, not bigrams), measured 450 (sf0.01) / 752 (sf0.1).
+    * Driver-side collect is bounded by that pair count — this feeds
+    * the VERIFY-time oracle dump only, never a data-path plan. */
+  def bigramQlpLiterals(spark: SparkSession, dir: String): Seq[(Long, Long, Long)] = {
+    val (_, lm) = bigramLmParts(spark, dir)
+    lm.select("c2", "c1v", "qlp").distinct().orderBy("c2", "c1v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
   }
 
   /** Vocabulary coverage — the tokenizer-health metric of a training
@@ -385,7 +408,27 @@ object TextAnalysis {
          |SELECT gram, count(*) AS cnt FROM g
          |GROUP BY gram ORDER BY cnt DESC, gram LIMIT $topN""".stripMargin
 
-    val bigramLmScore: String =
+    /** `qlp = Some((c2, c1+vocab, qlp))` (Verify's per-SF overlay)
+      * swaps the in-SQL ln() for the operator-computed literal table,
+      * joined on the (c2, c1+vocab) integer args the SQL still derives
+      * itself — a count divergence still mismatches (the inner join
+      * drops the row), but DuckDB evaluates no ln. `None` keeps the
+      * self-contained two-level-quantized ln. */
+    def bigramLmScore(qlp: Option[Seq[(Long, Long, Long)]] = None): String = {
+      val qCte = qlp match {
+        case Some(rows) =>
+          val vals = rows.map { case (a, b, c) => s"($a, $b, $c)" }.mkString(", ")
+          s"""q AS (
+             |  SELECT doc_id, l.qlp
+             |  FROM ge JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+             |  JOIN (VALUES $vals) l(c2v, c1v, qlp)
+             |    ON l.c2v = c2.c2 AND l.c1v = c1.c1 + vocab)""".stripMargin
+        case None =>
+          s"""q AS (
+             |  SELECT doc_id,
+             |    CAST(floor(ln((c2 + 1) / CAST(c1.c1 + vocab AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS qlp
+             |  FROM ge JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v)""".stripMargin
+      }
       s"""WITH t AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
          |ge AS (
          |  SELECT doc_id, s['w1'] AS w1, s['gram'] AS gram FROM (
@@ -398,13 +441,11 @@ object TextAnalysis {
          |  FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY w1),
          |v AS (SELECT count(*) AS vocab FROM c1),
          |c2 AS (SELECT gram, count(*) AS c2 FROM ge GROUP BY gram),
-         |q AS (
-         |  SELECT doc_id,
-         |    CAST(floor(ln((c2 + 1) / CAST(c1.c1 + vocab AS DOUBLE)) * 1e6 + 0.5e0) AS BIGINT) AS qlp
-         |  FROM ge JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v)
+         |$qCte
          |SELECT doc_id, count(*) AS n_bigrams,
          |  ${S.rnd("CAST(sum(qlp) AS BIGINT) / count(*) / 1e6", 4)} AS lm_score
          |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
 
     def vocabCoverage(vocabSize: Int = 1000): String =
       s"""WITH toks AS (
