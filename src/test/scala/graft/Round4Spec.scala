@@ -562,15 +562,18 @@ class Round4Spec extends AnyFunSuite with Matchers with SharedSpark {
     byLang.toMap shouldBe docCounts
   }
 
-  test("pipeline_experiment_matrix: one row per model, hashing leg equals the summary") {
+  test("pipeline_experiment_matrix: one row per (model, search_mode), hashing/vector leg equals the summary") {
     val m = Experiment.matrix(spark, sfDir).collect()
-    m.map(_.getString(0)).toSeq shouldBe Seq("hashing_tf", "tfidf")
+    m.map(r => (r.getString(0), r.getString(1))).toSeq shouldBe Seq(
+      ("hashing_tf", "hybrid"), ("hashing_tf", "vector"),
+      ("tfidf", "hybrid"), ("tfidf", "vector"))
     val s = Experiment.summary(spark, sfDir).collect()(0)
-    m.find(_.getString(0) == "hashing_tf").get.toSeq shouldBe s.toSeq
-    // both models retrieve for every query and score in [0, 1]
+    val hv = m.find(r => r.getString(0) == "hashing_tf" && r.getString(1) == "vector").get
+    (hv.toSeq.take(1) ++ hv.toSeq.drop(2)) shouldBe s.toSeq
+    // every (model, mode) leg retrieves for every query and scores in [0, 1]
     m.foreach { r =>
-      r.getLong(3) shouldBe Experiment.NQ.toLong
-      for (i <- 4 to 6) { r.getDouble(i) should (be >= 0.0 and be <= 1.0) }
+      r.getLong(4) shouldBe Experiment.NQ.toLong
+      for (i <- 5 to 7) { r.getDouble(i) should (be >= 0.0 and be <= 1.0) }
     }
   }
 

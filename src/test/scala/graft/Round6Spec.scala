@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators._
+
+/** Round-6 additions: BM25 keyword retrieval, RRF hybrid search, the
+  * search_mode experiment dimension, and the O(m) paired-test fold. */
+class Round6Spec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bm25 top-k equals a driver-side recomputation") {
+    // full BM25 recomputed from collected texts with plain Scala —
+    // independent of both the Spark plan shape and the SQL oracle
+    val k = 10; val nq = 5; val dim = Encoders.Dim
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getString(1)).getOrElse("").split(" ").filter(_.nonEmpty).toSeq)
+      .toMap
+    val nDocs = texts.size.toLong
+    val tf = texts.map { case (id, toks) =>
+      id -> toks.groupBy(identity).view.mapValues(_.length.toLong).toMap }
+    val byTok = tf.toSeq.flatMap { case (id, m) => m.map { case (t, c) => (t, id, c) } }
+    val vocab = byTok.groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._3).sum, rs.length.toLong)).toSeq
+      .sortBy { case (t, (total, _)) => (-total, t) }.take(dim)
+    val idf6 = vocab.map { case (t, (_, df)) =>
+      t -> math.floor(math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5).toLong
+    }.toMap
+    val dl = tf.view.mapValues(_.values.sum).toMap
+    val totTok = dl.values.sum
+    val avgdl = totTok.toDouble / nDocs
+    val expected = (0L until nq).flatMap { q =>
+      val qToks = tf(q).keySet.filter(idf6.contains)
+      val scored = tf.toSeq.filter(_._1 >= nq).flatMap { case (d, m) =>
+        val sq = qToks.toSeq.flatMap { t => m.get(t).map { c =>
+          math.floor((idf6(t) / 1e6) * (c * 2.2) /
+            (c + 1.2 * (0.25 + 0.75 * dl(d) / avgdl)) * 1e9 + 0.5).toLong
+        } }.sum
+        if (sq == 0L && !qToks.exists(m.contains)) None else Some((d, sq))
+      }
+      scored.sortBy { case (d, sq) => (-sq, d) }.take(k).zipWithIndex.map {
+        case ((d, sq), i) =>
+          (q, (i + 1).toLong, d, math.floor(sq / 1e9 * 1e4 + 0.5) / 1e4)
+      }
+    }.toSet
+    val got = Encoders.bm25TopK(spark, sfDir, k, nq, dim).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    got shouldBe expected
+  }
+
+  test("hybrid search is exactly the RRF fusion of its two arms") {
+    val k = 10
+    def ranks(df: DataFrame): Map[(Long, Long), Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val vec = ranks(Encoders.hashingSearch(spark, sfDir, k))
+    val kw = ranks(Encoders.bm25TopK(spark, sfDir, k))
+    val fused = (vec.keySet ++ kw.keySet).toSeq.map { key =>
+      val s = vec.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        kw.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (key._1, key._2, s)
+    }
+    val expected = fused.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy { case (_, d, s) => (-s, d) }.take(k).zipWithIndex.map {
+        case ((_, d, s), i) =>
+          (q, (i + 1).toLong, d, math.floor(s * 1e6 + 0.5) / 1e6)
+      }
+    }.toSet
+    val got = Encoders.hybridSearch(spark, sfDir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    got shouldBe expected
+  }
+
+  test("experiment matrix hybrid legs cover every query with scores in range") {
+    val m = Experiment.matrix(spark, sfDir).collect()
+    m.length shouldBe 4
+    m.map(_.getString(1)).distinct.sorted.toSeq shouldBe Seq("hybrid", "vector")
+    // hybrid legs see the same corpus/query universe as vector legs
+    m.map(_.getLong(3)).distinct.length shouldBe 1
+    m.map(_.getLong(4)).distinct.toSeq shouldBe Seq(Experiment.NQ.toLong)
+  }
+
+  test("O(m) t-CDF fold equals the quadratic per-term-prefix sum bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // evaluate both formulations as Column expressions over the same
+    // (u, m) rows: the r6 linear fold must reproduce the r5 quadratic
+    // sum's IEEE value stream exactly, including degenerate m
+    val rows = Seq((0.999, 0), (0.5, 1), (0.7, 2), (0.37, 7), (0.9312, 74), (0.75, 75))
+    val df = rows.toDF("u", "m")
+    val u = col("u"); val m = col("m")
+    def num(i: Column) = (i * 2 - 1).cast("double")
+    def den(i: Column) = (i * 2).cast("double")
+    // r5 quadratic formulation (the reference semantics)
+    def prodTerm(j: Column) =
+      when(j === 0, lit(1.0)).otherwise(
+        aggregate(sequence(lit(1), j), lit(1.0),
+          (acc, i) => acc * (u * num(i) / den(i))))
+    val quad = when(m <= 0, lit(0.0)).otherwise(
+      aggregate(transform(sequence(lit(0), m - 1), j => prodTerm(j)),
+        lit(0.0), (acc, x) => acc + x))
+    // r6 linear fold (mirrors PerfStats.sumTerms)
+    val folded = aggregate(
+      sequence(lit(1), m - 1),
+      struct(lit(1.0).as("p"), lit(1.0).as("s")),
+      (acc, i) => {
+        val t = u * num(i) / den(i)
+        struct((acc("p") * t).as("p"), (acc("s") + acc("p") * t).as("s"))
+      })
+    val lin = when(m <= 0, lit(0.0)).when(m === 1, lit(1.0)).otherwise(folded("s"))
+    val got = df.select(quad.as("q"), lin.as("l")).collect()
+    got.foreach { r => r.getDouble(1) shouldBe r.getDouble(0) }
+  }
+
+  test("paired tests degenerate guard: identical populations emit no p-values") {
+    val row = PerfStats.pairedTests(spark, sfDir, "click", "click").collect()(0)
+    row.getLong(0) shouldBe 0L      // all differences are zero -> dropped
+    row.isNullAt(3) shouldBe true   // no t p-value
+    row.isNullAt(5) shouldBe true   // no wilcoxon p-value
+  }
+}
