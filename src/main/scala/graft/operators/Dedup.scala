@@ -327,11 +327,43 @@ object Dedup {
   /** Embedding near-dup pairs WITHOUT labels — the 100 TB path the
     * label-blocked [[embeddingCosine]] defers to: random-hyperplane LSH
     * bands bucket the vectors (one pass over the data, shuffle on the
-    * bucket key only), bucket-local pair expansion (capped), exact
-    * cosine verify ≥ threshold. Candidate generation is linear in data
-    * + bucket-pair output; no labels, no all-pairs. */
+    * bucket key only), bucket-local pair expansion for in-cap buckets,
+    * star expansion for oversized ones (see
+    * [[embeddingLshCandidates]] — nothing dropped, output linear in
+    * bucket size), exact cosine verify ≥ threshold. No labels, no
+    * all-pairs. */
   def embeddingLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
                    maxBucket: Int = MaxBucket): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    embeddingLshCandidates(spark, dir, maxBucket)
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), rnd(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The banded-bucket candidate-pair stage of [[embeddingLsh]],
+    * exposed for the occupancy diagnostics ([[graft.tools.LshProbe]]).
+    *
+    * Buckets within `maxBucket` enumerate all within-bucket pairs
+    * (the oracle's semantics — bit-identical while nothing is capped,
+    * which holds at every verify SF; Verify prints the contract line).
+    * Buckets OVER the cap — dense duplicate clusters, exactly what
+    * dedup must not lose — fall back to STAR EXPANSION instead of
+    * being dropped (the r5 behavior, measured in r6: at 30× the x1
+    * corpus 45 of 61 buckets exceeded the cap and the pair output
+    * SHRANK 2.07M → 0.84M): each member links to the bucket's minimum
+    * vec_id, c−1 edges instead of c(c−1)/2, computed with two
+    * map-side-combined aggregations and broadcast joins of the (tiny,
+    * ≤ rows/cap by construction) oversized-key set — no collect_list
+    * row, no b² expansion, nothing dropped. Star edges preserve
+    * within-bucket connectivity, which is what the downstream
+    * [[connectedComponents]] dedup decision consumes; the cosine
+    * re-rank then verifies each edge like any candidate. */
+  def embeddingLshCandidates(spark: SparkSession, dir: String,
+                             maxBucket: Int = MaxBucket): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val banded = e
       .withColumn("_sig", Ann.signature(col("embedding")))
@@ -344,19 +376,19 @@ object Dedup {
     val buckets = banded.groupBy("band", "bkt")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val cands = Skew.capBuckets(buckets, "ids", maxBucket)
+    val smallPairs = Skew.capBuckets(buckets, "ids", maxBucket)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i.cast("int") + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("pr"))
       .select(col("pr.id_a"), col("pr.id_b"))
-      .distinct()
-    cands
-      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
-      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), rnd(col("cos"), 4).as("cos"))
-      .orderBy("id_a", "id_b")
+    val bigKeys = banded.groupBy("band", "bkt")
+      .agg(count(lit(1)).as("_c"), min("vec_id").as("_rep"))
+      .filter(col("_c") > maxBucket)
+      .select("band", "bkt", "_rep")
+    val starPairs = banded.join(broadcast(bigKeys), Seq("band", "bkt"))
+      .filter(col("vec_id") =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col("vec_id").as("id_b"))
+    smallPairs.unionByName(starPairs).distinct()
   }
 
   /** Connected components over a near-dup pair frame (id_a < id_b) —

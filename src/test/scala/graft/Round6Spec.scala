@@ -118,6 +118,23 @@ class Round6Spec extends AnyFunSuite with Matchers with SharedSpark {
     got.foreach { r => r.getDouble(1) shouldBe r.getDouble(0) }
   }
 
+  test("embedding-LSH star fallback keeps every bucketed vector reachable") {
+    // with a tiny cap most buckets take the star path; the fix's
+    // contract: capped candidates are a subset of the uncapped pair
+    // set's CLOSURE (star edges are within-bucket pairs too), and no
+    // vector that the uncapped pass would consider is dropped
+    val uncapped = Dedup.embeddingLshCandidates(spark, sfDir, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.embeddingLshCandidates(spark, sfDir, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped.subsetOf(uncapped) shouldBe true
+    val uncappedVertices = uncapped.flatMap(p => Seq(p._1, p._2))
+    val cappedVertices = capped.flatMap(p => Seq(p._1, p._2))
+    cappedVertices shouldBe uncappedVertices
+    // star output is linear: far fewer edges than the full expansion
+    capped.size should be < uncapped.size
+  }
+
   test("paired tests degenerate guard: identical populations emit no p-values") {
     val row = PerfStats.pairedTests(spark, sfDir, "click", "click").collect()(0)
     row.getLong(0) shouldBe 0L      // all differences are zero -> dropped
