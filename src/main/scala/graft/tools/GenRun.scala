@@ -14,6 +14,11 @@ object GenRun {
     "q_small_qty_revenue", "q_top_supplier")
 
   def main(args: Array[String]): Unit = {
+    // args: [nDocs nVecs nEvents] — default 10× the sf0.1 size; the
+    // 100× validation run passes 500000 200000 10000000
+    val (nDocs, nVecs, nEvents) =
+      if (args.length >= 3) (args(0).toLong, args(1).toLong, args(2).toLong)
+      else (50000L, 20000L, 1000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,8 +26,8 @@ object GenRun {
     spark.sparkContext.setLogLevel("ERROR")
     val base = java.nio.file.Files.createTempDirectory("graft-genrun")
     val dir = base.toString
-    graft.sources.DataGen.writeDataset(spark, dir, 50000L, 20000L,
-      nEvents = 1000000L)
+    graft.sources.DataGen.writeDataset(spark, dir, nDocs, nVecs,
+      nEvents = nEvents)
     var failed = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (SkipPrefixes.exists(name.startsWith)) ()
@@ -37,10 +42,187 @@ object GenRun {
         }
       }
     }
+    // ---- streaming leg (VERDICT r5 item 6): replay the generated
+    // corpus through the stateful streams as a FILE SOURCE — the 10
+    // StreamOps components are spec-tested on MemoryStream toys; this
+    // is the at-scale pass. Events/docs are re-written as range-sliced
+    // parquet (slice k covers the k-th time range, file listing order =
+    // time order), so a maxFilesPerTrigger=1 replay feeds micro-batches
+    // in event-time order with NO cross-slice late data (ranges are
+    // disjoint) — watermarks advance batch to batch exactly as a live
+    // ingest's would.
+    if (sys.env.getOrElse("SPARK_GRAFT_GENRUN_STREAM", "1") == "1")
+      failed += streamingLeg(spark, dir)
     import java.nio.file.{Files, Path}
     Files.walk(base).sorted(java.util.Comparator.reverseOrder[Path]())
       .forEach(p => Files.deleteIfExists(p))
     println(s"[genrun] done, failures=$failed")
     spark.stop()
+  }
+
+  /** Returns the number of failed streaming checks. */
+  def streamingLeg(spark: SparkSession, dir: String): Int = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.streaming.StreamOps
+    var failed = 0
+    val slices = 16
+    def check(name: String)(body: => String): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        val detail = body
+        println(f"[genrun] stream_$name%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s  $detail")
+      } catch { case e: Throwable =>
+        failed += 1
+        println(s"[genrun] stream_$name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    // DAY-aligned slices (range partitioning never splits a key): a
+    // calendar day lives in exactly one micro-batch, so per-day dedup
+    // state can never expire mid-day between batches, and slice k+1 is
+    // entirely later than slice k — the in-order, no-late-data replay
+    // a live daily ingest would produce. (The first, time-ranged cut
+    // of this harness used 1.9-day slices that straddled day and
+    // watermark boundaries — the divergence it flagged was the
+    // harness's, not the operators'.)
+    //
+    // FileStreamSource orders files by MODIFICATION TIME, and a
+    // parallel parquet job finishes its tasks in random order — left
+    // alone, the replay feeds ranges out of order and the watermark
+    // drops most of the log as late (observed: 14 of 15k funnel users
+    // diverged, 1 of 30 dau days emitted). Re-stamp the part files
+    // with strictly increasing mtimes in name (= range) order so the
+    // source's time order IS event-time order.
+    def stampInOrder(path: String): Unit = {
+      val parts = new java.io.File(path).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      val t0 = System.currentTimeMillis() - parts.length * 2000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        java.nio.file.Files.setLastModifiedTime(f.toPath,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+      }
+    }
+    events.repartitionByRange(slices, F.to_date(F.col("ts")))
+      .write.mode("overwrite").parquet(s"$dir/events_sliced")
+    stampInOrder(s"$dir/events_sliced")
+    val evSchema = spark.read.parquet(s"$dir/events_sliced").schema
+    def evStream(filesPerTrigger: Int) = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .parquet(s"$dir/events_sliced")
+    def runToParquet(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$dir/_sout/$name")
+        .option("checkpointLocation", s"$dir/_sckpt/$name")
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$dir/_sout/$name")
+    }
+    def runToMemory(df: org.apache.spark.sql.Dataset[_], name: String): org.apache.spark.sql.DataFrame = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table(name)
+    }
+
+    check("dau") {
+      // converged Append output must EQUAL the batch recomputation on
+      // every emitted day; only windows the final watermark could not
+      // close (the last ~25 h of the log) may be missing
+      val got = runToParquet(StreamOps.dauStream(evStream(1)), "dau")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val batch = events
+        .select(F.col("user_id"), F.to_date(F.col("ts")).as("day"))
+        .dropDuplicates("user_id", "day")
+        .groupBy("day").agg(F.count(F.lit(1)).as("dau"))
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val wrong = got.filter { case (d, v) => batch.get(d) != Some(v) }
+      require(wrong.isEmpty, s"emitted days diverge from batch: ${wrong.take(3)}")
+      require(got.size >= batch.size - 2,
+        s"emitted ${got.size} of ${batch.size} days (only the unclosed tail may be missing)")
+      s"days=${got.size}/${batch.size} exact-batch-equal"
+    }
+
+    check("funnel") {
+      // per-user reached stage from the micro-batch replay vs an
+      // INDEPENDENT batch oracle (first view, first click strictly
+      // after it, first purchase strictly after that — recomputed here
+      // with plain aggregations). The idle TTL is neutralized for the
+      // comparison: it is the operator's designed memory/equality
+      // trade (a quiet user's funnel state expires after 24 h, and
+      // sparse generated users have multi-day gaps), orthogonal to
+      // what this checks — that watermark-driven cross-batch draining
+      // folds events in global event-time order.
+      import spark.implicits._
+      val replay = runToMemory(
+        StreamOps.funnelStream(evStream(1).as[StreamOps.Ev],
+          idleMs = Long.MaxValue / 4), "funnel_replay")
+        .groupBy("user_id").agg(F.max("stage").as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val stages = graft.operators.EventsAnalytics.FunnelStages
+      // the oracle folds exactly what the final watermark released:
+      // events inside the last 10 min are still correctly HELD at
+      // termination (the live frontier), not missed
+      val maxTs = events.agg(F.max("ts")).collect()(0).getTimestamp(0)
+      val ripe = events.filter(
+        F.col("ts") <= F.lit(new java.sql.Timestamp(maxTs.getTime - 600000L)))
+      val t1 = ripe.filter(F.col("event_type") === stages(0))
+        .groupBy("user_id").agg(F.min("ts").as("t1"))
+      val t2 = ripe.filter(F.col("event_type") === stages(1))
+        .join(t1, "user_id").filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").as("t2"))
+      val t3 = ripe.filter(F.col("event_type") === stages(2))
+        .join(t2, "user_id").filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").as("t3"))
+      val batch = events.select("user_id").distinct()
+        .join(t1, Seq("user_id"), "left").join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(F.col("user_id"),
+          (F.when(F.col("t3").isNotNull, 3L)
+            .when(F.col("t2").isNotNull, 2L)
+            .when(F.col("t1").isNotNull, 1L).otherwise(0L)).as("stage"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val diverged = (replay.keySet ++ batch.keySet)
+        .filter(u => replay.get(u) != batch.get(u))
+      require(diverged.isEmpty,
+        s"${diverged.size} users diverge from the batch oracle (e.g. ${diverged.take(3)})")
+      s"users=${replay.size} replay==batch-oracle"
+    }
+
+    check("clean_docs") {
+      // docs get a synthetic event-time spread over 30 days; the
+      // WITHIN-WATERMARK dedup guarantee: no two emitted rows share a
+      // norm_hash within the 2 h horizon
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+          + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+            (F.col("doc_id") % 2592000L).cast("double")))
+      docs.repartitionByRange(slices, F.col("ts"))
+        .write.mode("overwrite").parquet(s"$dir/docs_sliced")
+      stampInOrder(s"$dir/docs_sliced")
+      val dSchema = spark.read.parquet(s"$dir/docs_sliced").schema
+      val stream = spark.readStream.schema(dSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/docs_sliced")
+      val out = runToParquet(StreamOps.cleanDocsStream(stream), "clean_docs")
+      val hashed = out.join(
+        graft.operators.Shaping.withQualityColumns(docs)
+          .select(F.col("doc_id"), F.col("norm_hash")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("norm_hash").orderBy("ts")
+      val violations = hashed
+        .withColumn("_prev", F.lag("ts", 1).over(w))
+        .filter(F.col("_prev").isNotNull &&
+          F.col("ts").cast("long") - F.col("_prev").cast("long") < 7200L)
+        .count()
+      require(violations == 0L, s"$violations within-horizon duplicate emissions")
+      val emitted = out.count()
+      val qualifying = graft.operators.Shaping.withQualityColumns(docs)
+        .filter(F.col("n_toks") >= 20L && F.col("quality") >= 0.6).count()
+      require(emitted <= qualifying, s"emitted $emitted > qualifying $qualifying")
+      s"emitted=$emitted of qualifying=$qualifying, horizon-dedup holds"
+    }
+    failed
   }
 }
