@@ -41,7 +41,10 @@ object ScaleRun {
     // round-6 addition: the paired-test p-value pipeline — its t-CDF
     // fold is O(df) in the paired-user count (was O(df²) before r6),
     // and this is the probe that keeps it honest
-    "stats_paired_tests")
+    "stats_paired_tests",
+    // round-6 retrieval additions: BM25's windowed doc-length +
+    // broadcast-postings shape, and the two-arm RRF fusion plan
+    "text_bm25_topk", "pipeline_hybrid_search")
 
   /** Warm-up + interleaved min-of-2 (t1, t10) per query — the
     * measurement kernel shared by the child main (line protocol) and
