@@ -141,4 +141,54 @@ class Round6Spec extends AnyFunSuite with Matchers with SharedSpark {
     row.isNullAt(3) shouldBe true   // no t p-value
     row.isNullAt(5) shouldBe true   // no wilcoxon p-value
   }
+
+  test("prefix-filter completeness: candidates cover every J >= t pair (random corpora)") {
+    // the prefix-filtering principle is the load-bearing claim behind
+    // the r6 ngram-Jaccard rewrite — exercise it on adversarial random
+    // corpora: skewed token frequencies, shared boilerplate, duplicate
+    // clusters, and size-mismatched docs (the floor-epsilon edge)
+    import spark.implicits._
+    val rnd = new scala.util.Random(6)
+    val vocabToks = (0 until 40).map(i => s"w$i")
+    for (round <- 0 until 3) {
+      val tmp = tempDir(s"graft-prefix$round")
+      val docs = (0L until 60L).map { i =>
+        val base = (0 until 3 + rnd.nextInt(25))
+          .map(_ => vocabToks(math.min(rnd.nextInt(40), rnd.nextInt(40))))
+        val text =
+          if (i % 5 == 0 && i > 0) {
+            // near-dup of the previous doc: mutate a couple of tokens
+            val prev = (0 until 3 + rnd.nextInt(25))
+              .map(_ => vocabToks((i.toInt * 7 + rnd.nextInt(6)) % 40))
+            (prev ++ base.take(2)).mkString(" ")
+          } else base.mkString(" ")
+        (i, text, if (i % 2 == 0) "en" else "de")
+      }
+      docs.toDF("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      // exhaustive within-block truth, computed independently of the
+      // candidate path (plain Scala over collected shingle sets)
+      val sets = Dedup.hashedShingles(spark, tmp)
+        .select(col("doc_id"), col("lang"), col("t0"),
+          array_distinct(col("shh")).as("sh"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getString(1), Option(r.get(2)),
+          r.getSeq[Long](3).toSet)))
+        .toMap
+      val truth = (for {
+        (a, (la, ta, sa)) <- sets.toSeq; (b, (lb, tb, sb)) <- sets.toSeq
+        if a < b && la == lb && ta.isDefined && ta == tb && sa.nonEmpty
+        inter = (sa & sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= 0.2
+      } yield (a, b)).toSet
+      val cands = Dedup.ngramJaccardCandidates(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      truth.subsetOf(cands) shouldBe true
+      // and the verified output equals the truth exactly
+      val out = Dedup.ngramJaccard(spark, tmp)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      out shouldBe truth
+    }
+  }
 }
