@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot paths. The higher-order-
@@ -17,6 +17,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * call per element (measured 92s → ~8s on dedup_minhash_lsh at sf0.1).
   */
 object Kernels {
+  /** See [[NormalizeAsciiExpr]]: keep [a-z0-9] bytes, collapse runs of
+    * 0x20 to one space, drop everything else, trim — byte-equal to the
+    * two-regex-pass formulation on lowercased input. */
+  def normalizeAscii(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    val out = new Array[Byte](n)
+    var o = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        out(o) = b; o += 1
+        pendingSpace = false
+      } else if (b == ' ') pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** Left-fold polynomial hash over Unicode code points — identical to
     * aggregate(split(s,''), 0, (h,c) -> (h*base + ascii(c)) % p) for
     * any string (fast byte path for ASCII). */
@@ -160,6 +181,26 @@ object Kernels {
     }
     acc
   }
+}
+
+/** normalize_ascii(str) — on an already-lowercased string, equal to
+  * trim(regexp_replace(regexp_replace(s, "[^a-z0-9 ]", ""), " +", " ")):
+  * keep [a-z0-9], collapse space runs, trim. Operates on UTF-8 BYTES —
+  * every byte of a multi-byte sequence is ≥ 0x80 and is dropped, which
+  * is exactly what the char-class regex does to non-ASCII characters,
+  * and the output is pure ASCII so byte = character. Two java.util.regex
+  * passes over every document were the dominant cost of the quality-
+  * filter/normalize family at the 500 k-doc scale. */
+case class NormalizeAsciiExpr(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.normalizeAscii(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normalizeAscii($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeAsciiExpr =
+    copy(child = newChild)
 }
 
 /** polyhash(str) — codegen'd polynomial string hash. */
@@ -314,6 +355,10 @@ object native {
 
   def polyHash(s: Column, base: Long = 31L, p: Long = HashP): Column =
     Bridge.column(PolyHashExpr(ex(s), base, p))
+
+  /** Input must already be lowercased (pair with `lower(col)`). */
+  def normalizeAscii(s: Column): Column =
+    Bridge.column(NormalizeAsciiExpr(ex(s)))
 
   /** Only valid on array<float> columns (the embeddings schema). */
   def dotF(a: Column, b: Column): Column =

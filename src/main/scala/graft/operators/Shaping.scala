@@ -106,8 +106,9 @@ object Shaping {
     * then read the materialized array (SURVEY §5: a computed array
     * referenced by several expressions re-runs the tokenizer per use). */
   def withQualityColumns(df: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // codegen'd byte-loop ≡ trim(regexp_replace(regexp_replace(lower(t),
+    // "[^a-z0-9 ]", ""), " +", " ")) — the oracle keeps the regex form
+    val norm = graft.functions.native.normalizeAscii(lower(col("text")))
     val stop = TextAnalysis.markers.head._2
     df.withColumn("_toks", tokens(col("text")))
       .withColumn("n_toks", size(col("_toks")).cast("long"))

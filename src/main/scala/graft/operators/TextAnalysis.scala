@@ -211,8 +211,9 @@ object TextAnalysis {
     * training-data pipeline. Verified via length + md5 of the
     * normalized form (md5 is identical across engines). */
   def normalize(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // codegen'd byte-loop ≡ trim(regexp_replace(regexp_replace(lower(t),
+    // "[^a-z0-9 ]", ""), " +", " ")) — the oracle keeps the regex form
+    val norm = graft.functions.native.normalizeAscii(lower(col("text")))
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         length(norm).cast("long").as("n_chars_norm"),

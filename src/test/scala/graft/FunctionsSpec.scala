@@ -26,6 +26,24 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
     bad shouldBe 0
   }
 
+  test("native normalizeAscii equals the two-regex-pass spec") {
+    import spark.implicits._
+    def spec(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(c, "[^a-z0-9 ]", ""), " +", " "))
+    // corpus text plus adversarial edges: unicode (incl. multi-byte and
+    // the Kelvin sign whose LOWERCASE is ascii 'k'), tabs/newlines that
+    // must vanish without becoming spaces, space runs, all-strip, empty
+    val edges = Seq("", "   ", "\t\n", "a", "  a  b  ", "a.b,c!d",
+      "héllo  ünïcodeK", "中 文  mixed 42", "a\tb\nc", "..!!..",
+      "0  1 2").toDF("text")
+    for (df <- Seq(Tables.documents(spark, sfDir).select("text"), edges)) {
+      val lowered = df.select(lower(col("text")).as("s"))
+      lowered.filter(not(
+        graft.functions.native.normalizeAscii(col("s")) <=> spec(col("s"))))
+        .count() shouldBe 0
+    }
+  }
+
   test("native dot/dist2 equal HOF specs on embeddings") {
     val e = Tables.embeddings(spark, sfDir)
     val a = e.select(col("vec_id"), col("embedding").as("va"))
