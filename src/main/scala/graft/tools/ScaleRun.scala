@@ -44,7 +44,10 @@ object ScaleRun {
     "stats_paired_tests",
     // round-6 retrieval additions: BM25's windowed doc-length +
     // broadcast-postings shape, and the two-arm RRF fusion plan
-    "text_bm25_topk", "pipeline_hybrid_search")
+    "text_bm25_topk", "pipeline_hybrid_search",
+    // round-6: the quality-filter pipeline — normalization is the
+    // codegen'd byte loop now; this keeps the regex from creeping back
+    "pipeline_quality_filter")
 
   /** Warm-up + interleaved min-of-2 (t1, t10) per query — the
     * measurement kernel shared by the child main (line protocol) and

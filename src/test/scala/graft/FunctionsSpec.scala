@@ -38,7 +38,7 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
       "0  1 2").toDF("text")
     for (df <- Seq(Tables.documents(spark, sfDir).select("text"), edges)) {
       val lowered = df.select(lower(col("text")).as("s"))
-      lowered.filter(not(
+      lowered.filter(Fn.not(
         graft.functions.native.normalizeAscii(col("s")) <=> spec(col("s"))))
         .count() shouldBe 0
     }
