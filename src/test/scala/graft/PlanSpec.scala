@@ -156,6 +156,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("normalization runs as the codegen'd byte loop, not regex") {
+    // the two java.util.regex passes were the entire cost of the
+    // quality-filter family at 500k docs (22.26s -> 1.15s, SURVEY §5);
+    // keep them from creeping back into any normalized-text plan
+    for (df <- Seq(Shaping.qualityFilterPipeline(spark, sfDir),
+        Shaping.sourceStats(spark, sfDir),
+        TextAnalysis.normalize(spark, sfDir))) {
+      val p = plan(df)
+      p.toLowerCase should not include "regexp_replace"
+      p.toLowerCase should include("normalizeascii")
+    }
+  }
+
   test("stratified sample: pure scan-side filter, no exchange before the sort") {
     val p = plan(Shaping.stratifiedSample(spark, sfDir))
     // the quota filter is per-row arithmetic: nothing may shuffle except
