@@ -15,8 +15,9 @@ object Verify {
   def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] = {
     val overlays =
       try {
-        val idfT = operators.Encoders.idfLiteralsTfIdf(spark, sfDir)
-        val idfB = operators.Encoders.idfLiteralsBm25(spark, sfDir)
+        // one fit job feeds both idf tables (they differ only in the
+        // driver-side idf formula over the same (nDocs, df) rows)
+        val (idfT, idfB) = operators.Encoders.idfLiteralsBoth(spark, sfDir)
         val qlp = operators.TextAnalysis.bigramQlpLiterals(spark, sfDir)
         Map(
           "text_keyword_extract" ->

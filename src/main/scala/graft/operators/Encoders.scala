@@ -168,6 +168,25 @@ object Encoders {
       (idx, math.floor(idf * 1e6 + 0.5).toLong)
     }
 
+  /** Both overlay literal tables — tf-idf and BM25 (idx → idf6) — from
+    * ONE [[fitVocabRaw]] job: the fit is the corpus-wide pass, the two
+    * idf formulas are driver arithmetic on its (nDocs, df) rows. Each
+    * arm repeats the exact double-op order of [[idfLiteralsTfIdf]] /
+    * [[bm25IdfRows]] so the quantized values are bit-identical. */
+  def idfLiteralsBoth(spark: SparkSession, dir: String, dim: Int = Dim)
+      : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val (nDocs, rows) = fitVocabRaw(spark, dir, dim)
+    val t = rows.map { case (_, idx, df) =>
+      val idf = math.log((1.0 + nDocs) / (1.0 + df)) + 1.0
+      (idx, math.floor(idf * 1e6 + 0.5).toLong)
+    }
+    val b = rows.map { case (_, idx, df) =>
+      (idx,
+        math.floor(math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5).toLong)
+    }
+    (t, b)
+  }
+
   /** (tok, idx, ⌊idf·1e6+0.5⌋) with the BM25 idf
     * ln(1 + (N − df + 0.5)/(df + 0.5)) — Robertson's formulation with
     * the +1 floor that keeps it positive (the Lucene variant). The
@@ -249,8 +268,11 @@ object Encoders {
     * exact integer sums, ranked (score desc, doc_id asc). */
   def bm25TopK(spark: SparkSession, dir: String, k: Int = 10,
                nq: Int = 5, dim: Int = Dim,
-               maxDoc: Option[Long] = None): DataFrame = {
-    val vocab = spark.createDataFrame(bm25IdfRows(spark, dir, dim, maxDoc))
+               maxDoc: Option[Long] = None,
+               fit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
+    // `fit` lets a caller that needs the keyword arm more than once
+    // (Experiment.matrix's two hybrid legs) pay the eager fit job once
+    val vocab = spark.createDataFrame(fit.getOrElse(bm25IdfRows(spark, dir, dim, maxDoc)))
       .toDF("tok", "idx", "idf6").drop("idx")
     val byDoc = Window.partitionBy("doc_id")
     val dt = docTerm(spark, dir, maxDoc)
@@ -288,11 +310,12 @@ object Encoders {
     * 2·nq·k rank rows. */
   def hybridSearch(spark: SparkSession, dir: String, k: Int = 10,
                    nq: Int = 5, dim: Int = Dim,
-                   model: String = "hashing_tf"): DataFrame = {
+                   model: String = "hashing_tf",
+                   kwFit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
     val vec = (if (model == "tfidf") tfIdfSearch(spark, dir, k, nq, dim)
                else hashingSearch(spark, dir, k, nq, dim))
       .select(col("q_id"), col("doc_id"), col("rank").as("rv"))
-    val kw = bm25TopK(spark, dir, k, nq, dim)
+    val kw = bm25TopK(spark, dir, k, nq, dim, fit = kwFit)
       .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
     val fused = vec.join(kw, Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"),

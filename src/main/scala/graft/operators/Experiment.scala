@@ -51,11 +51,14 @@ object Experiment {
         .withColumn("search_mode", lit(mode))
         .select(col("model"), col("search_mode"), col("dim"), col("n_docs"),
           col("n_queries"), col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
+    // the BM25 fit is an eager driver-side job and the keyword arm is
+    // model-independent — fit once, share across both hybrid legs
+    val kwFit = Some(Encoders.bm25IdfRows(spark, dir, dim))
     leg(Encoders.hashingSearch(spark, dir, k, nq, dim), "hashing_tf", "vector")
       .unionByName(leg(Encoders.tfIdfSearch(spark, dir, k, nq, dim), "tfidf", "vector"))
-      .unionByName(leg(Encoders.hybridSearch(spark, dir, k, nq, dim, "hashing_tf"),
+      .unionByName(leg(Encoders.hybridSearch(spark, dir, k, nq, dim, "hashing_tf", kwFit),
         "hashing_tf", "hybrid"))
-      .unionByName(leg(Encoders.hybridSearch(spark, dir, k, nq, dim, "tfidf"),
+      .unionByName(leg(Encoders.hybridSearch(spark, dir, k, nq, dim, "tfidf", kwFit),
         "tfidf", "hybrid"))
       .orderBy("model", "search_mode")
   }

@@ -140,9 +140,9 @@ object PerfStats {
     def meanOf(t: String, as: String) =
       e.filter(col("event_type") === t).groupBy("user_id")
         .agg(fxAvg(col("value"), 6).as(as))
-    val d = meanOf(typeA, "a").join(meanOf(typeB, "b"), "user_id")
+    val dj = meanOf(typeA, "a").join(meanOf(typeB, "b"), "user_id")
       .select(col("user_id"), (col("a") - col("b")).as("d"))
-      .filter(col("d") =!= 0.0)
+    val d = dj.filter(col("d") =!= 0.0)
     // Average ranks of |d| (ties share (min+max)/2) for Wilcoxon W+,
     // computed WITHOUT an unpartitioned window: a global sort (range-
     // partitioned, distributed) + zipWithIndex gives each row its
@@ -165,15 +165,26 @@ object PerfStats {
           lit(0.0)).as("w_plus"),
         coalesce(sum(col("n_tie") * col("n_tie") * col("n_tie") - col("n_tie")),
           lit(0L)).as("_ties3"))
-    val base = d.agg(
-      count(lit(1)).as("n"),
+    // aggregated over the UNFILTERED join so the dropped-zero count
+    // rides along: zeros contribute exactly 0 to both fixed-point sums,
+    // so _sd/_sd2 are unchanged and n still counts nonzero differences
+    val base = dj.agg(
+      coalesce(sum(when(col("d") =!= 0.0, 1L).otherwise(0L)), lit(0L)).as("n"),
       fxSum(col("d"), 6).as("_sd"),
-      fxSum(col("d") * col("d"), 6).as("_sd2"))
+      fxSum(col("d") * col("d"), 6).as("_sd2"),
+      coalesce(sum(when(col("d") === 0.0, 1L).otherwise(0L)), lit(0L)).as("_zeros"))
 
     // ---- expression builders over the single (base × w) row ----
     val n = col("n")
-    val varTerm = (col("_sd2") - col("_sd") * col("_sd") / n) / (n - 1) / n
-    val tRaw = col("_sd") / n / sqrt(varTerm)
+    // divisor nulled at n ≤ 1 so the t-stat arithmetic short-circuits
+    // to NULL instead of tripping ANSI division-by-zero: the output
+    // columns guard on n, but codegen's common-subexpression pass
+    // evaluates these eagerly even under a never-taken when() branch
+    // (n can be 0 with _sd a non-null 0 now that base aggregates the
+    // unfiltered join — all-zero differences hit exactly that)
+    val nD = when(n > 1, n)
+    val varTerm = (col("_sd2") - col("_sd") * col("_sd") / nD) / (nD - 1) / nD
+    val tRaw = col("_sd") / nD / sqrt(varTerm)
     val tAbs = abs(tRaw)
     val nuD = (n - 1).cast("double")
     val u = nuD / (nuD + tAbs * tAbs)
@@ -234,14 +245,16 @@ object PerfStats {
         rnd(pT, 6)).as("paired_t_pvalue"),
       rnd(col("w_plus"), 4).as("wilcoxon_w"),
       // In scipy's method='auto' regime (ref stats.py uses the
-      // defaults), a tie-free sample of n ≤ 50 gets the EXACT signed-
-      // rank distribution, not the normal approximation — emitting the
-      // approximation there would silently diverge from the reference
-      // (n = 1 even raises in scipy, recorded as None). Gate the
-      // p-value to null in that regime; with ties, or above n = 50,
-      // scipy itself approximates and the values agree.
-      when(vrW > 0 && !(n <= 50 && col("_ties3") === 0L), rnd(pW, 6))
-        .as("wilcoxon_pvalue"))
+      // defaults), a tie-free zero-free sample of n ≤ 50 gets the
+      // EXACT signed-rank distribution, not the normal approximation —
+      // emitting the approximation there would silently diverge from
+      // the reference (n = 1 even raises in scipy, recorded as None).
+      // Gate the p-value to null in that regime; with ties, with
+      // dropped zero differences, or above n = 50, scipy itself
+      // approximates and the values agree.
+      when(vrW > 0 &&
+          (col("_zeros") > 0L || !(n <= 50 && col("_ties3") === 0L)),
+        rnd(pW, 6)).as("wilcoxon_pvalue"))
   }
 
   /** Sketch-based summaries for cardinalities/quantiles too big for
@@ -322,22 +335,29 @@ object PerfStats {
          |b AS (
          |  SELECT user_id, ${Sql.fxAvg("value", 6)} AS b
          |  FROM events WHERE event_type = '$typeB' GROUP BY user_id),
-         |d0 AS (
+         |dj AS (
          |  SELECT user_id, a.a - b.b AS d
-         |  FROM a JOIN b USING (user_id) WHERE a.a - b.b <> 0),
+         |  FROM a JOIN b USING (user_id)),
+         |d0 AS (SELECT * FROM dj WHERE d <> 0),
          |r AS (
          |  SELECT d, rank() OVER (ORDER BY abs(d)) AS r_min,
          |    count(*) OVER (PARTITION BY abs(d)) AS n_tie
          |  FROM d0),
          |x AS (SELECT d, r_min + (n_tie - 1) / 2.0 AS r_avg, n_tie FROM r),
-         |agg AS (
-         |  SELECT count(*) AS n,
-         |    ${Sql.fxSum("d", 6)} AS sd, ${Sql.fxSum("d * d", 6)} AS sd2,
-         |    coalesce(sum(CASE WHEN d > 0 THEN r_avg ELSE 0.0 END), 0.0) AS wp,
+         |aggw AS (
+         |  SELECT coalesce(sum(CASE WHEN d > 0 THEN r_avg ELSE 0.0 END), 0.0) AS wp,
          |    coalesce(sum(n_tie * n_tie - 1), 0) AS ties3
          |  FROM x),
+         |aggd AS (
+         |  SELECT CAST(coalesce(sum(CASE WHEN d <> 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n,
+         |    ${Sql.fxSum("d", 6)} AS sd, ${Sql.fxSum("d * d", 6)} AS sd2,
+         |    CAST(coalesce(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS zeros
+         |  FROM dj),
+         |agg AS (SELECT * FROM aggd, aggw),
          |calc AS (
-         |  SELECT *, sd / n / sqrt((sd2 - sd * sd / n) / (n - 1) / n) AS traw,
+         |  SELECT *,
+         |    CASE WHEN n > 1
+         |      THEN sd / n / sqrt((sd2 - sd * sd / n) / (n - 1) / n) END AS traw,
          |    CAST(n - 1 AS DOUBLE) AS nud
          |  FROM agg),
          |tc AS (
@@ -369,7 +389,7 @@ object PerfStats {
          |  CASE WHEN n >= 2 AND (sd2 - sd * sd / n) > 0
          |    THEN ${Sql.rnd("2.0 * (1.0 - fcdf)", 6)} END AS paired_t_pvalue,
          |  ${Sql.rnd("wp", 4)} AS wilcoxon_w,
-         |  CASE WHEN vrw > 0 AND NOT (n <= 50 AND ties3 = 0)
+         |  CASE WHEN vrw > 0 AND (zeros > 0 OR NOT (n <= 50 AND ties3 = 0))
          |    THEN ${Sql.rnd(pw, 6)} END AS wilcoxon_pvalue
          |FROM wil, LATERAL (SELECT 1.0 / (1.0 + 0.3275911 * xw) AS tau,
          |  ${Sql.rnd("exp(-(xw * xw))", 9)} AS qexp) t""".stripMargin

@@ -20,7 +20,9 @@ object ExpProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/tmp/graft-expprobe"
     val d1 = s"$base/x1"; val d10 = s"$base/x10"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d10/documents.parquet"))) {
+    // keyed on events.parquet (the last table written) so a partial
+    // seed from another probe self-heals — see NgramProbe
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d10/events.parquet"))) {
       graft.sources.DataGen.writeDataset(spark, d1, 5000L, 2000L, nEvents = 100000L)
       graft.sources.DataGen.writeDataset(spark, d10, 50000L, 20000L, nEvents = 1000000L)
     }

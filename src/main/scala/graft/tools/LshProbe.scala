@@ -27,9 +27,11 @@ object LshProbe {
       ("x1", s"$base/x1", 5000L, 2000L),
       ("x10", s"$base/x10", 50000L, 20000L),
       ("x30", s"$base/x30", 150000L, 60000L))
+    // nEvents + events-keyed existence check as in NgramProbe: keep
+    // seeded corpora complete and self-healing for the other probes
     dirs.foreach { case (_, d, nd, nv) =>
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/documents.parquet")))
-        graft.sources.DataGen.writeDataset(spark, d, nd, nv)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/events.parquet")))
+        graft.sources.DataGen.writeDataset(spark, d, nd, nv, nEvents = nd * 20)
     }
     import graft.operators.{Ann, Dedup}
     def timed(f: => Long): (Double, Long) = {

@@ -29,9 +29,15 @@ object NgramProbe {
       ("x10", s"$base/x10", 50000L, 20000L),
       ("x30", s"$base/x30", 150000L, 60000L),
       ("x100", s"$base/x100", 500000L, 200000L))
+    // nEvents scales with docs (20 events/doc, the ExpProbe ratio) so a
+    // corpus seeded here also serves events-based queries via
+    // ExpProbe/TimeQuery. The check keys on events.parquet — the LAST
+    // table writeDataset emits — so a dir seeded by an older probe
+    // without events self-heals (generation is seed-deterministic, so
+    // re-writing docs/embeddings reproduces identical tables).
     dirs.foreach { case (_, d, nd, nv) =>
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/documents.parquet")))
-        graft.sources.DataGen.writeDataset(spark, d, nd, nv)
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/events.parquet")))
+        graft.sources.DataGen.writeDataset(spark, d, nd, nv, nEvents = nd * 20)
     }
     import graft.operators.Dedup
     def timed(f: => Long): (Double, Long) = {

@@ -142,6 +142,33 @@ class Round6Spec extends AnyFunSuite with Matchers with SharedSpark {
     row.isNullAt(5) shouldBe true   // no wilcoxon p-value
   }
 
+  test("idfLiteralsBoth equals the single-table fits bit for bit") {
+    // the shared-fit fast path must reproduce the separately-fit
+    // literal tables exactly — same double-op order, same quantization
+    val (t, b) = Encoders.idfLiteralsBoth(spark, sfDir)
+    t shouldBe Encoders.idfLiteralsTfIdf(spark, sfDir)
+    b shouldBe Encoders.idfLiteralsBm25(spark, sfDir)
+  }
+
+  test("wilcoxon gate follows scipy's auto regime when zero diffs are dropped") {
+    // scipy's exact method requires no ties AND no zeros: with zero
+    // differences dropped, method='auto' approximates even for small
+    // tie-free n — so the operator must emit the approximation there
+    // instead of nulling (it nulls only where scipy would go exact)
+    import spark.implicits._
+    val tmp = tempDir("graft-wilczero")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val zeros = (1L to 25L).flatMap(u => Seq(
+      (u * 2, u, "click", 5.0, ts), (u * 2 + 1, u, "view", 5.0, ts)))
+    val diffs = (26L to 31L).flatMap(u => Seq(
+      (u * 2, u, "click", 5.0 + u * 0.011, ts), (u * 2 + 1, u, "view", 5.0, ts)))
+    (zeros ++ diffs).toDF("event_id", "user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val row = PerfStats.pairedTests(spark, tmp).collect()(0)
+    row.getLong(0) shouldBe 6L       // only the nonzero differences count
+    row.isNullAt(5) shouldBe false   // zeros force the approx regime: p emitted
+  }
+
   test("prefix-filter completeness: candidates cover every J >= t pair (random corpora)") {
     // the prefix-filtering principle is the load-bearing claim behind
     // the r6 ngram-Jaccard rewrite — exercise it on adversarial random
