@@ -107,8 +107,19 @@ object Bench {
     }
     def jsShort(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + r2(v) }.mkString("{", ",", "}")
-    val total = if (warm.nonEmpty) warm.values.sum else 0.0
-    val totalCold = if (cold.nonEmpty) cold.values.sum else 0.0
+    // -1.0 is the per-query failure sentinel; summing it would let
+    // failed queries SUBTRACT from the headline total (ADVICE r7: the
+    // r7 artifact's 136.09 s silently encoded six failures as negative
+    // time). Totals cover successful queries only; failures get their
+    // own explicit list + count in both output lines.
+    val failed = results.collect {
+      case (n, (c, w)) if c < 0 || w < 0 => n
+    }.sorted
+    val total = warm.values.filter(_ >= 0).sum
+    val totalCold = cold.values.filter(_ >= 0).sum
+    val failJson =
+      if (failed.isEmpty) ""
+      else s""","failed_n":${failed.size},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
 
     val scaleJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK", "1") != "1") ""
@@ -222,7 +233,7 @@ object Bench {
       }
 
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$scaleJson$h2Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$failJson$scaleJson$h2Json}"""
     // Full-precision record for the repo (and for later rounds' diffing);
     // also printed on an earlier stdout line, which scrolls out of the
     // caller's tail window but survives in a full log. The committed
@@ -245,11 +256,11 @@ object Bench {
     // entries, and full per-query precision is already in
     // BENCH_DETAIL.json above.
     def finalLine(thresh: Double): String = {
-      val (slow, fast) = warm.partition { case (_, v) => v >= thresh }
+      val (slow, fast) = warm.filter(_._2 >= 0).partition { case (_, v) => v >= thresh }
       val fastPart =
         if (fast.isEmpty) ""
         else s""","q_fast_n":${fast.size},"q_fast_total":${r2(fast.values.sum)},"q_fast_below":${r2(thresh)}"""
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${jsShort(slow)}$fastPart,"total_cold":${r2(totalCold)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${jsShort(slow)}$fastPart,"total_cold":${r2(totalCold)},"sf":"$sfDir"$failJson}"""
     }
     // 1500, not 2000: sbt appends a ~230-char GC-stats warning AFTER
     // this line (observed in r05 logs), and that shares the caller's
@@ -259,5 +270,9 @@ object Bench {
       .getOrElse(finalLine(Double.MaxValue))
     println(line)
     spark.stop()
+    // A broken query must not hide behind rc=0 (ADVICE r7): the JSON
+    // lines above are already printed/persisted, so failing the exit
+    // code only flips the recorded rc, it can't lose the artifact.
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -51,10 +51,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A thrown query must be LOUD in the artifact: r7 proved that
+    // stderr-only reporting lets 6 broken queries silently vanish from
+    // the correctness inventory (101 green entries looked complete
+    // against 107 registered). Every failure lands in _errors.json.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -87,6 +93,15 @@ object Verify {
     val json = oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Written even when empty so "no file" can never be confused with
+    // "no errors" by a consumer of the out dir.
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // No non-zero exit: the driver must still DuckDB-compare the
+    // queries that DID dump; the artifact (not the rc) carries failure.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

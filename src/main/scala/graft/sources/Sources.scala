@@ -68,14 +68,22 @@ object Sources {
 
   private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
+  /** Both timestamp format options are always set: a TIMESTAMP_NTZ `ts`
+    * (what the 2026-08 parquet refresh hands a caller that skips
+    * [[graft.Tables.normalizeEventTs]]) is governed by
+    * `timestampNTZFormat`, NOT `timestampFormat` — without it the write
+    * emits ISO-'T' strings the µs-pinned reader schema can't parse and
+    * every round-tripped ts comes back NULL. */
   def writeEventsCsv(df: DataFrame, path: String): Unit =
     df.select(eventSchema.fieldNames.map(col): _*)
       .write.mode("overwrite").option("header", "true")
-      .option("timestampFormat", TsFmt).csv(path)
+      .option("timestampFormat", TsFmt)
+      .option("timestampNTZFormat", TsFmt).csv(path)
 
   def readEventsCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(eventSchema).option("header", "true")
-      .option("timestampFormat", TsFmt).csv(path)
+      .option("timestampFormat", TsFmt)
+      .option("timestampNTZFormat", TsFmt).csv(path)
 
   /** Result summaries as CSV with header (the shape of the ref's
     * experiments/results/h3_summary_by_n_docs.csv). */

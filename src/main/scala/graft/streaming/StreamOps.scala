@@ -127,15 +127,24 @@ object StreamOps {
     * the same nanos→µs timestamp handling as the batch reader. New
     * files landing in `dir` flow through incrementally. */
   def eventsReadStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    // A streaming source needs its schema fixed upfront, but the events
+    // parquet has shipped three ts encodings across driver data
+    // refreshes (see Tables.events). Sniff the encoding from whatever
+    // static files are already in the directory (falling back to
+    // TIMESTAMP_NTZ, the current testdata encoding, for an empty one),
+    // then normalize through the same loader contract as batch.
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case _: Throwable => TimestampNTZType }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    graft.Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Streaming hourly windowed agg with a 2-hour watermark. */

@@ -160,11 +160,12 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     val ckpt = new java.io.File(tmp, "ckpt")
     // split the events log at the median timestamp: phase 2 data is
     // strictly later, so nothing lands behind the phase-1 watermark
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    val Array(lo, hi) = raw.agg(min("ts"), max("ts")).collect()(0) match {
-      case r => Array(r.getLong(0), r.getLong(1))
+    // (loader-normalized so the split works on any ts encoding)
+    val raw = Tables.events(spark, sfDir)
+    val (lo, hi) = raw.agg(min("ts"), max("ts")).collect()(0) match {
+      case r => (r.getTimestamp(0), r.getTimestamp(1))
     }
-    val mid = lo + (hi - lo) / 2
+    val mid = new java.sql.Timestamp(lo.getTime + (hi.getTime - lo.getTime) / 2)
     def stage(cond: org.apache.spark.sql.Column, name: String): Unit = {
       val d = new java.io.File(tmp, s"stage-$name")
       raw.filter(cond).coalesce(1).write.parquet(d.getAbsolutePath)
