@@ -90,6 +90,36 @@ object Sources {
   def writeSummaryCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Renders a SMALL summary frame as a GitHub-markdown report file —
+    * the shape of the ref's generate_h1_report.py / produce_h*_summary
+    * markdown emitters (title, row count, aligned table). Presentation
+    * layer by design: the frame must already be an aggregated summary
+    * (the collect is the driver-side final step, same contract as
+    * writeSummaryCsv's coalesce(1)); `maxRows` guards against someone
+    * pointing it at a fact table. */
+  def writeMarkdownReport(df: DataFrame, path: String, title: String,
+                          maxRows: Int = 1000): Unit = {
+    val cols = df.columns.toSeq
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"writeMarkdownReport is for summary frames (> $maxRows rows); aggregate first")
+    def cell(v: Any): String = v match {
+      case null => ""
+      case a: Array[_] => a.mkString("[", ", ", "]")
+      case s: scala.collection.Seq[_] => s.mkString("[", ", ", "]")
+      case x => x.toString.replace("|", "\\|").replace("\n", " ")
+    }
+    val header = cols.mkString("| ", " | ", " |")
+    val rule = cols.map(_ => "---").mkString("| ", " | ", " |")
+    val body = rows.map(r =>
+      cols.indices.map(i => cell(r.get(i))).mkString("| ", " | ", " |"))
+    val md = (Seq(s"# $title", "", s"${rows.length} rows", "", header, rule) ++ body)
+      .mkString("", "\n", "\n")
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, md)
+  }
+
   def readSummaryCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 

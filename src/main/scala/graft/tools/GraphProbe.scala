@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe for KnnGraph convergence: per-round recall, and for the
+  * missed true edges, whether the endpoint was even reachable (2-hop)
+  * in the final graph — separates "needs more rounds" from
+  * "structurally unreachable" from "scoring/merge bug". */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.{Knn, KnnGraph}
+    val docs = Knn.docSet(spark, dir)
+      .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+    val a = docs.select(col("id").as("src"), col("vec").as("va"))
+    val b = docs.select(col("id").as("dst"), col("vec").as("vb"))
+    val exact = Knn.topKPerQuery(
+      a.crossJoin(b).filter(col("src") =!= col("dst"))
+        .select(col("src").as("q_id"), col("dst").as("doc_id"),
+          graft.functions.cosine(col("va"), col("vb")).as("score")),
+      KnnGraph.K)
+      .select(col("q_id").as("src"), col("doc_id").as("dst"), col("score"))
+      .cache()
+    val total = exact.count()
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double =
+      g.select("src", "dst")
+        .join(exact.select("src", "dst"), Seq("src", "dst")).count().toDouble / total
+    for (it <- 0 to 4) {
+      val g = KnnGraph.buildGraph(docs, iters = it)
+      println(f"[probe] iters=$it recall=${recallOf(g)}%.4f")
+    }
+    val g = KnnGraph.buildGraph(docs).cache()
+    // 2-hop closure of the final graph (undirected)
+    val und = g.select("src", "dst").union(
+      g.select(col("dst").as("src"), col("src").as("dst"))).distinct().cache()
+    val twoHop = und.union(
+        und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+          .select(col("x.src").as("src"), col("y.dst").as("dst")))
+      .distinct()
+    val missed = exact.select("src", "dst")
+      .exceptAll(g.select("src", "dst")).cache()
+    val reachable = missed.join(twoHop, Seq("src", "dst")).count()
+    println(s"[probe] missed=${missed.count()} of $total; of those within 2 undirected hops: $reachable")
+    // per-node score floor: found 8th-best vs exact 8th-best
+    val found8 = g.groupBy("src").agg(min("score").as("f8"))
+    val exact8 = exact.groupBy("src").agg(min("score").as("e8"))
+    val cmp = found8.join(exact8, Seq("src"))
+      .select(avg(col("f8") - col("e8")).as("mean_gap"),
+        sum(when(col("f8") < col("e8") - 1e-9, 1).otherwise(0)).as("nodes_below"))
+      .head
+    println(s"[probe] mean(found8 - exact8)=${cmp.getDouble(0)}; nodes with found8 < exact8: ${cmp.getLong(1)}")
+    spark.stop()
+  }
+}

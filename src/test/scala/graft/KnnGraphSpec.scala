@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** NN-Descent kNN graph + batch beam search (operators.KnnGraph) — the
+  * Spark-native stand-in for the reference's HNSW index
+  * (weaviate/client.py:47-57). No SQL oracle exists for an iterative
+  * graph construction, so coverage is spec-level, same contract as the
+  * other index-shaped components (writeIvfIndex, appendToIvfIndex):
+  * determinism, structural invariants, and measured recall against the
+  * exact answer.
+  */
+class KnnGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
+  import operators.{Knn, KnnGraph}
+
+  private lazy val docs =
+    Knn.docSet(spark, sfDir)
+      .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+
+  private lazy val edges = KnnGraph.buildGraph(docs).cache()
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("graph structure: bounded out-degree, no self-loops, near-full degree") {
+    val nNodes = docs.count()
+    val deg = edges.groupBy("src").count()
+    deg.agg(max("count")).head.getLong(0) should be <= KnnGraph.K.toLong
+    edges.filter(col("src") === col("dst")).count() shouldBe 0
+    // every node keeps a neighbor list, and almost all are full
+    deg.count() shouldBe nNodes
+    val meanDeg = deg.agg(avg("count")).head.getDouble(0)
+    meanDeg should be >= KnnGraph.K * 0.9
+  }
+
+  test("graph build is deterministic: two builds produce identical edges") {
+    edgeSet(KnnGraph.buildGraph(docs)) shouldBe edgeSet(edges)
+  }
+
+  test("NN-Descent converges: graph neighbors overlap the exact kNN graph") {
+    // exact kNN graph by cosine (small corpus: cross join is the oracle)
+    val a = docs.select(col("id").as("src"), col("vec").as("va"))
+    val b = docs.select(col("id").as("dst"), col("vec").as("vb"))
+    val exact = Knn.topKPerQuery(
+      a.crossJoin(b).filter(col("src") =!= col("dst"))
+        .select(col("src").as("q_id"), col("dst").as("doc_id"),
+          graft.functions.cosine(col("va"), col("vb")).as("score")),
+      KnnGraph.K)
+      .select(col("q_id").as("src"), col("doc_id").as("dst"), col("score"))
+    val hits = edges.select("src", "dst")
+      .join(exact.select("src", "dst"), Seq("src", "dst")).count()
+    val total = exact.count()
+    val recall = hits.toDouble / total
+    // Thresholds are the measured fixed point on THIS corpus with
+    // margin, not aspirations: tools.GraphProbe shows descent is at
+    // its fixed point here (of the missed true edges, <4% lie within
+    // 2 undirected hops — there is no local information left), and
+    // the synthetic embeddings are weakly clustered (near-random
+    // 64-dim), which caps the asymptote; see the KnnGraph Scaladoc.
+    // The init→final improvement test below is the convergence
+    // evidence; this one pins the achieved level against regressions.
+    val foundMass = edges.agg(sum("score")).head.getDouble(0)
+    val exactMass = exact.agg(sum("score")).head.getDouble(0)
+    val massRatio = foundMass / exactMass
+    withClue(s"graph recall $recall, score-mass ratio $massRatio: ") {
+      massRatio should be >= 0.94
+      recall should be >= 0.65
+    }
+  }
+
+  test("refinement improves on the LSH seed graph") {
+    val seeded = KnnGraph.buildGraph(docs, iters = 0)
+    val a = docs.select(col("id").as("src"), col("vec").as("va"))
+    val b = docs.select(col("id").as("dst"), col("vec").as("vb"))
+    val exact = Knn.topKPerQuery(
+      a.crossJoin(b).filter(col("src") =!= col("dst"))
+        .select(col("src").as("q_id"), col("dst").as("doc_id"),
+          graft.functions.cosine(col("va"), col("vb")).as("score")),
+      KnnGraph.K)
+      .select(col("q_id").as("src"), col("doc_id").as("dst"))
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double =
+      g.select("src", "dst").join(exact, Seq("src", "dst")).count().toDouble /
+        exact.count()
+    // descent must add substantial recall over its seed (measured:
+    // ~0.42 seeded → ~0.74 converged on this corpus)
+    recallOf(edges) should be >= recallOf(seeded) + 0.15
+  }
+
+  test("beam search recall vs exact cosine top-k") {
+    val recall = KnnGraph.searchRecall(spark, sfDir)
+      .head.getDouble(0)
+    withClue(s"search recall $recall: ") { recall should be >= 0.8 }
+  }
+
+  test("beam search is deterministic and rank-ordered") {
+    val r1 = KnnGraph.search(spark, sfDir, edges = Some(edges))
+    val r2 = KnnGraph.search(spark, sfDir, edges = Some(edges))
+    r1.collect().map(_.toString).toSet shouldBe r2.collect().map(_.toString).toSet
+    // ranks are 1..k per query, scores non-increasing within a query
+    val bad = r1.withColumn("prev",
+        lag(col("score"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy("rank")))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    bad.count() shouldBe 0
+  }
+}
+
+/** Markdown report emitter (Sources.writeMarkdownReport) — the ref's
+  * generate_h1_report.py shape: title + aligned table from a summary
+  * frame. */
+class ReportSpec extends AnyFunSuite with Matchers with SharedSpark {
+  test("writeMarkdownReport renders a summary frame as a markdown table") {
+    val df = operators.Experiment.summary(spark, sfDir)
+    val path = s"${tempDir("graft-report")}/report.md"
+    sources.Sources.writeMarkdownReport(df, path, "Experiment summary")
+    val md = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    md should startWith("# Experiment summary")
+    md should include("| ---")
+    // every column name appears in the header row
+    df.columns.foreach(c => md should include(c))
+    // pipes in cell values would break the table — emitter escapes them
+    val lines = md.linesIterator.toSeq
+    val header = lines.find(_.startsWith("| ")).get
+    // String#split drops trailing empties: "| a | b |" -> ["", "a", "b"]
+    header.split("\\|").length shouldBe (df.columns.length + 1)
+  }
+
+  test("writeMarkdownReport refuses non-summary (large) frames") {
+    an[IllegalArgumentException] should be thrownBy
+      sources.Sources.writeMarkdownReport(
+        Tables.documents(spark, sfDir), s"${tempDir("graft-report2")}/r.md",
+        "too big", maxRows = 10)
+  }
+}
