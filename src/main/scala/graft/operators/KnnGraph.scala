@@ -248,6 +248,15 @@ object KnnGraph {
       g, k)
   }
 
+  /** [[search]] with presentation ordering and rounded scores — the
+    * registered `ann_graph_search` query shape (rows-only driver
+    * check; no SQL oracle exists for the iterative build). */
+  def searchOrdered(spark: SparkSession, dir: String, k: Int = Knn.K): DataFrame =
+    search(spark, dir, k)
+      .select(col("q_id"), col("rank"), col("id").as("doc_id"),
+        rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+
   /** Mean overlap@k of graph search vs the exact cosine top-k — the
     * recall the graph trades for never scanning the corpus (same shape
     * as [[Eval.annRecall]] for LSH/IVF/PQ). */

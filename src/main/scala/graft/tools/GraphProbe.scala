@@ -16,6 +16,21 @@ object GraphProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.{Knn, KnnGraph}
+    // timing mode: wall-clock build + search at one dir, no exact oracle
+    if (args.length >= 2 && args(1) == "time") {
+      val docs0 = Knn.docSet(spark, dir)
+        .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+      println(s"[probe] nodes=${docs0.count()}")
+      for (pass <- 1 to 2) {
+        var t0 = System.nanoTime()
+        val g = KnnGraph.buildGraph(docs0)
+        println(f"[probe] pass$pass build ${(System.nanoTime() - t0) / 1e9}%.2f s (edges=${g.count()})")
+        t0 = System.nanoTime()
+        val n = KnnGraph.search(spark, dir, edges = Some(g)).count()
+        println(f"[probe] pass$pass search ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+      }
+      spark.stop(); return
+    }
     val docs = Knn.docSet(spark, dir)
       .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
     val a = docs.select(col("id").as("src"), col("vec").as("va"))
