@@ -62,6 +62,28 @@ final class TopKBuffer(val k: Int) {
     }
   }
 
+  /** [[add]] that treats `id` as a key: a duplicate id never occupies a
+    * second slot (it would evict a genuine k-th entry), it only upgrades
+    * the kept score. Linear membership scan — k is a small constant
+    * (neighbor-list / beam widths), so this stays cheaper than the
+    * extra dedupe shuffle it replaces. */
+  def addDistinct(score: Double, id: Long): Unit = {
+    var j = 0
+    while (j < size) {
+      if (ids(j) == id) {
+        if (score > scores(j)) {
+          scores(j) = score
+          // goodness increased: the element may now beat its children
+          // in the min-heap-on-goodness, so restore downward
+          siftDown(j)
+        }
+        return
+      }
+      j += 1
+    }
+    add(score, id)
+  }
+
   /** Entries sorted best-first. */
   def sorted: Array[(Double, Long)] = {
     val arr = Array.tabulate(size)(i => (scores(i), ids(i)))
@@ -84,6 +106,7 @@ case class TopKByScore(
     score: Expression,
     id: Expression,
     k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
@@ -109,14 +132,20 @@ case class TopKByScore(
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      if (distinct) buf.addDistinct(s.asInstanceOf[Double], i.asInstanceOf[Long])
+      else buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    }
     buf
   }
 
   override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
     var i = 0
-    while (i < other.size) { buf.add(other.scores(i), other.ids(i)); i += 1 }
+    while (i < other.size) {
+      if (distinct) buf.addDistinct(other.scores(i), other.ids(i))
+      else buf.add(other.scores(i), other.ids(i))
+      i += 1
+    }
     buf
   }
 
@@ -161,5 +190,17 @@ object TopKAgg {
   def topKBy(score: Column, id: Column, k: Int): Column =
     Bridge.column(
       TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** [[topKBy]] with id-distinct slots: duplicate candidate rows (same
+    * id, equal-or-worse score) collapse inside the heap instead of
+    * needing a `groupBy(id).max(score)` dedupe shuffle *before* the
+    * top-k shuffle — one aggregation pass where the naive plan takes
+    * two. The workhorse of the NN-Descent merge and beam-search keeps
+    * ([[graft.operators.KnnGraph]]). */
+  def topKByDistinct(score: Column, id: Column, k: Int): Column =
+    Bridge.column(
+      TopKByScore(Bridge.expression(score), Bridge.expression(id), k,
+        distinct = true)
         .toAggregateExpression())
 }

@@ -76,9 +76,13 @@ object KnnGraph {
     * ids — index-time metadata, same role as HNSW's entry point). */
   val NSeeds = 8
 
+  /** Top-k out-edges per src over a (src, dst, score) candidate frame
+    * that MAY contain duplicate (src, dst) rows — the id-distinct heap
+    * collapses them in the same single aggregation pass that does the
+    * top-k, so no dedupe shuffle runs ahead of it. */
   private def topKEdges(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("src")
-      .agg(TopKAgg.topKBy(col("score"), col("dst"), k).as("tk"))
+      .agg(TopKAgg.topKByDistinct(col("score"), col("dst"), k).as("tk"))
       .select(col("src"), explode(col("tk")).as("e"))
       .select(col("src"), col("e.id").as("dst"), col("e.score").as("score"))
 
@@ -125,9 +129,10 @@ object KnnGraph {
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
         cosine(col("a.vec"), col("b.vec")).as("score"))
-    // a pair can arrive via several bands/channels; dedupe BEFORE the
-    // heap so duplicates can't crowd out genuine k-th neighbors
-    topKEdges(lshProposals.union(randProposals).distinct(), k)
+    // a pair can arrive via several bands/channels; the id-distinct
+    // heap keeps duplicates from crowding out genuine k-th neighbors
+    // without a dedupe shuffle ahead of the top-k
+    topKEdges(lshProposals.union(randProposals), k)
   }
 
   /** NN-Descent kNN graph over (id, vec). Returns (src, dst, score)
@@ -148,29 +153,35 @@ object KnnGraph {
       // need the hub as their pivot — NN-Descent's reverse-sampling
       // rule (Dong et al. §2.3), and measurably the difference between
       // stalling at ~0.75 neighbor recall and converging.
-      val outNb = edges.groupBy("src")
-        .agg(TopKAgg.topKBy(col("score"), col("dst"), k).as("tk"))
-        .select(col("src"), transform(col("tk"), e => e("id")).as("onb"))
-      val revNb = edges
-        .select(col("dst").as("src"), col("src").as("dst"))
-        .withColumn("h", xxhash64(lit(round.toLong), col("src"), col("dst")).cast("double"))
-        .groupBy("src")
-        .agg(TopKAgg.topKBy(col("h"), col("dst"), math.max(r - k, k)).as("tk"))
-        .select(col("src"), transform(col("tk"), e => e("id")).as("rnb"))
-      val emptyIds = array().cast("array<bigint>")
-      val nb = outNb.join(revNb, Seq("src"), "full")
+      // Both directions land in ONE aggregation: forward rows carry the
+      // score (null h), reversed rows carry the round-reseeded hash
+      // (null score), and the null-skipping heaps pull their own side —
+      // the out-neighbor top-k and the reverse sample cost one shuffle
+      // together instead of two groupBys plus a full outer join.
+      val tagged = edges
+        .select(col("src"), col("dst"), col("score"),
+          lit(null).cast("double").as("h"))
+        .union(edges.select(col("dst"), col("src"),
+          lit(null).cast("double"),
+          xxhash64(lit(round.toLong), col("dst"), col("src")).cast("double")))
+      val nb = tagged.groupBy("src")
+        .agg(
+          TopKAgg.topKBy(col("score"), col("dst"), k).as("otk"),
+          TopKAgg.topKBy(col("h"), col("dst"), math.max(r - k, k)).as("rtk"))
         .select(col("src"), array_distinct(concat(
-          coalesce(col("onb"), emptyIds),
-          coalesce(col("rnb"), emptyIds))).as("nb"))
+          transform(col("otk"), e => e("id")),
+          transform(col("rtk"), e => e("id")))).as("nb"))
       // local join: all ordered pairs among each node's neighborhood
       // are proposals — the NN-Descent step. posexplode twice with
       // posA < posB enumerates each unordered pair once per pivot node.
+      // Repeats across pivots are NOT pre-deduped: scoring a duplicate
+      // is cheaper than the distinct shuffle, and the id-distinct heap
+      // collapses them at the merge.
       val pairs = nb
         .select(posexplode(col("nb")).as(Seq("pa", "a")), col("nb"))
         .select(col("pa"), col("a"), posexplode(col("nb")).as(Seq("pb", "b")))
         .filter(col("pa") < col("pb") && col("a") =!= col("b"))
         .select(col("a"), col("b"))
-        .distinct()
       // score each proposal once, emit both directions, merge with the
       // current graph, keep top-k per node. Vector lookup is two keyed
       // joins against the (id, vec) side — co-partitionable at scale.
@@ -181,13 +192,13 @@ object KnnGraph {
       val proposals = scored.select(col("a").as("src"), col("b").as("dst"), col("score"))
         .union(scored.select(col("b").as("src"), col("a").as("dst"), col("score")))
       // (src,dst) may appear via several pivot nodes and in the current
-      // graph — dedupe before the heap (scores are equal by
-      // construction, so max() is just dedupe)
-      val merged = edges.union(proposals)
-        .groupBy("src", "dst").agg(max(col("score")).as("score"))
+      // graph — duplicates carry equal scores by construction, and the
+      // id-distinct heap inside topKEdges collapses them, so the merge
+      // is ONE aggregation pass (the old groupBy(src,dst) pre-dedupe
+      // was a second full shuffle of the same rows).
       // localCheckpoint per round: iterative self-union doubles the
       // lineage otherwise (the dedup_cluster_labels lesson from r4)
-      edges = topKEdges(merged, k).localCheckpoint(true)
+      edges = topKEdges(edges.union(proposals), k).localCheckpoint(true)
     }
     edges
   }
@@ -210,21 +221,22 @@ object KnnGraph {
         broadcast(queries.select(col("q_id"))).crossJoin(seeds.select(col("id"))))
       .localCheckpoint(true)
     for (_ <- 1 to hops) {
-      // beam = the best `beam` visited nodes per query; frontier = beam
+      // beam = the best `beam` visited nodes per query; frontier = beam.
+      // `visited` accumulates duplicate (q_id, id) rows across hops —
+      // rescoring a revisit yields the identical cosine, so the
+      // id-distinct heap dedupes for free here and again at the final
+      // top-k, and no per-hop groupBy(q_id, id) shuffle runs at all.
       val beamDf = visited.groupBy("q_id")
-        .agg(TopKAgg.topKBy(col("score"), col("id"), beam).as("tk"))
+        .agg(TopKAgg.topKByDistinct(col("score"), col("id"), beam).as("tk"))
         .select(col("q_id"), explode(col("tk")).as("e"))
         .select(col("q_id"), col("e.id").as("id"))
       val expanded = beamDf
         .join(edges.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("q_id"), col("dst").as("id"))
-        .distinct()
-      visited = visited.union(score(expanded))
-        .groupBy("q_id", "id").agg(max(col("score")).as("score"))
-        .localCheckpoint(true)
+      visited = visited.union(score(expanded)).localCheckpoint(true)
     }
     visited.groupBy("q_id")
-      .agg(TopKAgg.topKBy(col("score"), col("id"), k).as("tk"))
+      .agg(TopKAgg.topKByDistinct(col("score"), col("id"), k).as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("e.id").as("id"), col("e.score").as("score"))

@@ -37,7 +37,10 @@ object VerifyOne {
       case c => c.toString
     } + "\""
     val oracles = graft.Verify.oracleSqlFor(spark, sfDir)
-    val json = names.map(n => s"${q(n)}: ${q(oracles(n))}").mkString("{", ",", "}")
+    // rows-only queries (no SQL oracle, e.g. the iterative graph build)
+    // just dump results; crosscheck skips names absent from the json
+    val json = names.flatMap(n => oracles.get(n).map(o => s"${q(n)}: ${q(o)}"))
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
