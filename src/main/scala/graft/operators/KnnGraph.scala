@@ -269,6 +269,66 @@ object KnnGraph {
         rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
 
+  // ---------- persisted serving index (bucketed layout) ----------
+
+  /** Bucket count for the persisted index tables. Both tables use the
+    * same count so a future edge⋈node co-join is also exchange-free. */
+  val IndexBuckets = 8
+
+  /** Persists the graph as a serving index: the edge table bucketed by
+    * `src` and the node vectors bucketed by `id`. A later search's hop
+    * joins and vector lookups then plan WITHOUT an Exchange on the
+    * index side — only the tiny per-hop frontier shuffles into the
+    * index's layout (asserted in PlanSpec, not assumed). Build once,
+    * read by every subsequent search — the same amortization contract
+    * as [[Ann.writeIvfIndex]], re-expressed for the graph. */
+  def writeGraphIndex(spark: SparkSession, dir: String,
+                      name: String = "graft_graph",
+                      nBuckets: Int = IndexBuckets): Unit = {
+    val nodes = Knn.docSet(spark, dir)
+      .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+    Bucketing.writeBucketed(buildGraph(nodes), s"${name}_edges", "src", nBuckets)
+    Bucketing.writeBucketed(nodes, s"${name}_nodes", "id", nBuckets)
+  }
+
+  /** Batch beam search over a [[writeGraphIndex]] layout. Identical
+    * results to [[search]] over the same corpus (asserted in
+    * KnnGraphSpec); the difference is the plan — the edge and node
+    * sides are read pre-bucketed, so no index-side shuffle runs. */
+  def searchIndexed(spark: SparkSession, dir: String,
+                    name: String = "graft_graph", k: Int = Knn.K): DataFrame =
+    graphSearch(
+      Knn.querySet(spark, dir).select(col("q_id"), col("q_vec")),
+      spark.table(s"${name}_nodes"),
+      spark.table(s"${name}_edges"), k)
+
+  /** Incremental maintenance — the serving-side insert path, HNSW's
+    * insertion rule expressed batch-wise: the WHOLE new batch
+    * beam-searches the existing graph together (one shared batch
+    * search, never per-node loops), each new node's top-k results
+    * become its out-edges, and each discovered neighbor gains a
+    * reverse edge — without the reverse edge no later search could
+    * ever surface the insert, since search only travels existing
+    * edges. The append writes only new bucket files (existing files
+    * untouched); neighbors' out-degree can exceed K between rebuilds —
+    * the bounded search heaps absorb the extra fan-out, and a periodic
+    * [[buildGraph]] re-prunes. Same add-to-built-index contract as
+    * [[Ann.appendToIvfIndex]]. */
+  def appendToGraphIndex(spark: SparkSession, newNodes: DataFrame,
+                         name: String = "graft_graph",
+                         nBuckets: Int = IndexBuckets, k: Int = K): Unit = {
+    val nn = newNodes.select(col("id"), col("vec"))
+    val res = graphSearch(
+      nn.select(col("id").as("q_id"), col("vec").as("q_vec")),
+      spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"), k)
+    val fwd = res.select(col("q_id").as("src"), col("id").as("dst"), col("score"))
+    val rev = res.select(col("id").as("src"), col("q_id").as("dst"), col("score"))
+    fwd.union(rev).write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "src").sortBy("src").saveAsTable(s"${name}_edges")
+    nn.write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "id").sortBy("id").saveAsTable(s"${name}_nodes")
+  }
+
   /** Mean overlap@k of graph search vs the exact cosine top-k — the
     * recall the graph trades for never scanning the corpus (same shape
     * as [[Eval.annRecall]] for LSH/IVF/PQ). */

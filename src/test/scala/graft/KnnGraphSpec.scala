@@ -94,6 +94,31 @@ class KnnGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     withClue(s"search recall $recall: ") { recall should be >= 0.8 }
   }
 
+  test("persisted index: indexed search matches in-memory; append makes new nodes retrievable") {
+    KnnGraph.writeGraphIndex(spark, sfDir, name = "gidx")
+    try {
+      val mem = KnnGraph.search(spark, sfDir).collect().map(_.toString).toSet
+      val idx = KnnGraph.searchIndexed(spark, sfDir, "gidx")
+        .collect().map(_.toString).toSet
+      idx shouldBe mem
+      // HNSW-style batch insert: the query vectors become new nodes
+      // (their ids 0..19 don't collide with doc ids)
+      val newNodes = Knn.querySet(spark, sfDir)
+        .select(col("q_id").as("id"), col("q_vec").as("vec"))
+      KnnGraph.appendToGraphIndex(spark, newNodes, "gidx")
+      val top1 = KnnGraph.searchIndexed(spark, sfDir, "gidx")
+        .filter(col("rank") === 1).cache()
+      // every query's own inserted vector is now its best match — this
+      // exercises the reverse edges: without them the inserts would be
+      // unreachable and search could never surface them
+      top1.filter(col("id") === col("q_id")).count() shouldBe newNodes.count()
+      top1.agg(min("score")).head.getDouble(0) should be >= 0.999
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gidx_edges")
+      spark.sql("DROP TABLE IF EXISTS gidx_nodes")
+    }
+  }
+
   test("beam search is deterministic and rank-ordered") {
     val r1 = KnnGraph.search(spark, sfDir, edges = Some(edges))
     val r2 = KnnGraph.search(spark, sfDir, edges = Some(edges))

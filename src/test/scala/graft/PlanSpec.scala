@@ -109,6 +109,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("graph index: hop join reads bucketed edges with no index-side Exchange") {
+    KnnGraph.writeGraphIndex(spark, sfDir, name = "gidx_plan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one beam-search hop: tiny frontier ⋈ persisted edge table
+      val frontier = spark.range(20).select(col("id"), lit(0L).as("q_id"))
+      val edges = spark.table("gidx_plan_edges").withColumnRenamed("src", "id")
+      val p = plan(frontier.join(edges, Seq("id")))
+      p should include("SortMergeJoin")
+      p should include("Bucketed: true")
+      // exactly ONE Exchange: the frontier re-hashes into the index's
+      // bucketing; the (arbitrarily large) edge side never shuffles
+      "Exchange".r.findAllIn(p).length shouldBe 1
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS gidx_plan_edges")
+      spark.sql("DROP TABLE IF EXISTS gidx_plan_nodes")
+    }
+  }
+
   test("day-partitioned layout: range predicate prunes partitions at planning time") {
     val tmp = tempDir("graft-part")
     Bucketing.writePartitionedByDay(Tables.events(spark, sfDir), tmp)
