@@ -506,6 +506,49 @@ object Dedup {
         when(col("node") === col("label"), 1L).otherwise(0L).as("is_survivor"))
       .orderBy("doc_id")
 
+  /** SemDeDup-style semantic dedup over the kNN GRAPH (Abbas et al.,
+    * "SemDeDup", arXiv 2303.09540 — public method): near-dup discovery
+    * rides the NN-Descent graph instead of LSH buckets — graph edges
+    * with exact cosine ≥ threshold define clusters (connected
+    * components), smallest id survives. Same output shape as
+    * [[clusterLabels]]: (doc_id, rep_id, is_survivor) for every vector
+    * in an above-threshold cluster.
+    *
+    * Why a third embedding-dedup path: [[embeddingCosine]] needs label
+    * blocking, [[embeddingLsh]] re-buckets per run; the graph is the
+    * reusable artifact — build (or read the persisted
+    * [[KnnGraph.writeGraphIndex]] layout) once, and the dedup pass is
+    * a threshold SCAN of the edge table plus components over the tiny
+    * above-threshold subgraph. No pair expansion, no labels, and
+    * precision 1.0 by construction (every edge carries its exact
+    * cosine). Recall is the graph's neighbor recall restricted to
+    * above-threshold pairs — near-dups are their partners' top-1
+    * neighbors, the regime where descent recall is highest
+    * (KnnGraphSpec pins it vs the exact pair set). Caveat measured on
+    * THIS corpus: the synthetic embeddings are near-random (max pair
+    * cosine ≈0.5, no planted duplicate clusters), so every
+    * "above-threshold" pair here is marginal — the adversarial case
+    * for a kNN-graph dedup, since a marginal partner can rank below a
+    * node's K-th neighbor. Real near-dups (cos→1) are their partners'
+    * top-1 neighbors and don't have that failure mode. The default τ
+    * sits at the top of this corpus's similarity range so the spec
+    * measures the honest worst case. */
+  def semanticGraph(spark: SparkSession, dir: String,
+                    threshold: Double = 0.45,
+                    edges: Option[DataFrame] = None): DataFrame = {
+    val g = edges.getOrElse(KnnGraph.buildGraph(
+      Knn.docSet(spark, dir)
+        .select(col("doc_id").as("id"), col("doc_vec").as("vec"))))
+    // out-edges are directed; connectedComponents symmetrizes, so the
+    // raw (src, dst) orientation is fine as-is
+    val pairs = g.filter(col("score") >= threshold)
+      .select(col("src").as("id_a"), col("dst").as("id_b"))
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("rep_id"),
+        when(col("node") === col("label"), 1L).otherwise(0L).as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination (cross-corpus n-gram overlap): flag each
     * training doc that shares any word-3-gram shingle with the held-out
     * eval set — the standard contamination scan run before LLM

@@ -47,7 +47,11 @@ object ScaleRun {
     "text_bm25_topk", "pipeline_hybrid_search",
     // round-6: the quality-filter pipeline — normalization is the
     // codegen'd byte loop now; this keeps the regex from creeping back
-    "pipeline_quality_filter")
+    "pipeline_quality_filter",
+    // round-8: NN-Descent build + beam search — per-round candidate
+    // volume is O(N·R²) so the exponent should read linear-ish; a
+    // super-linear reading here means the neighborhood caps regressed
+    "ann_graph_search")
 
   /** Warm-up + interleaved min-of-2 (t1, t10) per query — the
     * measurement kernel shared by the child main (line protocol) and

@@ -94,6 +94,39 @@ class KnnGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     withClue(s"search recall $recall: ") { recall should be >= 0.8 }
   }
 
+  test("semantic graph dedup: exact-scored pairs only, near-complete vs brute force") {
+    val threshold = 0.45
+    val got = operators.Dedup.semanticGraph(spark, sfDir, threshold,
+      edges = Some(edges)).cache()
+    // brute-force above-threshold node set (the corpus is small enough
+    // for the exact oracle here)
+    val a = docs.select(col("id").as("id_a"), col("vec").as("va"))
+    val b = docs.select(col("id").as("id_b"), col("vec").as("vb"))
+    val exactNodes = a.join(b, col("id_a") < col("id_b"))
+      .filter(graft.functions.cosine(col("va"), col("vb")) >= threshold)
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct().cache()
+    // the oracle must be non-trivial — an empty exact set would make
+    // every assertion below vacuous (0/0 recall is NaN, and Scala's
+    // TotalOrdering quietly ranks NaN above every bound)
+    exactNodes.count() should be > 0L
+    // precision 1.0 by construction: every clustered node really is in
+    // an exact above-threshold pair (edges carry exact cosines)
+    got.join(exactNodes, Seq("doc_id")).count() shouldBe got.count()
+    // recall bound is the measured worst case on this corpus: ALL its
+    // above-threshold pairs are marginal (max pair cosine ≈0.5 — no
+    // planted dup clusters), so partners can rank below the K-th
+    // graph neighbor; real near-dups (cos→1) are top-1 neighbors
+    val recall = got.count().toDouble / exactNodes.count()
+    withClue(s"node recall $recall (${got.count()}/${exactNodes.count()}): ") {
+      recall should be >= 0.8
+    }
+    // deterministic: a second pass over the same graph is identical
+    operators.Dedup.semanticGraph(spark, sfDir, threshold,
+      edges = Some(edges)).collect().map(_.toString).toSet shouldBe
+      got.collect().map(_.toString).toSet
+  }
+
   test("persisted index: indexed search matches in-memory; append makes new nodes retrievable") {
     KnnGraph.writeGraphIndex(spark, sfDir, name = "gidx")
     try {
