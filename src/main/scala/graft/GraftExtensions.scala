@@ -55,6 +55,13 @@ object GraftExtensions {
       TopKByScore(args(0), args(1), longArg(args(2), "k").toInt)
         .toAggregateExpression()
     },
+    // id-distinct variant: duplicate ids collapse inside the heap, so
+    // SQL callers get dedupe + top-k in one aggregation pass
+    "graft_topk_by_distinct" -> { args =>
+      TopKByScore(args(0), args(1), longArg(args(2), "k").toInt,
+        distinct = true)
+        .toAggregateExpression()
+    },
     // index kernels with the library's fixed seed-42 constants, so the
     // full signature path is reachable from pure SQL
     "graft_simhash62" -> { args => SimHashExpr(args(0), HashP) },

@@ -206,6 +206,43 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
     hs.collect().foreach(r => r.getLong(0) should be >= 0L)
   }
 
+  test("graft_topk_by_distinct: duplicate ids collapse to one slot, best score kept") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    // id 1 arrives twice (5.0 then 9.0 — the in-place upgrade path);
+    // spread over partitions so the partial-buffer MERGE path runs too
+    Seq((1L, 5.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (1L, 9.0))
+      .toDF("id", "s").repartition(4).createOrReplaceTempView("tkd")
+    val dst = spark.sql("SELECT graft_topk_by_distinct(s, id, 3) AS tk FROM tkd")
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.score"), col("e.id")).as[(Double, Long)].collect().toList
+    dst shouldBe List((9.0, 1L), (4.0, 4L), (3.0, 3L))
+    // the plain variant spends two of three slots on the duplicate —
+    // the contrast that motivates the distinct form
+    val plain = spark.sql("SELECT graft_topk_by(s, id, 3) AS tk FROM tkd")
+      .select(explode(col("tk")).as("e")).select(col("e.id")).as[Long]
+      .collect().toList
+    plain shouldBe List(1L, 1L, 4L)
+  }
+
+  test("topKByDistinct equals dedupe-to-max then plain top-k") {
+    import graft.functions.TopKAgg
+    // pseudo-random many-dup frame: 50 groups × 40 keys, ~3 rows/key
+    val df = spark.range(6000).select(
+        pmod(xxhash64(col("id"), lit(1)), lit(50)).as("g"),
+        pmod(xxhash64(col("id"), lit(2)), lit(40)).as("k"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(100000)) / 100.0).as("s"))
+      .repartition(8)
+    def render(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(col("g"), col("tk").cast("string").as("tk"))
+        .collect().map(_.toString).toSet
+    val onePass = render(df.groupBy("g")
+      .agg(TopKAgg.topKByDistinct(col("s"), col("k"), 5).as("tk")))
+    val twoPass = render(df.groupBy("g", "k").agg(max("s").as("s"))
+      .groupBy("g").agg(TopKAgg.topKBy(col("s"), col("k"), 5).as("tk")))
+    onePass shouldBe twoPass
+  }
+
   test("graft_topk_by validates inputs at analysis time") {
     GraftExtensions.register(spark)
     spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("documents")
