@@ -211,8 +211,12 @@ object KnnGraph {
                   k: Int = Knn.K, beam: Int = Beam, hops: Int = Hops,
                   nSeeds: Int = NSeeds): DataFrame = {
     val emb = emb0.select(col("id"), col("vec"))
-    // fixed entry points (index metadata): the nSeeds smallest node ids
-    val seeds = emb.orderBy("id").limit(nSeeds)
+    // fixed entry points (index metadata): the nSeeds smallest node
+    // ids. DISTINCT ids, not rows — an at-least-once ingest can leave
+    // duplicate node rows (see annIngestStream), and a plain
+    // orderBy+limit over duplicates would silently shrink the distinct
+    // entry-point set and change exploration
+    val seeds = emb.select(col("id")).distinct().orderBy("id").limit(nSeeds)
     def score(cand: DataFrame): DataFrame =
       cand.join(emb, Seq("id"))
         .join(broadcast(queries), Seq("q_id"))
@@ -321,6 +325,9 @@ object KnnGraph {
     val res = graphSearch(
       nn.select(col("id").as("q_id"), col("vec").as("q_vec")),
       spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"), k)
+      // if a node id is already in the index (an at-least-once replay),
+      // its best match is itself — never append self-loops
+      .filter(col("q_id") =!= col("id"))
     val fwd = res.select(col("q_id").as("src"), col("id").as("dst"), col("score"))
     val rev = res.select(col("id").as("src"), col("q_id").as("dst"), col("score"))
     fwd.union(rev).write.mode("append").format("parquet")

@@ -537,4 +537,54 @@ object StreamOps {
          |FROM z GROUP BY user_id, sess_id
          |ORDER BY user_id, sess_id""".stripMargin
   }
+
+  // ---------- streaming index ingest (serving-side write path) ----------
+
+  /** Streaming ANN ingest into the persisted GRAPH index — the ref's
+    * serving-side ingest loop (ingestion/ingest.py:52-80 drip-feeds
+    * vectors into the index) over a [[graft.operators.KnnGraph
+    * .writeGraphIndex]] layout: every micro-batch of (id, vec) rows
+    * runs the batch insert rule (beam-search the existing graph for
+    * neighbors → forward + reverse edges → bucket-aligned appends).
+    *
+    * Delivery semantics: the checkpoint gives at-least-once appends —
+    * a batch replayed across a crash re-appends its rows. That is
+    * semantically EXACTLY-ONCE for every reader of this index: scores
+    * are deterministic, self-loops are filtered at append, and every
+    * search-side keep runs through the id-distinct bounded heap, so
+    * duplicate node/edge rows collapse before any result
+    * (StreamingSpec asserts a full duplicate re-ingest changes no
+    * search result). */
+  def annIngestStream(vecs: DataFrame, indexName: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.KnnGraph.appendToGraphIndex(
+            batch.sparkSession, batch, indexName)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Streaming ingest into the partitioned IVF index
+    * ([[graft.operators.Ann.writeIvfIndex]]): each micro-batch of
+    * (doc_id, doc_vec) rows is assigned to the FIXED trained centroids
+    * and appended into its `c_id=` directories. Unlike the graph path,
+    * a replayed IVF append is NOT absorbed by a distinct heap at read
+    * time, so each batch is anti-joined against the index's existing
+    * doc_ids first — replays and overlapping feeds become no-ops and
+    * the append is idempotent by construction (the doc_id column is
+    * pruned straight off the index scan). */
+  def ivfIngestStream(docs: DataFrame, dir: String, indexPath: String,
+                      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing = spark.read.parquet(indexPath).select("doc_id")
+        val fresh = batch.join(existing, Seq("doc_id"), "left_anti")
+        if (!fresh.isEmpty)
+          graft.operators.Ann.appendToIvfIndex(spark, dir, fresh, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

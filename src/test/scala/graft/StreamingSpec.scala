@@ -195,6 +195,76 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     streamed.count() should be > 0L
   }
 
+  test("annIngestStream: streamed inserts retrievable; duplicate re-ingest changes nothing") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import operators.{Knn, KnnGraph}
+    KnnGraph.writeGraphIndex(spark, sfDir, name = "gstream")
+    try {
+      val newVecs = Knn.querySet(spark, sfDir)
+        .select(col("q_id").as("id"), col("q_vec").as("vec"))
+        .as[(Long, Array[Float])].collect().toSeq
+      def ingest(ck: String): Unit = {
+        val input = MemoryStream[(Long, Array[Float])]
+        val q = StreamOps.annIngestStream(
+          input.toDF().toDF("id", "vec"), "gstream", tempDir(ck))
+        try { input.addData(newVecs: _*); q.processAllAvailable() }
+        finally q.stop()
+      }
+      ingest("graft-annck1")
+      val once = KnnGraph.searchIndexed(spark, sfDir, "gstream").cache()
+      // every streamed-in vector is its own query's best match
+      once.filter(col("rank") === 1 && col("id") === col("q_id"))
+        .count() shouldBe newVecs.size.toLong
+      // worst-case duplicate delivery: a FULL re-ingest under a fresh
+      // checkpoint (at-least-once's failure mode). Duplicate node/edge
+      // rows land in the table, but no self-loops and no result drift —
+      // the id-distinct heaps collapse them at read time
+      ingest("graft-annck2")
+      spark.table("gstream_edges")
+        .filter(col("src") === col("dst")).count() shouldBe 0
+      KnnGraph.searchIndexed(spark, sfDir, "gstream")
+        .collect().map(_.toString).toSet shouldBe
+        once.collect().map(_.toString).toSet
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gstream_edges")
+      spark.sql("DROP TABLE IF EXISTS gstream_nodes")
+    }
+  }
+
+  test("ivfIngestStream: streamed appends equal batch appends, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import operators.{Ann, Knn}
+    val tmp = new java.io.File(tempDir("graft-ivfstream"))
+    val pathA = new java.io.File(tmp, "a").getAbsolutePath
+    val pathB = new java.io.File(tmp, "b").getAbsolutePath
+    Ann.writeIvfIndex(spark, sfDir, pathA)
+    Ann.writeIvfIndex(spark, sfDir, pathB)
+    val newDocs = Knn.querySet(spark, sfDir)
+      .select(col("q_id").as("doc_id"), col("q_vec").as("doc_vec"))
+    val rows = newDocs.as[(Long, Array[Float])].collect().toSeq
+    def ingest(ck: String): Unit = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = StreamOps.ivfIngestStream(
+        input.toDF().toDF("doc_id", "doc_vec"), sfDir, pathA, tempDir(ck))
+      try { input.addData(rows: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    ingest("graft-ivfck1")
+    Ann.appendToIvfIndex(spark, sfDir, newDocs, pathB)
+    // streamed appends produce the same searchable index as the batch path
+    val a = Ann.ivfIndexed(spark, sfDir, pathA).collect().map(_.toString).toSet
+    val b = Ann.ivfIndexed(spark, sfDir, pathB).collect().map(_.toString).toSet
+    a shouldBe b
+    // replay under a fresh checkpoint: the anti-join makes it a no-op
+    val nRows = spark.read.parquet(pathA).count()
+    ingest("graft-ivfck2")
+    spark.read.parquet(pathA).count() shouldBe nRows
+  }
+
   test("dedupStream drops re-seen content within the watermark horizon") {
     val s = spark
     import s.implicits._
