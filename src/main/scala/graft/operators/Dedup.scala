@@ -536,9 +536,7 @@ object Dedup {
   def semanticGraph(spark: SparkSession, dir: String,
                     threshold: Double = 0.45,
                     edges: Option[DataFrame] = None): DataFrame = {
-    val g = edges.getOrElse(KnnGraph.buildGraph(
-      Knn.docSet(spark, dir)
-        .select(col("doc_id").as("id"), col("doc_vec").as("vec"))))
+    val g = edges.getOrElse(KnnGraph.docGraph(spark, dir))
     // out-edges are directed; connectedComponents symmetrizes, so the
     // raw (src, dst) orientation is fine as-is
     val pairs = g.filter(col("score") >= threshold)
