@@ -46,15 +46,23 @@ import graft.functions._
   * positions. Two builds over the same corpus are bit-identical
   * (asserted in KnnGraphSpec).
   *
-  * Convergence honesty: NN-Descent's premise — a neighbor of a
-  * neighbor is likely a neighbor — holds on data with low intrinsic
-  * dimension (real text/image embedding manifolds). On the synthetic
-  * near-random 64-dim test vectors the premise is weak and neighbor
-  * recall plateaus ≈0.75 at (K=8, R=20): tools.GraphProbe shows the
-  * plateau is the descent fixed point (<4% of missed true edges lie
-  * within 2 hops — no local information remains), not an
-  * implementation artifact. K and R are the quality knobs; the beam
-  * search's end-to-end recall is the user-facing metric either way.
+  * Convergence honesty (r8 re-measured, after the init was made
+  * LINEAR in N — see [[initEdges]]): NN-Descent's premise — a
+  * neighbor of a neighbor is likely a neighbor — holds on data with
+  * low intrinsic dimension (real text/image embedding manifolds). On
+  * the synthetic near-random 64-dim test vectors the premise is weak:
+  * neighbor recall reaches ≈0.74 at 480 nodes and ≈0.43 at 2 k
+  * (tools.GraphProbe shows the plateau is the descent fixed point —
+  * <4% of missed true edges lie within 2 hops — not an implementation
+  * artifact). The USER-FACING metric is beam-search recall, and that
+  * is governed by entry quality and walk reach, not neighbor recall
+  * alone: with LSH entry slices + a 64-beam/8-hop walk it measures
+  * 0.83 at 2 k near-random nodes (vs 0.505 for plain LSH over the
+  * same signatures) and 0.42 at the 200 k-node clustered decade
+  * corpus (where a converged kNN graph is near-dup cliques and reach
+  * is the binding constraint; IVF reads 0.99 there and remains this
+  * library's primary serving path). Beam/Hops are the ef-analog
+  * tuning knobs; every per-query cost is constant in N.
   */
 object KnnGraph {
   /** Out-degree kept per node (HNSW's `m`-analog). */
@@ -66,12 +74,21 @@ object KnnGraph {
   /** Undirected-neighborhood cap during refinement (proposal volume is
     * R² per node — the efConstruction-analog knob). */
   val R = 20
-  /** Search beam width per query (the ef-analog). */
-  val Beam = 24
-  /** Frontier-expansion hops; each hop is one keyed join. With
-    * similarity-biased seeds, beam search converges in a few hops —
-    * fixed hops keeps the batch plan bounded and replans nothing. */
-  val Hops = 4
+  /** Search beam width per query (the ef-analog). Sized with [[Hops]]
+    * against the measured recall curve: a converged kNN graph is
+    * near-dup cliques with weak long-range links, so the walk's REACH
+    * (beam × hops), not the graph's neighbor recall, is what bounds
+    * search recall on big corpora (r8 probes: 24/4 → 0.26 recall@10 at
+    * 200 k clustered nodes, 64/8 → 0.42; at 2 k nodes 0.73 → 0.83).
+    * Cost stays constant per query in N either way. */
+  val Beam = 64
+  /** Frontier-expansion hops; each hop is one keyed join. Must cover
+    * the graph-distance from an LSH entry to the query's true
+    * neighborhood, which grows with cluster size — 8 hops ≈ diameter
+    * of a 3 k-node degree-8 neighborhood, the regime the x100 decade
+    * corpus actually produces. Fixed hops keeps the batch plan bounded
+    * and replans nothing. */
+  val Hops = 8
   /** Entry points per query: the graph's fixed seed nodes (smallest
     * ids — index-time metadata, same role as HNSW's entry point). */
   val NSeeds = 8
@@ -90,14 +107,35 @@ object KnnGraph {
     * channel (see [[initEdges]]). */
   val RandGroup = 12
 
+  /** Sub-group size for the LSH channel's bucket split (see
+    * [[initEdges]]): larger than [[RandGroup]] because these pairs are
+    * the similarity-biased seed material — volume is N·LshGroup·bands
+    * either way (linear), and G=24 keeps the split a no-op at the
+    * small verify corpora. */
+  val LshGroup = 24
+
+  /** Entry-slice size per band bucket for query-adaptive search entry
+    * (see [[graphSearch]]) — the ef-analog breadth knob: each query
+    * scores at most NBands·SeedGroup LSH-sliced entries before the
+    * walk, a constant per query at every corpus size. Wider than the
+    * build-side [[LshGroup]] because entry quality directly bounds
+    * search recall, and the cost is per-query, not per-corpus. */
+  val SeedGroup = 64
+
   /** Seed edges from two channels, unioned:
     *
     *  - LSH band buckets ([[Ann]]'s hyperplane signatures): nodes
     *    sharing a band bucket propose each other — similarity-biased,
-    *    so the init already contains most easy neighbors. Bucket join
-    *    is skew-capped by construction (4-bit bands ⇒ 16 buckets/band;
-    *    a hot bucket only costs extra candidates, which the bounded
-    *    heap absorbs).
+    *    so the init already contains most easy neighbors. There are
+    *    only 2^BandBits buckets per band, so bucket occupancy grows
+    *    LINEARLY with N and a raw within-bucket self-join is Σc² ≈
+    *    N²/2^BandBits per band — quadratic (measured: at 200 k nodes
+    *    the raw join spilled the disk full and died in the r8 decade
+    *    validation). Each bucket is therefore hash-split into
+    *    sub-groups of ~[[LshGroup]] members (band-seeded hash, so a
+    *    node meets a different slice of its bucket in every band):
+    *    proposals stay similarity-biased but volume is N·G·bands —
+    *    linear, the same bound as the random channel.
     *  - hash-random groups of ~[[RandGroup]] nodes (xxhash64 of id —
     *    independent of geometry): within-group pairs are effectively
     *    random edges, and a random bounded-degree graph is an expander
@@ -107,22 +145,27 @@ object KnnGraph {
     *    in the wrong cluster can never escape it (measured: score-mass
     *    ratio 0.96 LSH-only → ≥0.99 with the random channel).
     *
-    * Each node keeps its top-k of the union. The group count needs N,
+    * Each node keeps its top-k of the union. The group counts need N,
     * obtained by one count() — a scalar job over ids only, same
     * documented pattern as [[Ann.fitCentroids]]'s driver-side pinning. */
   private def initEdges(emb: DataFrame, k: Int): DataFrame = {
+    val n = emb.count()
+    val bucketsPerBand = 1L << Ann.BandBits
+    val subCount = math.max(1L, n / (bucketsPerBand * LshGroup))
     val banded = emb
       .withColumn("_sig", Ann.signature(col("vec")))
       .select(col("id"), col("vec"), explode(array(
         (0 until Ann.NBands).map(bb =>
           shiftright(col("_sig"), Ann.BandBits * bb)
             .bitwiseAND((1 << Ann.BandBits) - 1) * 100 + bb): _*)).as("bkt"))
+      .withColumn("sub", pmod(xxhash64(lit(424242L), col("bkt"), col("id")),
+        lit(subCount)))
     val lshProposals = banded.as("a")
-      .join(banded.as("b"), Seq("bkt"))
+      .join(banded.as("b"), Seq("bkt", "sub"))
       .filter(col("a.id") =!= col("b.id"))
       .select(col("a.id").as("src"), col("b.id").as("dst"),
         cosine(col("a.vec"), col("b.vec")).as("score"))
-    val nGroups = math.max(1L, emb.count() / RandGroup)
+    val nGroups = math.max(1L, n / RandGroup)
     val grouped = emb.withColumn("g", pmod(xxhash64(lit(777L), col("id")), lit(nGroups)))
     val randProposals = grouped.as("a")
       .join(grouped.as("b"), Seq("g"))
@@ -217,12 +260,41 @@ object KnnGraph {
     // orderBy+limit over duplicates would silently shrink the distinct
     // entry-point set and change exploration
     val seeds = emb.select(col("id")).distinct().orderBy("id").limit(nSeeds)
+    // query-ADAPTIVE entry points (the HNSW descend-to-the-right-
+    // region analog, batch form): each query also enters the graph at
+    // a bounded LSH slice of each of its band buckets — the same
+    // banding and sub-split bound as the build init, so the entry
+    // volume is Q·LshGroup·bands regardless of corpus size. Without
+    // this, entry is blind: from fixed seeds alone, beam search over a
+    // linear-init graph measured 0.43 recall@10 at 2k nodes; LSH entry
+    // + the same walk restores the high-recall regime while every per-
+    // query cost stays constant in N.
+    val n = emb.count()
+    val bucketsPerBand = 1L << Ann.BandBits
+    val subCount = math.max(1L, n / (bucketsPerBand * SeedGroup))
+    def bands(c: Column): Column = explode(array(
+      (0 until Ann.NBands).map(bb =>
+        shiftright(c, Ann.BandBits * bb)
+          .bitwiseAND((1 << Ann.BandBits) - 1) * 100 + bb): _*))
+    val dBand = emb
+      .withColumn("_sig", Ann.signature(col("vec")))
+      .select(col("id"), bands(col("_sig")).as("bkt"))
+      .withColumn("sub", pmod(xxhash64(lit(424242L), col("bkt"), col("id")),
+        lit(subCount)))
+    val qBand = queries
+      .withColumn("_sig", Ann.signature(col("q_vec")))
+      .select(col("q_id"), bands(col("_sig")).as("bkt"))
+      .withColumn("sub", pmod(xxhash64(lit(515151L), col("bkt"), col("q_id")),
+        lit(subCount)))
+    val lshEntries = dBand.join(broadcast(qBand), Seq("bkt", "sub"))
+      .select(col("q_id"), col("id"))
     def score(cand: DataFrame): DataFrame =
       cand.join(emb, Seq("id"))
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("id"), cosine(col("q_vec"), col("vec")).as("score"))
     var visited = score(
-        broadcast(queries.select(col("q_id"))).crossJoin(seeds.select(col("id"))))
+        broadcast(queries.select(col("q_id"))).crossJoin(seeds.select(col("id")))
+          .union(lshEntries))
       .localCheckpoint(true)
     for (_ <- 1 to hops) {
       // beam = the best `beam` visited nodes per query; frontier = beam.

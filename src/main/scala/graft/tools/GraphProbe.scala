@@ -18,19 +18,29 @@ object GraphProbe {
     import graft.operators.{Knn, KnnGraph}
     // timing mode: wall-clock build + search at one dir, no exact oracle
     if (args.length >= 2 && args(1) == "time") {
+      val buildIters = if (args.length >= 3) args(2).toInt else KnnGraph.Iters
+      val hops = if (args.length >= 4) args(3).toInt else KnnGraph.Hops
+      val beam = if (args.length >= 5) args(4).toInt else KnnGraph.Beam
       val docs0 = Knn.docSet(spark, dir)
         .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
-      println(s"[probe] nodes=${docs0.count()}")
+      println(s"[probe] nodes=${docs0.count()} iters=$buildIters hops=$hops beam=$beam")
       for (pass <- 1 to 2) {
         var t0 = System.nanoTime()
-        val g = KnnGraph.buildGraph(docs0)
+        val g = KnnGraph.buildGraph(docs0, iters = buildIters)
         println(f"[probe] pass$pass build ${(System.nanoTime() - t0) / 1e9}%.2f s (edges=${g.count()})")
         t0 = System.nanoTime()
-        val n = KnnGraph.search(spark, dir, edges = Some(g)).count()
-        println(f"[probe] pass$pass search ${(System.nanoTime() - t0) / 1e9}%.2f s (rows=$n)")
+        val res = KnnGraph.graphSearch(
+            Knn.querySet(spark, dir).select(col("q_id"), col("q_vec")),
+            docs0, g, Knn.K, beam = beam, hops = hops)
+          .select(col("q_id"), col("id").as("doc_id"))
+        val searchSec = (System.nanoTime() - t0) / 1e9
+        val exact = Knn.cosineTopK(spark, dir, Knn.K).select(col("q_id"), col("doc_id"))
+        val hits = res.join(exact, Seq("q_id", "doc_id")).count()
+        println(f"[probe] pass$pass search $searchSec%.2f s recall@${Knn.K}=${hits.toDouble / exact.count()}%.3f")
       }
       spark.stop(); return
     }
+    val maxIt = if (args.length >= 2) args(1).toInt else 4
     val docs = Knn.docSet(spark, dir)
       .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
     val a = docs.select(col("id").as("src"), col("vec").as("va"))
@@ -46,7 +56,7 @@ object GraphProbe {
     def recallOf(g: org.apache.spark.sql.DataFrame): Double =
       g.select("src", "dst")
         .join(exact.select("src", "dst"), Seq("src", "dst")).count().toDouble / total
-    for (it <- 0 to 4) {
+    for (it <- 0 to maxIt) {
       val g = KnnGraph.buildGraph(docs, iters = it)
       println(f"[probe] iters=$it recall=${recallOf(g)}%.4f")
     }
