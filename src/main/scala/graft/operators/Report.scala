@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** The reference's post-experiment analysis/report layer re-expressed
+  * as Spark plans (ref: experiments/produce_h3_model_comparison.py —
+  * per-(n_docs, model) summary grid + best-model plots;
+  * experiments/produce_h2_summary_and_plots.py — search_mode lift per
+  * model; experiments/generate_h1_report.py:31-100 — the combined
+  * h_report.txt artifact with ingest, latency and relevance sections).
+  *
+  * The reference aggregates driver-side over result-JSON files; here
+  * the SAME aggregations run as DataFrame plans directly over the
+  * experiment legs, so the report layer scales with the cluster and is
+  * oracle-verifiable. Only the final text rendering collects — and only
+  * after aggregation has reduced the data to a bounded handful of rows
+  * (capped detail sections, see [[textReport]]).
+  */
+object Report {
+
+  /** H3-style comparison grid: per corpus size, every model ranked by
+    * MAP (ties broken by model name so the order is total), with each
+    * model's gap to the per-size best (ref:
+    * produce_h3_model_comparison.py:63-90 — summary_by_n_docs_and_model
+    * plus the per-plot best-model series). One window over the
+    * [[Experiment.sizes]] grid — no extra shuffle beyond the per-cap
+    * partition, which is tiny by construction (|caps|·|models| rows).
+    */
+  def modelBySize(spark: SparkSession, dir: String): DataFrame = {
+    val perCap = Window.partitionBy("corpus_cap")
+    val ranked = Window.partitionBy("corpus_cap")
+      .orderBy(col("map").desc, col("model"))
+    Experiment.sizes(spark, dir)
+      .withColumn("best_map", max("map").over(perCap))
+      .withColumn("model_rank", row_number().over(ranked).cast("long"))
+      .select(col("corpus_cap"), col("model"), col("n_docs"),
+        col("mean_p_at_5"), col("map"),
+        rnd(col("best_map") - col("map"), 4).as("map_gap"),
+        col("model_rank"))
+      .orderBy("corpus_cap", "model_rank")
+  }
+
+  /** H2-style search-mode lift: per model, hybrid-vs-vector deltas on
+    * MAP and P@5 (ref: produce_h2_summary_and_plots.py groups the H2
+    * grid by search_mode and plots the per-model comparison; the
+    * conclusions text reports the hybrid lift). Conditional
+    * aggregation folds the two mode legs of [[Experiment.matrix]] into
+    * one row per model — a single groupBy over an already-tiny frame.
+    */
+  def modeLift(spark: SparkSession, dir: String): DataFrame =
+    Experiment.matrix(spark, dir)
+      .groupBy("model", "dim", "n_docs", "n_queries")
+      .agg(
+        max(when(col("search_mode") === "vector", col("map"))).as("vector_map"),
+        max(when(col("search_mode") === "hybrid", col("map"))).as("hybrid_map"),
+        max(when(col("search_mode") === "vector", col("mean_p_at_5"))).as("vector_p5"),
+        max(when(col("search_mode") === "hybrid", col("mean_p_at_5"))).as("hybrid_p5"))
+      .select(col("model"), col("dim"), col("n_docs"), col("n_queries"),
+        col("vector_map"), col("hybrid_map"),
+        rnd(col("hybrid_map") - col("vector_map"), 4).as("map_lift"),
+        col("vector_p5"), col("hybrid_p5"),
+        rnd(col("hybrid_p5") - col("vector_p5"), 4).as("p5_lift"))
+      .orderBy("model")
+
+  /** How many ingest-batch detail lines the text report prints before
+    * truncating (the reference prints one block per result file — a
+    * bounded set; at 100 TB the batch list is not bounded, so the
+    * report keeps the aggregate exact and caps the detail). */
+  val MaxDetail = 20
+
+  /** The combined text report (ref: generate_h1_report.py:31-100 —
+    * h_report.txt: summary counts, per-run H1 ingest + query-latency
+    * details, H2 relevance aggregate). Every section aggregates in
+    * Spark first; collect happens only on bounded frames (per-type
+    * latency rows, |caps|·|models| grid rows, MaxDetail batch rows +
+    * one exact aggregate row). */
+  def textReport(spark: SparkSession, dir: String): String = {
+    val ingest = PerfStats.ingestThroughput(spark, dir)
+    val ingestAgg = ingest.agg(
+      count(lit(1)).as("n_batches"),
+      rnd(fxAvg(col("throughput_vps"), 6), 4).as("mean_vps"),
+      rnd(min("throughput_vps"), 4).as("min_vps"),
+      rnd(max("throughput_vps"), 4).as("max_vps")).collect()(0)
+    val ingestHead = ingest.limit(MaxDetail).collect()
+    val lat = PerfStats.latencyPercentiles(spark, dir).collect()
+    val lift = modeLift(spark, dir).collect()
+    val grid = modelBySize(spark, dir).collect()
+
+    val sb = new StringBuilder
+    sb ++= "Experiment report - graft\n"
+    sb ++= "\nSUMMARY:\n"
+    sb ++= s" - H1 ingest batches: ${ingestAgg.getAs[Long]("n_batches")}\n"
+    sb ++= s" - H2 relevance legs (model x mode): ${lift.length * 2}\n"
+    sb ++= s" - H3 size sweep cells: ${grid.length}\n"
+
+    sb ++= "\nH1 (ingest) summary:\n"
+    sb ++= " - throughput_vps mean=%s min=%s max=%s\n".format(
+      ingestAgg.getAs[Double]("mean_vps"),
+      ingestAgg.getAs[Double]("min_vps"),
+      ingestAgg.getAs[Double]("max_vps"))
+    sb ++= s"\nFirst ${ingestHead.length} ingest batches:\n"
+    ingestHead.foreach { r =>
+      sb ++= "batch: %s  size: %s  time_s: %s  throughput_vps: %s\n".format(
+        r.getAs[Long]("batch_id"), r.getAs[Long]("batch_size"),
+        r.getAs[Double]("batch_time"), r.getAs[Double]("throughput_vps"))
+    }
+
+    sb ++= "\nQUERY LATENCY by event type:\n"
+    lat.foreach { r =>
+      sb ++= "%s: mean_s=%s p50=%s p90=%s p99=%s qps=%s\n".format(
+        r.getAs[String]("event_type"), r.getAs[Double]("mean_v"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p90"),
+        r.getAs[Double]("p99"), r.getAs[Double]("qps"))
+    }
+
+    sb ++= "\nH2 (relevance) - hybrid vs vector per model:\n"
+    lift.foreach { r =>
+      sb ++= "model=%s vector_map=%s hybrid_map=%s map_lift=%s p5_lift=%s\n".format(
+        r.getAs[String]("model"), r.getAs[Double]("vector_map"),
+        r.getAs[Double]("hybrid_map"), r.getAs[Double]("map_lift"),
+        r.getAs[Double]("p5_lift"))
+    }
+
+    sb ++= "\nH3 (by corpus size) - model ranking:\n"
+    grid.foreach { r =>
+      sb ++= "cap=%s model=%s n_docs=%s p@5=%s map=%s gap=%s rank=%s\n".format(
+        r.getAs[Long]("corpus_cap"), r.getAs[String]("model"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("mean_p_at_5"),
+        r.getAs[Double]("map"), r.getAs[Double]("map_gap"),
+        r.getAs[Long]("model_rank"))
+    }
+    sb.result()
+  }
+
+  /** Writes [[textReport]] to `path` (the h_report.txt artifact). */
+  def writeTextReport(spark: SparkSession, dir: String, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      textReport(spark, dir))
+
+  object SqlOracle {
+    def modelBySize: String =
+      s"""WITH size_grid AS (
+         |${Experiment.SqlOracle.sizes()}
+         |), ranked AS (
+         |  SELECT corpus_cap, model, n_docs, mean_p_at_5, map,
+         |    max(map) OVER (PARTITION BY corpus_cap) AS best_map,
+         |    CAST(row_number() OVER (PARTITION BY corpus_cap
+         |                            ORDER BY map DESC, model) AS BIGINT) AS model_rank
+         |  FROM size_grid)
+         |SELECT corpus_cap, model, n_docs, mean_p_at_5, map,
+         |  ${S.rnd("best_map - map")} AS map_gap, model_rank
+         |FROM ranked
+         |ORDER BY corpus_cap, model_rank""".stripMargin
+
+    def modeLift: String =
+      s"""WITH mode_grid AS (
+         |${Experiment.SqlOracle.matrix()}
+         |), folded AS (
+         |  SELECT model, dim, n_docs, n_queries,
+         |    max(CASE WHEN search_mode = 'vector' THEN map END) AS vector_map,
+         |    max(CASE WHEN search_mode = 'hybrid' THEN map END) AS hybrid_map,
+         |    max(CASE WHEN search_mode = 'vector' THEN mean_p_at_5 END) AS vector_p5,
+         |    max(CASE WHEN search_mode = 'hybrid' THEN mean_p_at_5 END) AS hybrid_p5
+         |  FROM mode_grid GROUP BY model, dim, n_docs, n_queries)
+         |SELECT model, dim, n_docs, n_queries, vector_map, hybrid_map,
+         |  ${S.rnd("hybrid_map - vector_map")} AS map_lift,
+         |  vector_p5, hybrid_p5,
+         |  ${S.rnd("hybrid_p5 - vector_p5")} AS p5_lift
+         |FROM folded ORDER BY model""".stripMargin
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.{Experiment, Report}
+
+/** The report/analysis layer (ref: experiments/produce_h3_model_comparison.py,
+  * produce_h2_summary_and_plots.py, generate_h1_report.py). */
+class ReportLayerSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  test("modelBySize ranks every model per corpus size with gap-to-best") {
+    val grid = Report.modelBySize(spark, sfDir).collect()
+    val caps = Experiment.SizeCaps
+    grid.length shouldBe caps.length * 2 // two models per cap
+    caps.foreach { c =>
+      val rows = grid.filter(_.getAs[Long]("corpus_cap") == c)
+      rows.map(_.getAs[Long]("model_rank")).sorted shouldBe
+        (1L to rows.length.toLong).toArray
+      // rank 1 is the per-cap best: zero gap; others have the exact
+      // rounded delta to that best MAP
+      val best = rows.find(_.getAs[Long]("model_rank") == 1L).get
+      best.getAs[Double]("map_gap") shouldBe 0.0
+      rows.foreach { r =>
+        r.getAs[Double]("map_gap") shouldBe
+          (math.floor((best.getAs[Double]("map") - r.getAs[Double]("map")) * 1e4 + 0.5) / 1e4)
+      }
+      // ties (possible when both caps exceed the corpus) must break by
+      // model name so the ranking stays deterministic
+      val sorted = rows.sortBy(_.getAs[Long]("model_rank"))
+        .map(r => (-r.getAs[Double]("map"), r.getAs[String]("model")))
+      sorted shouldBe sorted.sorted
+    }
+  }
+
+  test("modeLift folds the matrix legs into hybrid-vs-vector deltas per model") {
+    val matrix = Experiment.matrix(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("model"), r.getAs[String]("search_mode")) ->
+        (r.getAs[Double]("map"), r.getAs[Double]("mean_p_at_5"))).toMap
+    val lift = Report.modeLift(spark, sfDir).collect()
+    lift.map(_.getAs[String]("model")).sorted shouldBe Array("hashing_tf", "tfidf")
+    lift.foreach { r =>
+      val m = r.getAs[String]("model")
+      r.getAs[Double]("vector_map") shouldBe matrix((m, "vector"))._1
+      r.getAs[Double]("hybrid_map") shouldBe matrix((m, "hybrid"))._1
+      r.getAs[Double]("map_lift") shouldBe
+        (math.floor((matrix((m, "hybrid"))._1 - matrix((m, "vector"))._1) * 1e4 + 0.5) / 1e4)
+      r.getAs[Double]("p5_lift") shouldBe
+        (math.floor((matrix((m, "hybrid"))._2 - matrix((m, "vector"))._2) * 1e4 + 0.5) / 1e4)
+    }
+  }
+
+  test("textReport renders all sections and writes the artifact") {
+    val txt = Report.textReport(spark, sfDir)
+    txt should include("SUMMARY:")
+    txt should include("H1 (ingest) summary:")
+    txt should include("QUERY LATENCY by event type:")
+    txt should include("H2 (relevance) - hybrid vs vector per model:")
+    txt should include("H3 (by corpus size) - model ranking:")
+    // the latency section carries one formatted line per event type
+    val latLines = txt.linesIterator.filter(_.contains("mean_s=")).toSeq
+    latLines.size shouldBe
+      operators.PerfStats.latencyPercentiles(spark, sfDir).count()
+    latLines.foreach(l => l should fullyMatch regex
+      """\S+: mean_s=\S+ p50=\S+ p90=\S+ p99=\S+ qps=\S+""")
+    // detail truncation is bounded by MaxDetail regardless of batch count
+    txt.linesIterator.count(_.startsWith("batch: ")) should be <= Report.MaxDetail
+
+    val out = new java.io.File(tempDir("graft-report"), "h_report.txt")
+    Report.writeTextReport(spark, sfDir, out.toString)
+    java.nio.file.Files.readString(out.toPath) shouldBe txt
+  }
+}
