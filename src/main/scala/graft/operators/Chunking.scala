@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions._
+import graft.functions.{Sql => S}
+
+/** Sliding-window document chunking and chunk-level passage retrieval.
+  *
+  * The reference encodes whole documents (embeddings/encoder.py:93-103)
+  * and its "chunking" is batch I/O (auto_run_tests.py:52,109 memmap
+  * chunk_size) — but a production vector-search ingest over long
+  * documents chunks them into overlapping token windows and retrieves
+  * at chunk granularity with document-level score pooling (the
+  * passage-retrieval pattern). This module supplies that step as
+  * verified, shuffle-conscious plans:
+  *
+  *  - [[chunkSliding]]: doc → overlapping W-token windows with stride
+  *    S — pure per-row explode, zero shuffles; chunk count per doc is
+  *    ceil((n−W)/S)+1 so every token is covered and consecutive
+  *    windows overlap by W−S tokens.
+  *  - [[chunkSearch]]: hashing-TF encode every chunk, cosine top-k of
+  *    full-document query vectors against chunks via the same sparse
+  *    inverted-index bucket join as [[Encoders.hashingSearch]], then
+  *    max-pool chunk scores per document. The shuffle carries only
+  *    sparse postings; queries broadcast. At 100 TB the chunk relation
+  *    is ~n/S× the corpus rows but each row is a W-token window, so
+  *    the postings volume stays ~W/S× the whole-doc pipeline — linear,
+  *    no new join shape.
+  */
+object Chunking {
+  /** Window length in tokens. */
+  val W = 16
+  /** Stride in tokens; W − Stride tokens of overlap between chunks. */
+  val Stride = 8
+
+  /** (doc_id, chunk_id, start_tok, chunk_toks) — the chunk relation.
+    * `chunk_toks` is materialized once per row (a projection, not
+    * repeated HOF re-evaluation) so downstream size/join/explode reuse
+    * it. */
+  private def chunkToks(spark: SparkSession, dir: String,
+                        w: Int, s: Int): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_n_chunks",
+        when(col("_n") <= w, lit(1L))
+          .otherwise(ceil((col("_n") - w) / s.toDouble).cast("long") + 1L))
+      .select(col("doc_id"), col("_toks"),
+        explode(sequence(lit(0L), col("_n_chunks") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * s).as("start_tok"),
+        slice(col("_toks"), (col("chunk_id") * s + 1).cast("int"),
+          lit(w)).as("chunk_toks"))
+
+  /** Verified chunk inventory: one row per (doc, window) with the
+    * window's start offset, actual token count (the last window may be
+    * short) and re-joined text. */
+  def chunkSliding(spark: SparkSession, dir: String,
+                   w: Int = W, s: Int = Stride): DataFrame =
+    chunkToks(spark, dir, w, s)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"),
+        array_join(col("chunk_toks"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Chunk-level retrieval with doc-level max-pooling: query docs
+    * (doc_id < nq, whole-document hashing-TF as in the reference's
+    * query path) scored against every chunk of every other document;
+    * a document's score is its best chunk's cosine. Output shape
+    * matches the other search queries: (q_id, rank, doc_id, score). */
+  def chunkSearch(spark: SparkSession, dir: String, k: Int = 10,
+                  nq: Int = 5, dim: Int = Encoders.Dim,
+                  w: Int = W, s: Int = Stride): DataFrame = {
+    val byChunk = Window.partitionBy("doc_id", "chunk_id")
+    val cn = chunkToks(spark, dir, w, s)
+      .filter(col("doc_id") >= nq)
+      .select(col("doc_id"), col("chunk_id"),
+        explode(col("chunk_toks")).as("tok"))
+      .select(col("doc_id"), col("chunk_id"),
+        (polyHash(col("tok")) % dim).as("bucket"))
+      .groupBy("doc_id", "chunk_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cnorm", sqrt(sum(col("cnt") * col("cnt")).over(byChunk)))
+    val byDoc = Window.partitionBy("doc_id")
+    val qc = Encoders.bucketCounts(spark, dir, dim)
+      .filter(col("doc_id") < nq)
+      .withColumn("qn", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
+      .select(col("doc_id").as("q_id"), col("bucket"),
+        col("cnt").as("qcnt"), col("qn"))
+    val chunkScore = cn.join(broadcast(qc), "bucket")
+      .groupBy("q_id", "doc_id", "chunk_id")
+      .agg(sum(col("qcnt") * col("cnt")).as("ip"),
+        first(col("qn")).as("qn"), first(col("cnorm")).as("cnorm"))
+      .select(col("q_id"), col("doc_id"),
+        (col("ip") / (col("qn") * col("cnorm"))).as("score"))
+    val docScore = chunkScore.groupBy("q_id", "doc_id")
+      .agg(max(col("score")).as("score"))
+    Knn.topKPerQuery(docScore, k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  object SqlOracle {
+    /** DuckDB mirror of the chunk relation: 1-based inclusive list
+      * slicing `toks[a : a+w−1]` ≡ Spark `slice(toks, a, w)` (both
+      * clamp at the list end). */
+    private def chunksCte(w: Int, s: Int): String =
+      s"""t AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |nn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+         |nc AS (SELECT doc_id, toks, n,
+         |  CASE WHEN n <= $w THEN 1
+         |       ELSE CAST(ceil((n - $w) / $s.0) AS BIGINT) + 1 END AS n_chunks
+         |  FROM nn),
+         |ex AS (SELECT doc_id, toks,
+         |  unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM nc),
+         |chunks AS (SELECT doc_id, chunk_id,
+         |  CAST(chunk_id * $s AS BIGINT) AS start_tok,
+         |  toks[chunk_id * $s + 1 : chunk_id * $s + $w] AS chunk_toks
+         |  FROM ex)""".stripMargin
+
+    def chunkSliding(w: Int = W, s: Int = Stride): String =
+      s"""WITH ${chunksCte(w, s)}
+         |SELECT doc_id, chunk_id, start_tok,
+         |  CAST(len(chunk_toks) AS BIGINT) AS n_tokens,
+         |  array_to_string(chunk_toks, ' ') AS chunk_text
+         |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+
+    def chunkSearch(k: Int = 10, nq: Int = 5, dim: Int = Encoders.Dim,
+                    w: Int = W, s: Int = Stride): String =
+      s"""WITH ${chunksCte(w, s)},
+         |cb AS (SELECT doc_id, chunk_id,
+         |  ${S.polyHash("tok")} % $dim AS bucket
+         |  FROM (SELECT doc_id, chunk_id, unnest(chunk_toks) AS tok
+         |        FROM chunks WHERE doc_id >= $nq)),
+         |cc AS (SELECT doc_id, chunk_id, bucket, count(*) AS cnt
+         |       FROM cb GROUP BY doc_id, chunk_id, bucket),
+         |cw AS (SELECT doc_id, chunk_id, bucket, cnt,
+         |  sqrt(CAST(sum(cnt * cnt) OVER (PARTITION BY doc_id, chunk_id) AS BIGINT)) AS cnorm
+         |  FROM cc),
+         |qt AS (SELECT doc_id, unnest(${S.tokens("text")}) AS tok
+         |       FROM documents WHERE doc_id < $nq),
+         |qb AS (SELECT doc_id, ${S.polyHash("tok")} % $dim AS bucket FROM qt),
+         |qcc AS (SELECT doc_id, bucket, count(*) AS cnt
+         |        FROM qb GROUP BY doc_id, bucket),
+         |qw AS (SELECT doc_id AS q_id, bucket, cnt AS qcnt,
+         |  sqrt(CAST(sum(cnt * cnt) OVER (PARTITION BY doc_id) AS BIGINT)) AS qn
+         |  FROM qcc),
+         |ips AS (
+         |  SELECT q_id, doc_id, chunk_id,
+         |    CAST(sum(qcnt * cnt) AS BIGINT) AS ip,
+         |    any_value(qn) AS qn, any_value(cnorm) AS cnorm
+         |  FROM cw JOIN qw USING (bucket)
+         |  GROUP BY q_id, doc_id, chunk_id),
+         |cs AS (SELECT q_id, doc_id, ip / (qn * cnorm) AS score FROM ips),
+         |ds AS (SELECT q_id, doc_id, max(score) AS score
+         |       FROM cs GROUP BY q_id, doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY score DESC, doc_id) AS rank
+         |  FROM ds)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id,
+         |  ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+  }
+}

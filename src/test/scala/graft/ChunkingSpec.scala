@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Chunking
+
+class ChunkingSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  test("sliding chunks cover every token with the declared overlap") {
+    val w = Chunking.W; val s = Chunking.Stride
+    val chunks = Chunking.chunkSliding(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nToks = operators.TextAnalysis.tokenCount(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_ws")).toMap
+
+    nToks.foreach { case (d, n) =>
+      val cs = chunks(d).sortBy(_.getAs[Long]("chunk_id"))
+      // chunk count follows the coverage formula
+      val expected = if (n <= w) 1L else math.ceil((n - w).toDouble / s).toLong + 1
+      cs.length.toLong shouldBe expected
+      // starts advance by exactly the stride; windows cover [0, n)
+      cs.zipWithIndex.foreach { case (r, i) =>
+        r.getAs[Long]("start_tok") shouldBe i.toLong * s
+      }
+      val last = cs.last
+      (last.getAs[Long]("start_tok") + last.getAs[Long]("n_tokens")) shouldBe n
+      // every chunk but possibly the last is full-width
+      cs.dropRight(1).foreach(_.getAs[Long]("n_tokens") shouldBe w.toLong)
+      // chunk text re-joins to exactly its token window
+      cs.foreach(r =>
+        r.getAs[String]("chunk_text").split(" ").count(_.nonEmpty).toLong shouldBe
+          r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("chunkSliding is a narrow plan — no shuffle exchange") {
+    val plan = Chunking.chunkSliding(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    // the final orderBy sorts, but chunk derivation itself must not
+    // shuffle: exactly the one Exchange the global sort requires
+    plan.split("Exchange").length - 1 should be <= 1
+  }
+
+  test("chunkSearch max-pools chunk scores into doc ranking") {
+    val res = Chunking.chunkSearch(spark, sfDir).collect()
+    res.length shouldBe 50 // 5 queries x k=10
+    res.foreach { r =>
+      r.getAs[Double]("score") should (be >= -1.0001 and be <= 1.0001)
+      r.getAs[Long]("doc_id") should be >= 5L // query docs excluded
+    }
+    // ranks are 1..k per query, scores non-increasing within a query
+    res.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      sorted.map(_.getAs[Long]("rank")) shouldBe (1L to 10L).toArray
+      val scores = sorted.map(_.getAs[Double]("score"))
+      scores.zip(scores.tail).foreach { case (a, b) => a should be >= b - 1e-9 }
+    }
+  }
+
+  test("a doc whose best chunk matches outranks a doc with diffuse overlap") {
+    // against whole-doc search, chunk max-pool favors locally dense
+    // matches; sanity: both pipelines retrieve overlapping candidates
+    val chunked = Chunking.chunkSearch(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSet
+    val whole = operators.Encoders.hashingSearch(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"))).toSet
+    (chunked intersect whole).size should be > 0
+  }
+}
