@@ -31,11 +31,13 @@ object Report {
     * partition, which is tiny by construction (|caps|·|models| rows).
     */
   def modelBySize(spark: SparkSession, dir: String): DataFrame = {
-    val perCap = Window.partitionBy("corpus_cap")
+    // ONE window spec for both columns: ranked desc by map, the
+    // running first() IS the per-cap best — a single Window operator
+    // and sort instead of two passes
     val ranked = Window.partitionBy("corpus_cap")
       .orderBy(col("map").desc, col("model"))
     Experiment.sizes(spark, dir)
-      .withColumn("best_map", max("map").over(perCap))
+      .withColumn("best_map", first("map").over(ranked))
       .withColumn("model_rank", row_number().over(ranked).cast("long"))
       .select(col("corpus_cap"), col("model"), col("n_docs"),
         col("mean_p_at_5"), col("map"),
@@ -147,7 +149,8 @@ object Report {
          |${Experiment.SqlOracle.sizes()}
          |), ranked AS (
          |  SELECT corpus_cap, model, n_docs, mean_p_at_5, map,
-         |    max(map) OVER (PARTITION BY corpus_cap) AS best_map,
+         |    first_value(map) OVER (PARTITION BY corpus_cap
+         |                           ORDER BY map DESC, model) AS best_map,
          |    CAST(row_number() OVER (PARTITION BY corpus_cap
          |                            ORDER BY map DESC, model) AS BIGINT) AS model_rank
          |  FROM size_grid)
