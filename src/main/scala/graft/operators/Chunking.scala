@@ -36,34 +36,47 @@ object Chunking {
   /** Stride in tokens; W − Stride tokens of overlap between chunks. */
   val Stride = 8
 
-  /** (doc_id, chunk_id, start_tok, chunk_toks) — the chunk relation.
+  /** (doc_id, chunk_id, start_tok, chunk_toks) for ANY frame with
+    * (doc_id, text) — pure narrow ops, so it applies unchanged to a
+    * streaming ingest frame ([[graft.streaming.StreamOps.chunkStream]]).
     * `chunk_toks` is materialized once per row (a projection, not
     * repeated HOF re-evaluation) so downstream size/join/explode reuse
     * it. */
-  private def chunkToks(spark: SparkSession, dir: String,
-                        w: Int, s: Int): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+  def chunkToksOf(docs: DataFrame, w: Int = W, s: Int = Stride): DataFrame = {
+    // every non-text column rides along (e.g. the event-time column a
+    // streaming caller watermarks on)
+    val keep = docs.columns.filter(_ != "text").map(col)
+    docs
+      .select(keep :+ tokens(col("text")).as("_toks"): _*)
       .withColumn("_n", size(col("_toks")).cast("long"))
       .withColumn("_n_chunks",
         when(col("_n") <= w, lit(1L))
           .otherwise(ceil((col("_n") - w) / s.toDouble).cast("long") + 1L))
-      .select(col("doc_id"), col("_toks"),
-        explode(sequence(lit(0L), col("_n_chunks") - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        (col("chunk_id") * s).as("start_tok"),
+      .select(keep :+ col("_toks") :+
+        explode(sequence(lit(0L), col("_n_chunks") - 1)).as("chunk_id"): _*)
+      .select(keep :+ col("chunk_id") :+
+        (col("chunk_id") * s).as("start_tok") :+
         slice(col("_toks"), (col("chunk_id") * s + 1).cast("int"),
-          lit(w)).as("chunk_toks"))
+          lit(w)).as("chunk_toks"): _*)
+  }
+
+  /** [[chunkToksOf]] plus the rendered window: (…, chunk_id, start_tok,
+    * n_tokens, chunk_text) — the shared projection of [[chunkSliding]]
+    * and the streaming chunker. */
+  def chunkRows(docs: DataFrame, w: Int = W, s: Int = Stride): DataFrame = {
+    val ct = chunkToksOf(docs, w, s)
+    val keep = ct.columns.filter(_ != "chunk_toks").map(col)
+    ct.select(keep :+
+      size(col("chunk_toks")).cast("long").as("n_tokens") :+
+      array_join(col("chunk_toks"), " ").as("chunk_text"): _*)
+  }
 
   /** Verified chunk inventory: one row per (doc, window) with the
     * window's start offset, actual token count (the last window may be
     * short) and re-joined text. */
   def chunkSliding(spark: SparkSession, dir: String,
                    w: Int = W, s: Int = Stride): DataFrame =
-    chunkToks(spark, dir, w, s)
-      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        size(col("chunk_toks")).cast("long").as("n_tokens"),
-        array_join(col("chunk_toks"), " ").as("chunk_text"))
+    chunkRows(Tables.documents(spark, dir).select("doc_id", "text"), w, s)
       .orderBy("doc_id", "chunk_id")
 
   /** Chunk-level retrieval with doc-level max-pooling: query docs
@@ -75,7 +88,8 @@ object Chunking {
                   nq: Int = 5, dim: Int = Encoders.Dim,
                   w: Int = W, s: Int = Stride): DataFrame = {
     val byChunk = Window.partitionBy("doc_id", "chunk_id")
-    val cn = chunkToks(spark, dir, w, s)
+    val cn = chunkToksOf(
+        Tables.documents(spark, dir).select("doc_id", "text"), w, s)
       .filter(col("doc_id") >= nq)
       .select(col("doc_id"), col("chunk_id"),
         explode(col("chunk_toks")).as("tok"))

@@ -201,6 +201,19 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("norm_hash")
       .select(col("doc_id"), col("ts"), col("lang"), col("n_toks"), col("quality"))
 
+  /** Streaming sliding-window chunker — the ingest-side form of
+    * [[graft.operators.Chunking.chunkSliding]]: each arriving document
+    * explodes into its overlapping token windows (pure stateless
+    * narrow ops — zero streaming state, works in append mode at any
+    * rate). Input needs (doc_id, ts, text); output keeps ts per chunk
+    * so downstream stages can watermark. Chain after
+    * [[cleanDocsStream]]'s gate+dedup for the full
+    * ingest→clean→passage pipeline. */
+  def chunkStream(docs: DataFrame,
+                  w: Int = graft.operators.Chunking.W,
+                  s: Int = graft.operators.Chunking.Stride): DataFrame =
+    graft.operators.Chunking.chunkRows(docs, w, s)
+
   /** Stream-stream inner join: events of two streams for the same user
     * within a ±10-minute event-time bound. Both sides carry watermarks
     * so the join state is GC'd once the bound passes — the unbounded-
