@@ -143,6 +143,23 @@ object Report {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       textReport(spark, dir))
 
+  /** The plot-input series the reference renders as PNGs (ref:
+    * experiments/plot_results.py and produce_h*_summary_and_plots.py —
+    * p@5/map-by-model-vs-n_docs, mode comparison, per-type latency),
+    * written as tidy CSVs under `outDir`. The plotting itself is a
+    * presentation concern the engine stays out of; these CSVs are the
+    * exact frames a notebook or `plots/run_plots.py`-style script
+    * draws from. */
+  def writePlotSeries(spark: SparkSession, dir: String, outDir: String): Unit = {
+    import graft.sources.Sources.writeSummaryCsv
+    writeSummaryCsv(modelBySize(spark, dir), s"$outDir/model_by_size")
+    writeSummaryCsv(modeLift(spark, dir), s"$outDir/mode_lift")
+    writeSummaryCsv(PerfStats.latencyPercentiles(spark, dir),
+      s"$outDir/latency_by_type")
+    writeSummaryCsv(PerfStats.ingestThroughput(spark, dir),
+      s"$outDir/ingest_throughput")
+  }
+
   object SqlOracle {
     def modelBySize: String =
       s"""WITH size_grid AS (

@@ -69,4 +69,17 @@ class ReportLayerSpec extends AnyFunSuite with Matchers with SharedSpark {
     Report.writeTextReport(spark, sfDir, out.toString)
     java.nio.file.Files.readString(out.toPath) shouldBe txt
   }
+
+  test("writePlotSeries emits every plot-input CSV with headers") {
+    val dir = tempDir("graft-plotseries")
+    Report.writePlotSeries(spark, sfDir, dir)
+    Seq("model_by_size", "mode_lift", "latency_by_type", "ingest_throughput")
+      .foreach { name =>
+        val back = spark.read.option("header", "true").csv(s"$dir/$name")
+        back.count() should be > 0L
+      }
+    // round-trip keeps the grid's shape
+    spark.read.option("header", "true").csv(s"$dir/model_by_size")
+      .columns should contain allOf ("corpus_cap", "model", "map", "model_rank")
+  }
 }
