@@ -58,6 +58,14 @@ class ChunkingSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("chunkSearch plan broadcasts the query side and never goes cartesian") {
+    val plan = Chunking.chunkSearch(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    plan should include("BroadcastExchange")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("chunkStream equals the batch chunker on the same docs") {
     val s = spark
     import s.implicits._
