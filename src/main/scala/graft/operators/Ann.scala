@@ -298,6 +298,43 @@ object Ann {
     assignToIndex(spark, dir, newDocs)
       .write.mode("append").partitionBy("c_id").parquet(out)
 
+  /** Small-file compaction for a [[writeIvfIndex]] layout — the
+    * maintenance op the streaming/append ingest path accumulates debt
+    * for: each [[appendToIvfIndex]] batch (or micro-batch) adds files
+    * to its partitions, and at serving time many small files cost
+    * listing + open overhead per probe. Selective by design: only
+    * partitions holding more than `maxFilesPerPartition` files are
+    * rewritten (dynamic partition overwrite — untouched partitions
+    * keep their files byte-identical), the repartition on the layout
+    * key lands each hot c_id in exactly one task → one consolidated
+    * file, and the rewrite reads only the hot partitions (partition
+    * pruning on the isin filter). `localCheckpoint` detaches the
+    * rewrite from the source files so Spark permits overwriting the
+    * path being read. Returns the compacted partition keys. */
+  def compactIvfIndex(spark: SparkSession, indexPath: String,
+                      maxFilesPerPartition: Int = 4): Seq[Long] = {
+    val base = new java.io.File(indexPath)
+    val hot = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("c_id="))
+      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      .map(_.getName.stripPrefix("c_id=").toLong).toSeq.sorted
+    if (hot.nonEmpty) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        spark.read.parquet(indexPath)
+          .filter(col("c_id").isin(hot: _*))
+          .repartition(col("c_id"))
+          .localCheckpoint()
+          .write.mode("overwrite").partitionBy("c_id").parquet(indexPath)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    hot
+  }
+
   /** Probe-side search over a [[writeIvfIndex]] layout: queries pick
     * their top-NProbe centroids (broadcast), and the join against the
     * partitioned index triggers DYNAMIC PARTITION PRUNING — Spark

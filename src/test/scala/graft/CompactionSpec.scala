@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.{Ann, Knn}
+
+/** IVF index small-file compaction (Ann.compactIvfIndex). */
+class CompactionSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  private def parquetFiles(dir: java.io.File): Map[String, Int] =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("c_id="))
+      .map(d => d.getName ->
+        d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+
+  test("compaction consolidates appended partitions and preserves results") {
+    val path = s"${tempDir("graft-compact")}/ivf"
+    val docs = Knn.docSet(spark, sfDir)
+    // base index from the first half, then many small appends — the
+    // streaming-ingest debt pattern
+    Ann.writeIvfIndex(spark, sfDir, path,
+      Some(docs.filter(col("doc_id") % 2 === 0)))
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    (0 until 6).foreach { i =>
+      Ann.appendToIvfIndex(spark, sfDir,
+        odd.filter(col("doc_id") % 12 === (2 * i + 1)), path)
+    }
+    val before = parquetFiles(new java.io.File(path))
+    before.values.max should be > 4 // debt exists
+    val resultsBefore = Ann.ivfIndexed(spark, sfDir, path)
+      .collect().map(_.toString).sorted
+    val rowsBefore = spark.read.parquet(path).count()
+
+    val compacted = Ann.compactIvfIndex(spark, path, maxFilesPerPartition = 4)
+    compacted should not be empty
+
+    val after = parquetFiles(new java.io.File(path))
+    // every compacted partition is down to one file; untouched
+    // partitions keep their file count
+    compacted.foreach(c => after(s"c_id=$c") shouldBe 1)
+    before.filter { case (k, _) =>
+      !compacted.contains(k.stripPrefix("c_id=").toLong) }
+      .foreach { case (k, n) => after(k) shouldBe n }
+    // contents and search results are byte-for-byte unchanged
+    spark.read.parquet(path).count() shouldBe rowsBefore
+    Ann.ivfIndexed(spark, sfDir, path)
+      .collect().map(_.toString).sorted shouldBe resultsBefore
+
+    // idempotent: nothing left over the threshold
+    Ann.compactIvfIndex(spark, path, maxFilesPerPartition = 4) shouldBe empty
+  }
+}
