@@ -310,28 +310,35 @@ object Ann {
     * file, and the rewrite reads only the hot partitions (partition
     * pruning on the isin filter). `localCheckpoint` detaches the
     * rewrite from the source files so Spark permits overwriting the
-    * path being read. Returns the compacted partition keys. */
+    * path being read. Returns the compacted partition keys.
+    *
+    * Concurrency contract: pause appends/streaming ingest into the
+    * partitions being compacted — the rewrite replaces each hot
+    * partition with its read-time snapshot, so a file appended to a
+    * hot partition mid-compaction would be dropped by the overwrite
+    * commit (the same exclusive-maintenance window a FAISS index
+    * rebuild needs). Appends to COLD partitions are unaffected. */
   def compactIvfIndex(spark: SparkSession, indexPath: String,
                       maxFilesPerPartition: Int = 4): Seq[Long] = {
-    val base = new java.io.File(indexPath)
-    val hot = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("c_id="))
-      .filter(_.listFiles().count(_.getName.endsWith(".parquet")) > maxFilesPerPartition)
-      .map(_.getName.stripPrefix("c_id=").toLong).toSeq.sorted
-    if (hot.nonEmpty) {
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        spark.read.parquet(indexPath)
-          .filter(col("c_id").isin(hot: _*))
-          .repartition(col("c_id"))
-          .localCheckpoint()
-          .write.mode("overwrite").partitionBy("c_id").parquet(indexPath)
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
+    // enumerate through the path's own Hadoop filesystem, so the op
+    // works on whatever store the layout lives on, not only file://
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hot = fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      .map(_.getPath.getName.stripPrefix("c_id=").toLong).toSeq.sorted
+    if (hot.nonEmpty)
+      spark.read.parquet(indexPath)
+        .filter(col("c_id").isin(hot: _*))
+        .repartition(col("c_id"))
+        .localCheckpoint()
+        .write.mode("overwrite")
+        // writer-scoped option (takes precedence over the session
+        // conf): no session-global mutation, no save/restore race
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("c_id").parquet(indexPath)
     hot
   }
 

@@ -96,25 +96,18 @@ object Chunking {
       .select(col("doc_id"), col("chunk_id"),
         (polyHash(col("tok")) % dim).as("bucket"))
       .groupBy("doc_id", "chunk_id", "bucket").agg(count(lit(1)).as("cnt"))
-      .withColumn("cnorm", sqrt(sum(col("cnt") * col("cnt")).over(byChunk)))
+      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byChunk)))
     val byDoc = Window.partitionBy("doc_id")
     val qc = Encoders.bucketCounts(spark, dir, dim)
       .filter(col("doc_id") < nq)
       .withColumn("qn", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
       .select(col("doc_id").as("q_id"), col("bucket"),
         col("cnt").as("qcnt"), col("qn"))
-    val chunkScore = cn.join(broadcast(qc), "bucket")
-      .groupBy("q_id", "doc_id", "chunk_id")
-      .agg(sum(col("qcnt") * col("cnt")).as("ip"),
-        first(col("qn")).as("qn"), first(col("cnorm")).as("cnorm"))
-      .select(col("q_id"), col("doc_id"),
-        (col("ip") / (col("qn") * col("cnorm"))).as("score"))
+    // per-chunk cosine via the shared contract, then max-pool per doc
+    val chunkScore = Encoders.sparseCosine(cn, qc, Seq("doc_id", "chunk_id"))
     val docScore = chunkScore.groupBy("q_id", "doc_id")
       .agg(max(col("score")).as("score"))
-    Knn.topKPerQuery(docScore, k)
-      .select(col("q_id"), col("rank"), col("doc_id"),
-        rnd(col("score"), 4).as("score"))
-      .orderBy("q_id", "rank")
+    Encoders.rankTopK(docScore, k)
   }
 
   object SqlOracle {

@@ -82,16 +82,31 @@ object Encoders {
     val qc = cn.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("bucket"),
         col("cnt").as("qcnt"), col("norm").as("qn"))
-    val scored = cn.filter(col("doc_id") >= nq)
-      .join(broadcast(qc), "bucket")
-      .groupBy("q_id", "doc_id")
+    val scored = sparseCosine(cn.filter(col("doc_id") >= nq), qc, Seq("doc_id"))
+    rankTopK(scored, k)
+  }
+
+  /** The ONE sparse-cosine scoring contract, shared by
+    * [[hashingSearch]] and [[Chunking.chunkSearch]]: postings
+    * (keyCols…, bucket, cnt, norm) joined on bucket against BROADCAST
+    * queries (q_id, bucket, qcnt, qn); cos = Σ qcnt·cnt / (qn·norm)
+    * with the numerator an exact integer sum. Any tie-break/rounding
+    * change lands in every consumer at once. */
+  private[operators] def sparseCosine(postings: DataFrame, queries: DataFrame,
+                                      keyCols: Seq[String]): DataFrame =
+    postings.join(broadcast(queries), "bucket")
+      .groupBy("q_id", keyCols: _*)
       .agg(sum(col("qcnt") * col("cnt")).as("ip"),
         first(col("qn")).as("qn"), first(col("norm")).as("dn"))
-      .select(col("q_id"), col("doc_id"), (col("ip") / (col("qn") * col("dn"))).as("score"))
+      .select(col("q_id") +: keyCols.map(col) :+
+        (col("ip") / (col("qn") * col("dn"))).as("score"): _*)
+
+  /** Shared ranked-output tail: bounded-heap top-k per query, rounded
+    * score, (q_id, rank, doc_id, score) ordered. */
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     Knn.topKPerQuery(scored, k)
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
-  }
 
   /** (doc_id, tok, weight) unrounded TF-IDF weights — shared by
     * [[tfIdf]] (verified rounded projection) and [[tfIdfSearch]]. */
@@ -129,8 +144,19 @@ object Encoders {
       fitVocab(spark, dir, dim, maxDoc).map { case (tok, _, idf) => (tok, idf) })
       .toDF("tok", "idf")
 
+  // keyed on the application id, not the session object: the fit is a
+  // pure function of (data dir, dim, cap), so any session of the app
+  // shares it, and a stopped session is never pinned by the cache
+  // (values are plain driver-side Seqs)
   private val vocabCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Option[Long]), (Long, Seq[(String, Long, Long)])]
+    .empty[(String, String, Int, Option[Long]), (Long, Seq[(String, Long, Long)])]
+
+  /** Drops every memoized fit (all sessions). Call after mutating a
+    * corpus in place — a fit is a FIT (the fitted-vectorizer
+    * contract: one pass, then reuse), so in-place corpus changes need
+    * an explicit refit signal, exactly like re-fitting a persisted
+    * vectorizer. */
+  def invalidateFits(): Unit = vocabCache.clear()
 
   /** The ONE vocabulary-fit contract (ordering, tie-break), collected
     * driver-side: (corpus doc count, rows (tok, popularity index
@@ -144,10 +170,14 @@ object Encoders {
     * shares, the in-session analog of a persisted vectorizer. Without
     * the cache each tfidf/hybrid/keyword/BM25 query construction
     * re-ran the pass (the experiment grids paid it up to 6× per
-    * call). Deterministic and immutable, so caching is safe. */
+    * call). Deterministic and immutable, so caching is safe; if a
+    * corpus is rewritten in place at the same path, call
+    * [[invalidateFits]] (the refit signal a persisted vectorizer
+    * would need too). */
   def fitVocabRaw(spark: SparkSession, dir: String, dim: Int,
                   maxDoc: Option[Long] = None): (Long, Seq[(String, Long, Long)]) =
-    vocabCache.getOrElseUpdate((spark, dir, dim, maxDoc),
+    vocabCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, dim, maxDoc),
       fitVocabUncached(spark, dir, dim, maxDoc))
 
   private def fitVocabUncached(spark: SparkSession, dir: String, dim: Int,

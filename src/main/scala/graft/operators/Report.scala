@@ -156,7 +156,10 @@ object Report {
     writeSummaryCsv(modeLift(spark, dir), s"$outDir/mode_lift")
     writeSummaryCsv(PerfStats.latencyPercentiles(spark, dir),
       s"$outDir/latency_by_type")
-    writeSummaryCsv(PerfStats.ingestThroughput(spark, dir),
+    // the per-batch series is the one unbounded frame here (one row
+    // per 256 events) — same MaxDetail bound as the text report, so
+    // the coalesce(1) CSV write stays a driver-scale artifact
+    writeSummaryCsv(PerfStats.ingestThroughput(spark, dir).limit(MaxDetail),
       s"$outDir/ingest_throughput")
   }
 
