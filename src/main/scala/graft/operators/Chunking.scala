@@ -110,6 +110,23 @@ object Chunking {
     Encoders.rankTopK(docScore, k)
   }
 
+  /** Boilerplate-passage detection: exact dedup at CHUNK granularity
+    * (the training-data step that catches repeated headers, footers
+    * and licence blocks that doc-level dedup can't see — each host
+    * document is unique, the passage is not). One hash-groupBy over
+    * the chunk relation, emitted only for passages seen more than
+    * once, so the output is the boilerplate inventory, not the
+    * corpus: bounded by the duplicate mass at any scale. */
+  def chunkDedup(spark: SparkSession, dir: String,
+                 w: Int = W, s: Int = Stride): DataFrame =
+    chunkRows(Tables.documents(spark, dir).select("doc_id", "text"), w, s)
+      .groupBy(md5(col("chunk_text").cast("binary")).as("chunk_hash"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("cnt") > 1)
+      .orderBy("chunk_hash")
+
   object SqlOracle {
     /** DuckDB mirror of the chunk relation: 1-based inclusive list
       * slicing `toks[a : a+w−1]` ≡ Spark `slice(toks, a, w)` (both
@@ -127,6 +144,17 @@ object Chunking {
          |  CAST(chunk_id * $s AS BIGINT) AS start_tok,
          |  toks[chunk_id * $s + 1 : chunk_id * $s + $w] AS chunk_toks
          |  FROM ex)""".stripMargin
+
+    def chunkDedup(w: Int = W, s: Int = Stride): String =
+      s"""WITH ${chunksCte(w, s)},
+         |rendered AS (SELECT doc_id,
+         |  array_to_string(chunk_toks, ' ') AS chunk_text FROM chunks)
+         |SELECT md5(chunk_text) AS chunk_hash,
+         |  count(*) AS cnt,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  min(doc_id) AS keep_doc_id
+         |FROM rendered GROUP BY chunk_hash HAVING count(*) > 1
+         |ORDER BY chunk_hash""".stripMargin
 
     def chunkSliding(w: Int = W, s: Int = Stride): String =
       s"""WITH ${chunksCte(w, s)}

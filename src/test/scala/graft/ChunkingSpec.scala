@@ -58,6 +58,20 @@ class ChunkingSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("chunkDedup surfaces repeated passages that doc-level dedup misses") {
+    val boiler = Chunking.chunkDedup(spark, sfDir).collect()
+    boiler.length should be > 0
+    boiler.foreach { r =>
+      r.getAs[Long]("cnt") should be > 1L
+      r.getAs[Long]("n_docs") should be <= r.getAs[Long]("cnt")
+    }
+    // chunk-level dedup sees strictly more duplicate mass than
+    // whole-document exact dedup: every full-doc dup family implies
+    // duplicated chunks, and shared passages across distinct docs add
+    // to it — at least one reported passage spans distinct docs
+    boiler.count(_.getAs[Long]("n_docs") > 1) should be > 0
+  }
+
   test("chunkSearch plan broadcasts the query side and never goes cartesian") {
     val plan = Chunking.chunkSearch(spark, sfDir)
       .queryExecution.executedPlan.toString()
