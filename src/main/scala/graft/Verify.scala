@@ -29,7 +29,9 @@ object Verify {
           "pipeline_hybrid_search" ->
             operators.Encoders.SqlOracle.hybridSearch(idf = Some(idfB)),
           "pipeline_experiment_matrix" ->
-            operators.Experiment.SqlOracle.matrix(idf = Some(idfB)))
+            operators.Experiment.SqlOracle.matrix(idf = Some(idfB)),
+          "report_mode_lift" ->
+            operators.Report.SqlOracle.modeLift(idf = Some(idfB)))
       } catch { case e: Throwable =>
         // overlay literals come from small fit jobs; if one fails, the
         // static self-contained oracles are still a complete contract

@@ -179,9 +179,12 @@ object Report {
          |FROM ranked
          |ORDER BY corpus_cap, model_rank""".stripMargin
 
-    def modeLift: String =
+    /** `idf`: same per-SF literal overlay as the matrix oracle (the
+      * wrapped grid must carry it too, or the wrapper would diverge
+      * exactly where the base oracle needed the overlay). */
+    def modeLift(idf: Option[Seq[(Long, Long)]] = None): String =
       s"""WITH mode_grid AS (
-         |${Experiment.SqlOracle.matrix()}
+         |${Experiment.SqlOracle.matrix(idf = idf)}
          |), folded AS (
          |  SELECT model, dim, n_docs, n_queries,
          |    max(CASE WHEN search_mode = 'vector' THEN map END) AS vector_map,
