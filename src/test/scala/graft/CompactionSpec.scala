@@ -50,4 +50,46 @@ class CompactionSpec extends AnyFunSuite with Matchers with SharedSpark {
     // idempotent: nothing left over the threshold
     Ann.compactIvfIndex(spark, path, maxFilesPerPartition = 4) shouldBe empty
   }
+
+  test("bucketed-table compaction restores one file per bucket, contents intact") {
+    import spark.implicits._
+    val table = "graft_compact_bt"
+    val nBuckets = 4
+    // the catalog is per-JVM but the warehouse dir persists: clear
+    // both so a previous crashed run can't fail the managed CTAS
+    Seq(table, "graft_compact_bt2").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    def part(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    operators.Bucketing.writeBucketed(part(0, 100), table, "id", nBuckets)
+    // streaming-style appends: one extra file per touched bucket each
+    (0 until 3).foreach { b =>
+      part(100 + 40 * b, 140 + 40 * b).write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "id").sortBy("id").saveAsTable(table)
+    }
+    def files(): Int = {
+      val loc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      new java.io.File(new java.net.URI(loc)).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val before = spark.table(table).collect().map(_.toString).sorted
+    files() should be > nBuckets
+    operators.Bucketing.compactBucketed(spark, table, "id", nBuckets)
+    files() shouldBe nBuckets
+    spark.table(table).collect().map(_.toString).sorted shouldBe before
+    // the layout is still bucket-joinable shuffle-free on the key side
+    val other = "graft_compact_bt2"
+    operators.Bucketing.writeBucketed(part(0, 50), other, "id", nBuckets)
+    val plan = operators.Bucketing.join(spark, table, other, "id")
+      .queryExecution.executedPlan.toString()
+    plan should not include "Exchange hashpartitioning"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $other")
+  }
 }
