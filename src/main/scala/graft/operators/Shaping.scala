@@ -29,8 +29,15 @@ object Shaping {
     * hash of the salted doc id — NOT rand() (not retry-stable) and NOT
     * an engine hash builtin (not portable). The same doc is kept or
     * dropped on every engine, every retry, every partitioning. */
-  private def sampleKey(id: org.apache.spark.sql.Column) =
+  private[operators] def sampleKey(id: org.apache.spark.sql.Column) =
     polyHash(concat(lit("smp"), id.cast("string"))) % 1000
+
+  /** The per-mille language quota expression shared by the stratified
+    * sample, the quality pipeline's final stage and the funnel report. */
+  private[operators] def langQuota: org.apache.spark.sql.Column =
+    quotas.foldRight(lit(1000)) { case ((l, q), els) =>
+      when(col("lang") === l, lit(q)).otherwise(els)
+    }
 
   /** Stratified (language-quota) downsample: keep a doc iff its hash
     * key falls under its language's per-mille quota. Pure filter —

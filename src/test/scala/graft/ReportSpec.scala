@@ -70,6 +70,27 @@ class ReportLayerSpec extends AnyFunSuite with Matchers with SharedSpark {
     java.nio.file.Files.readString(out.toPath) shouldBe txt
   }
 
+  test("filterFunnel stages are monotone and agree with the quality pipeline") {
+    val funnel = Report.filterFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("docs_kept_pct"))).toMap
+    funnel.keySet shouldBe Set("1_raw", "2_token_gate", "3_quality_gate",
+      "4_dedup", "5_lang_quota")
+    // each stage keeps a subset of the previous one
+    val ordered = funnel.toSeq.sortBy(_._1).map(_._2)
+    ordered.zip(ordered.tail).foreach { case ((d1, t1, _), (d2, t2, _)) =>
+      d2 should be <= d1
+      t2 should be <= t1
+    }
+    funnel("1_raw")._3 shouldBe 1.0
+    // the funnel's last stage IS the verified pipeline's survivor set
+    funnel("5_lang_quota")._1 shouldBe
+      operators.Shaping.qualityFilterPipeline(spark, sfDir).count()
+    // raw row covers the whole corpus
+    funnel("1_raw")._1 shouldBe Tables.documents(spark, sfDir).count()
+  }
+
   test("writePlotSeries emits every plot-input CSV with headers") {
     val dir = tempDir("graft-plotseries")
     Report.writePlotSeries(spark, sfDir, dir)
