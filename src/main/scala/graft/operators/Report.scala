@@ -139,12 +139,21 @@ object Report {
     val lift = modeLift(spark, dir).collect()
     val grid = modelBySize(spark, dir).collect()
 
+    val funnel = filterFunnel(spark, dir).collect()
+
     val sb = new StringBuilder
     sb ++= "Experiment report - graft\n"
     sb ++= "\nSUMMARY:\n"
     sb ++= s" - H1 ingest batches: ${ingestAgg.getAs[Long]("n_batches")}\n"
     sb ++= s" - H2 relevance legs (model x mode): ${lift.length * 2}\n"
     sb ++= s" - H3 size sweep cells: ${grid.length}\n"
+
+    sb ++= "\nCorpus filter funnel (docs / tokens / % kept):\n"
+    funnel.foreach { r =>
+      sb ++= "%s: docs=%s tokens=%s kept=%s\n".format(
+        r.getAs[String]("stage"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("docs_kept_pct"))
+    }
 
     sb ++= "\nH1 (ingest) summary:\n"
     sb ++= " - throughput_vps mean=%s min=%s max=%s\n".format(

@@ -52,6 +52,8 @@ class ReportLayerSpec extends AnyFunSuite with Matchers with SharedSpark {
   test("textReport renders all sections and writes the artifact") {
     val txt = Report.textReport(spark, sfDir)
     txt should include("SUMMARY:")
+    txt should include("Corpus filter funnel")
+    txt should include("5_lang_quota: docs=")
     txt should include("H1 (ingest) summary:")
     txt should include("QUERY LATENCY by event type:")
     txt should include("H2 (relevance) - hybrid vs vector per model:")
