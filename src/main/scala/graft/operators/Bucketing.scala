@@ -28,37 +28,60 @@ object Bucketing {
     * file per touched bucket, and once a bucket spans multiple files
     * the "single sorted file per bucket" property that elides the
     * join-side Sort is gone and scan listing cost grows per append.
-    * The rewrite snapshots the table (localCheckpoint detaches it from
-    * the files being replaced), then re-writes it with the same
-    * (key, nBuckets) layout — one sorted file per bucket again,
-    * contents unchanged. Same exclusive-maintenance-window contract
-    * as compactIvfIndex: pause appends while it runs. This is the
-    * single-snapshot local form; a 100 TB deployment re-runs
-    * [[writeBucketed]] from the source-of-truth corpus instead of
-    * snapshotting the table. */
+    *
+    * Crash-safe ordering (same discipline as compactIvfIndex's dynamic
+    * overwrite): the rewrite lands in a TEMP table first, reading the
+    * original's files in place — until that write commits, the
+    * original table and its data are untouched on disk, so a failure
+    * at any point leaves either the old table (rewrite failed) or
+    * both (swap not yet run), never neither. Only then is the
+    * original dropped and the temp renamed over it. An EXTERNAL
+    * original's data directory is never deleted — the drop leaves it
+    * intact (the compacted replacement is a managed table; reclaiming
+    * the orphaned external directory is the operator's call).
+    * Same exclusive-maintenance-window contract as compactIvfIndex:
+    * pause appends while it runs. This is the single-table local
+    * form; a 100 TB deployment re-runs [[writeBucketed]] from the
+    * source-of-truth corpus instead. */
   def compactBucketed(spark: SparkSession, table: String, key: String,
                       nBuckets: Int): Unit = {
-    // localCheckpoint is EAGER: the snapshot lives in storage blocks
-    // before the drop below removes the table's files. The explicit
-    // drop (not overwrite-CTAS) is required because Spark validates a
-    // managed CTAS target's location before the overwrite drop would
-    // clear it (LOCATION_ALREADY_EXISTS otherwise).
-    val snapshot = spark.table(table).localCheckpoint()
-    val location = spark.sql(s"DESCRIBE EXTENDED $table").collect()
-      .find(_.getString(0) == "Location").map(_.getString(1))
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // a crashed prior maintenance run can leave the location dir
-    // behind with no table over it — clear it so the CTAS location
-    // validation passes (through the location's own filesystem)
-    location.foreach { loc =>
+    def clearDir(loc: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(loc)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    // align write tasks 1:1 with bucket ids (both are murmur3-pmod on
-    // the key), so each bucket comes out as exactly one sorted file
-    writeBucketed(snapshot.repartition(nBuckets,
-      org.apache.spark.sql.functions.col(key)), table, key, nBuckets)
+    val desc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+    def field(n: String): Option[String] =
+      desc.find(_.getString(0) == n).map(_.getString(1))
+    val external = field("Type").exists(_.equalsIgnoreCase("EXTERNAL"))
+    val location = field("Location")
+    // a crashed prior run can leave the temp table, or just its
+    // managed directory (CTAS validates the location before writing —
+    // LOCATION_ALREADY_EXISTS otherwise): clear both
+    val tmp = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    clearDir(s"${spark.conf.get("spark.sql.warehouse.dir")}/" +
+      tmp.toLowerCase(java.util.Locale.ROOT))
+    // rewrite FIRST, into the temp table, aligning write tasks 1:1
+    // with bucket ids (both are murmur3-pmod on the key) so each
+    // bucket comes out as exactly one sorted file; the original's
+    // files back the read and stay on disk throughout. Read the data
+    // files directly, NOT spark.table: the catalog read carries the
+    // bucketed output partitioning, which lets the planner elide the
+    // repartition shuffle and write one file per INPUT SPLIT instead
+    // of one per bucket (observed: 12 partial-bucket files from a
+    // 4-bucket table).
+    val source = location.map(spark.read.parquet(_))
+      .getOrElse(spark.table(table))
+    writeBucketed(source.repartition(nBuckets,
+      org.apache.spark.sql.functions.col(key)), tmp, key, nBuckets)
+    // swap: the replacement is durable on disk before the original
+    // goes away. Managed drop removes its own data dir; clear any
+    // leftover so the rename's destination directory is free. An
+    // external location is deliberately NOT touched.
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (!external) location.foreach(clearDir)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 
   /** Equi-join of two tables bucketed on `key` — shuffle-free by

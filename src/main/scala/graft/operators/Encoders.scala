@@ -86,6 +86,78 @@ object Encoders {
     rankTopK(scored, k)
   }
 
+  /** Persisted hashing-TF postings index — the Spark analog of the
+    * ref's encode-time memmap (auto_run_tests.py:52-108
+    * `encode_to_memmap`: the encode leg ENDS with the corpus durable
+    * on disk, and every later query reads that artifact, never
+    * re-encoding the corpus). Layout: (doc_id, bucket, cnt, norm)
+    * sparse postings, where cnt stays the exact integer hashing-TF
+    * count and norm the exact-integer-squares L2 norm — so indexed
+    * search is bit-identical to [[hashingSearch]] (asserted in
+    * IndexedSearchSpec). At 100 TB this is the serving artifact: the
+    * ingest pipeline rebuilds or appends it once, amortized over
+    * every query that follows. */
+  def writeHashingIndex(spark: SparkSession, dir: String, out: String,
+                        dim: Int = Dim, maxDoc: Option[Long] = None): Unit = {
+    val byDoc = Window.partitionBy("doc_id")
+    bucketCounts(spark, dir, dim, maxDoc)
+      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Cosine top-k against a persisted postings index (ref
+    * `measure_offline_query_latency`, auto_run_tests.py:109-160: the
+    * timed query loop touches ONLY the prebuilt memmap). Queries are
+    * the first `nq` doc ids of the index, the corpus side everything
+    * else; both sides are plain parquet scans of the index (the
+    * doc_id predicates push down), so per-query cost is
+    * scan+join+agg — no tokenize/explode/window anywhere in the hot
+    * path. */
+  def hashingSearchIndexed(spark: SparkSession, indexPath: String,
+                           k: Int = 10, nq: Int = 5): DataFrame = {
+    val idx = spark.read.parquet(indexPath)
+    val qc = idx.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("bucket"),
+        col("cnt").as("qcnt"), col("norm").as("qn"))
+    rankTopK(sparseCosine(idx.filter(col("doc_id") >= nq), qc, Seq("doc_id")), k)
+  }
+
+  // an index build is a BUILD (same contract as the vocabulary fit):
+  // one corpus pass whose on-disk result every later query shares.
+  // Keyed by applicationId like vocabCache, with the same
+  // stopped-app eviction. Scratch dirs are removed on JVM exit so
+  // repeated apps in one JVM don't accumulate parquet under /tmp.
+  private val indexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), String]
+  private lazy val indexCleaner = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => q.forEach { base =>
+      try java.nio.file.Files.walk(base)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Throwable => }
+    }))
+    q
+  }
+
+  /** [[hashingSearchIndexed]] over a memoized per-(app, dir, dim)
+    * scratch index — the verified-query form: first call builds the
+    * index (the encode leg), every later call is query-only, which is
+    * exactly the ref's measured H2 shape. */
+  def hashingSearchViaIndex(spark: SparkSession, dir: String, k: Int = 10,
+                            nq: Int = 5, dim: Int = Dim): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    indexCache.keySet.filter(_._1 != app).foreach(indexCache.remove)
+    val path = indexCache.getOrElseUpdate((app, dir, dim), {
+      val base = java.nio.file.Files.createTempDirectory("graft-hidx")
+      indexCleaner.add(base)
+      val p = base.resolve("postings").toString
+      writeHashingIndex(spark, dir, p, dim)
+      p
+    })
+    hashingSearchIndexed(spark, path, k, nq)
+  }
+
   /** The ONE sparse-cosine scoring contract, shared by
     * [[hashingSearch]] and [[Chunking.chunkSearch]]: postings
     * (keyCols…, bucket, cnt, norm) joined on bucket against BROADCAST
@@ -175,10 +247,17 @@ object Encoders {
     * [[invalidateFits]] (the refit signal a persisted vectorizer
     * would need too). */
   def fitVocabRaw(spark: SparkSession, dir: String, dim: Int,
-                  maxDoc: Option[Long] = None): (Long, Seq[(String, Long, Long)]) =
+                  maxDoc: Option[Long] = None): (Long, Seq[(String, Long, Long)]) = {
+    val app = spark.sparkContext.applicationId
+    // one SparkContext per JVM: any key under a different applicationId
+    // belongs to a STOPPED app and can never be read again — evict, so
+    // a JVM hosting successive apps (repeated test runs, notebook
+    // restarts) doesn't accumulate dead fits
+    vocabCache.keySet.filter(_._1 != app).foreach(vocabCache.remove)
     vocabCache.getOrElseUpdate(
-      (spark.sparkContext.applicationId, dir, dim, maxDoc),
+      (app, dir, dim, maxDoc),
       fitVocabUncached(spark, dir, dim, maxDoc))
+  }
 
   private def fitVocabUncached(spark: SparkSession, dir: String, dim: Int,
                                maxDoc: Option[Long]): (Long, Seq[(String, Long, Long)]) = {

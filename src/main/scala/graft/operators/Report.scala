@@ -145,7 +145,13 @@ object Report {
     sb ++= "Experiment report - graft\n"
     sb ++= "\nSUMMARY:\n"
     sb ++= s" - H1 ingest batches: ${ingestAgg.getAs[Long]("n_batches")}\n"
-    sb ++= s" - H2 relevance legs (model x mode): ${lift.length * 2}\n"
+    // derive the leg count from the lift rows themselves (one non-null
+    // <mode>_map column per evaluated mode), not a hardcoded ×2 — a
+    // grid with a missing or added search_mode reports its real size
+    val nLegs = lift.map(r => r.schema.fieldNames
+      .filter(n => n.endsWith("_map") && n != "map_lift")
+      .count(c => !r.isNullAt(r.fieldIndex(c)))).sum
+    sb ++= s" - H2 relevance legs (model x mode): $nLegs\n"
     sb ++= s" - H3 size sweep cells: ${grid.length}\n"
 
     sb ++= "\nCorpus filter funnel (docs / tokens / % kept):\n"

@@ -9,12 +9,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Measures, per size, the two legs the ref's local H2 run records in
   * auto_test_H2_local_summary_*.csv (experiments/results/):
-  *  - encode wall-time over the full corpus (ref: encode_total_s,
-  *    dummy encoder at dim 512 → ours: hashing-TF at dim 512), and
-  *  - the 30-query top-10 retrieval (ref: query_latency over
-  *    sample_queries=30 run one NumPy scan per query → ours: ONE
-  *    30-query inverted-index plan, the Spark-native shape; the
-  *    parent reports wall/30 as the per-query figure).
+  *  - encode wall-time over the full corpus, ending durable on disk
+  *    (ref: encode_total_s — encode_to_memmap WRITES the memmap,
+  *    auto_run_tests.py:52-108 → ours: hashing-TF postings index at
+  *    dim 512, [[graft.operators.Encoders.writeHashingIndex]]), and
+  *  - the 30-query top-10 retrieval against that prebuilt artifact
+  *    (ref: measure_offline_query_latency scans ONLY the memmap,
+  *    :109-160, sample_queries=30 → ours: ONE 30-query
+  *    inverted-index plan over the stored postings,
+  *    [[graft.operators.Encoders.hashingSearchIndexed]]; the parent
+  *    reports wall/30 as the per-query figure).
   * Line protocol: `H2Q <n_docs> <encode_sec> <q30_sec>` per size,
   * min-of-2 after a warm-up pass, interleaved across sizes like
   * [[ScaleRun.measure]] so residual JVM drift doesn't read as scaling.
@@ -48,10 +52,19 @@ object H2Run {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // The ref's two legs, faithfully: encode ENDS with the corpus
+    // durable on disk (encode_to_memmap writes the memmap,
+    // auto_run_tests.py:52-108), and the timed query loop reads ONLY
+    // that artifact (measure_offline_query_latency, :109-160) — it
+    // never re-encodes. Same here: enc() builds the postings index,
+    // q30() searches it.
+    val idxBase = java.nio.file.Files.createTempDirectory("graft-h2idx")
+    def idxPath(dir: String): String =
+      s"$idxBase/${new java.io.File(dir).getName}"
     def enc(dir: String): Double =
-      timed(graft.operators.Encoders.hashingTf(spark, dir, Dim).count())
+      timed(graft.operators.Encoders.writeHashingIndex(spark, dir, idxPath(dir), Dim))
     def q30(dir: String): Double =
-      timed(graft.operators.Encoders.hashingSearch(spark, dir, K, NQ, Dim).count())
+      timed(graft.operators.Encoders.hashingSearchIndexed(spark, idxPath(dir), K, NQ).count())
     // warm-up pass on the smallest corpus only (parquet/codegen init)
     enc(dirs.head._2); q30(dirs.head._2)
     val m = scala.collection.mutable.Map[Long, (Double, Double)]()
@@ -65,6 +78,11 @@ object H2Run {
       println(s"H2Q $n $e $q")
       System.out.flush()
     }
+    // the indexes are bench-local scratch
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    Files.walk(idxBase).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.deleteIfExists(p))
     spark.stop()
   }
 }

@@ -92,4 +92,39 @@ class CompactionSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"DROP TABLE IF EXISTS $other")
   }
+
+  test("compaction preserves an external table's data directory and survives rewrite-first ordering") {
+    import spark.implicits._
+    val table = "graft_compact_ext"
+    Seq(table, s"${table}__compacting").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val loc = s"${tempDir("graft-compact-ext")}/data"
+    def part(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    // explicit path → Spark creates an EXTERNAL table over loc
+    part(0, 60).write.option("path", loc).format("parquet")
+      .bucketBy(2, "id").sortBy("id").saveAsTable(table)
+    part(60, 100).write.mode("append").format("parquet")
+      .bucketBy(2, "id").sortBy("id").saveAsTable(table)
+    val extDir = new java.io.File(loc)
+    val extFilesBefore =
+      extDir.listFiles().count(_.getName.endsWith(".parquet"))
+    extFilesBefore should be > 2
+    val before = spark.table(table).collect().map(_.toString).sorted
+
+    operators.Bucketing.compactBucketed(spark, table, "id", 2)
+
+    // contents intact, layout compacted to one file per bucket
+    spark.table(table).collect().map(_.toString).sorted shouldBe before
+    // the original EXTERNAL directory was NOT deleted: every
+    // pre-compaction file is still there for the operator to reclaim
+    extDir.listFiles()
+      .count(_.getName.endsWith(".parquet")) shouldBe extFilesBefore
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

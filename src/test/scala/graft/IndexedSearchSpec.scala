@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.operators.Encoders
+
+/** Persisted hashing-TF postings index (Encoders.writeHashingIndex /
+  * hashingSearchIndexed) — the Spark analog of the ref's encode-time
+  * memmap (auto_run_tests.py:52-160): queries read the stored
+  * artifact, never re-encode the corpus. */
+class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
+
+  test("indexed search is bit-identical to the in-plan search") {
+    val idx = s"${tempDir("graft-hidx-spec")}/postings"
+    Encoders.writeHashingIndex(spark, sfDir, idx)
+    val direct = Encoders.hashingSearch(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val indexed = Encoders.hashingSearchIndexed(spark, idx)
+      .collect().map(_.toString).sorted
+    indexed shouldBe direct
+    direct should not be empty
+  }
+
+  test("the indexed query plan never touches the documents table") {
+    val idx = s"${tempDir("graft-hidx-spec2")}/postings"
+    Encoders.writeHashingIndex(spark, sfDir, idx)
+    val plan = Encoders.hashingSearchIndexed(spark, idx)
+      .queryExecution.executedPlan.toString()
+    // the hot path is scan+join+agg over the postings only: no
+    // re-tokenize (the corpus-wide explode over text — the only
+    // Generate left is rankTopK's posexplode of ≤k-element arrays),
+    // no re-normalize (window), no documents.parquet scan
+    plan should not include "documents.parquet"
+    plan.toLowerCase should not include "explode(tokens"
+    plan should not include "Window"
+    // doc_id predicates reach the index scan
+    plan should include("PushedFilters")
+  }
+
+  test("via-index wrapper memoizes the build per (app, dir, dim)") {
+    val r1 = Encoders.hashingSearchViaIndex(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val r2 = Encoders.hashingSearchViaIndex(spark, sfDir)
+      .collect().map(_.toString).sorted
+    r2 shouldBe r1
+    // and matches the verified hashing-search output
+    r1 shouldBe Encoders.hashingSearch(spark, sfDir)
+      .collect().map(_.toString).sorted
+  }
+}
