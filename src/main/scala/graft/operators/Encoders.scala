@@ -41,9 +41,25 @@ object Encoders {
     * inverted-index search pipeline. */
   def bucketCounts(spark: SparkSession, dir: String, dim: Int = Dim,
                    maxDoc: Option[Long] = None): DataFrame =
-    toks(spark, dir, maxDoc)
+    bucketCountsOf(capped(Tables.documents(spark, dir), maxDoc), dim)
+
+  /** [[bucketCounts]] over an arbitrary (doc_id, text) frame — the
+    * form the incremental-ingest path needs (a batch of new docs is
+    * not a corpus directory). */
+  private def bucketCountsOf(docs: DataFrame, dim: Int): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), (polyHash(col("tok")) % dim).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The ONE postings derivation — (doc_id, bucket, cnt, norm) with
+    * the exact-integer-squares L2 norm — shared by the index build and
+    * the index append so the two can never diverge. The norm is
+    * per-document, so it is computable from any doc-complete subset. */
+  private def postingsOf(docs: DataFrame, dim: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+    bucketCountsOf(docs, dim)
+      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
+  }
 
   /** Hashing-TF (ref encoder.py:93-103 `_hash_vectorize`): token →
     * polynomial hash → bucket, per-bucket counts, row L2-normalized.
@@ -98,12 +114,22 @@ object Encoders {
     * ingest pipeline rebuilds or appends it once, amortized over
     * every query that follows. */
   def writeHashingIndex(spark: SparkSession, dir: String, out: String,
-                        dim: Int = Dim, maxDoc: Option[Long] = None): Unit = {
-    val byDoc = Window.partitionBy("doc_id")
-    bucketCounts(spark, dir, dim, maxDoc)
-      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
+                        dim: Int = Dim, maxDoc: Option[Long] = None): Unit =
+    postingsOf(capped(Tables.documents(spark, dir), maxDoc), dim)
       .write.mode("overwrite").parquet(out)
-  }
+
+  /** Incremental maintenance for a [[writeHashingIndex]] layout — the
+    * serving-side ingest path (same contract as
+    * [[Ann.appendToIvfIndex]]): postings+norm for a batch of NEW
+    * (doc_id, text) documents, computed from the batch ALONE (a
+    * rebuild re-tokenizes the whole corpus) and appended. Hashing-TF
+    * norms are per-document, so for batch doc_ids disjoint from the
+    * index's, append ≡ full rebuild bit-identically (asserted in
+    * IndexedSearchSpec). Append debt (small files) is reclaimed the
+    * usual way: rebuild, or a parquet-dir compaction pass. */
+  def appendToHashingIndex(spark: SparkSession, newDocs: DataFrame,
+                           out: String, dim: Int = Dim): Unit =
+    postingsOf(newDocs, dim).write.mode("append").parquet(out)
 
   /** Cosine top-k against a persisted postings index (ref
     * `measure_offline_query_latency`, auto_run_tests.py:109-160: the

@@ -51,7 +51,11 @@ object ScaleRun {
     // round-8: NN-Descent build + beam search — per-round candidate
     // volume is O(N·R²) so the exponent should read linear-ish; a
     // super-linear reading here means the neighborhood caps regressed
-    "ann_graph_search")
+    "ann_graph_search",
+    // round-9: query-from-stored-postings (the memoized build runs in
+    // the warm-up pass, so the measured exponent is the QUERY leg:
+    // postings scan + broadcast join + top-k, expected ~linear)
+    "pipeline_indexed_search")
 
   /** Warm-up + interleaved min-of-2 (t1, t10) per query — the
     * measurement kernel shared by the child main (line protocol) and

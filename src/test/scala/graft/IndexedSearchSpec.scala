@@ -37,6 +37,25 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
     plan should include("PushedFilters")
   }
 
+  test("append to the index is bit-identical to a full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val base = tempDir("graft-hidx-append")
+    val full = s"$base/full"; val inc = s"$base/inc"
+    Encoders.writeHashingIndex(spark, sfDir, full)
+    // incremental: the even doc_ids as the base batch, odds appended
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    Encoders.appendToHashingIndex(spark,
+      docs.filter(col("doc_id") % 2 === 0), inc)
+    Encoders.appendToHashingIndex(spark,
+      docs.filter(col("doc_id") % 2 =!= 0), inc)
+    spark.read.parquet(inc).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(full).collect().map(_.toString).sorted
+    // and the search over the appended index matches the direct plan
+    Encoders.hashingSearchIndexed(spark, inc)
+      .collect().map(_.toString).sorted shouldBe
+      Encoders.hashingSearch(spark, sfDir).collect().map(_.toString).sorted
+  }
+
   test("via-index wrapper memoizes the build per (app, dir, dim)") {
     val r1 = Encoders.hashingSearchViaIndex(spark, sfDir)
       .collect().map(_.toString).sorted
