@@ -151,20 +151,11 @@ object Encoders {
   // an index build is a BUILD (same contract as the vocabulary fit):
   // one corpus pass whose on-disk result every later query shares.
   // Keyed by applicationId like vocabCache, with the same
-  // stopped-app eviction. Scratch dirs are removed on JVM exit so
-  // repeated apps in one JVM don't accumulate parquet under /tmp.
+  // stopped-app eviction. Scratch dirs are removed on JVM exit
+  // (graft.Cleanup) so repeated apps in one JVM don't accumulate
+  // parquet under /tmp.
   private val indexCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), String]
-  private lazy val indexCleaner = {
-    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => q.forEach { base =>
-      try java.nio.file.Files.walk(base)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: Throwable => }
-    }))
-    q
-  }
 
   /** [[hashingSearchIndexed]] over a memoized per-(app, dir, dim)
     * scratch index — the verified-query form: first call builds the
@@ -175,8 +166,8 @@ object Encoders {
     val app = spark.sparkContext.applicationId
     indexCache.keySet.filter(_._1 != app).foreach(indexCache.remove)
     val path = indexCache.getOrElseUpdate((app, dir, dim), {
-      val base = java.nio.file.Files.createTempDirectory("graft-hidx")
-      indexCleaner.add(base)
+      val base = graft.Cleanup.onExit(
+        java.nio.file.Files.createTempDirectory("graft-hidx"))
       val p = base.resolve("postings").toString
       writeHashingIndex(spark, dir, p, dim)
       p

@@ -130,8 +130,15 @@ object Sources {
   // precision, double round-trip, JSON string escaping) is part of the
   // oracle contract, not just test coverage.
 
-  private def scratch(dir: String, leaf: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-${math.abs(dir.hashCode)}/$leaf"
+  // round-trip scratch is removed at JVM exit (graft.Cleanup): the
+  // path is deterministic per input dir (re-runs overwrite, not
+  // accumulate), but distinct inputs (bench scale corpora, probe
+  // dirs) would each leak one dir under /tmp forever otherwise
+  private def scratch(dir: String, leaf: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-${math.abs(dir.hashCode)}"
+    graft.Cleanup.onExit(java.nio.file.Paths.get(base))
+    s"$base/$leaf"
+  }
 
   /** events parquet → CSV → read back → per-type summary. The summary
     * is computed from the ROUND-TRIPPED frame while the oracle reads
