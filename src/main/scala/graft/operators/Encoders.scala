@@ -365,15 +365,31 @@ object Encoders {
     * unordered double sum is not), mirrored exactly in the oracle. */
   def tfIdfSearch(spark: SparkSession, dir: String, k: Int = 10,
                   nq: Int = 5, dim: Int = Dim,
-                  maxDoc: Option[Long] = None): DataFrame = {
-    // norms ride along as a window over the weights frame, so the plan
-    // needs no separate norm aggregate and — crucially — no shuffle
-    // join of the scored pairs back against a norm table
+                  maxDoc: Option[Long] = None): DataFrame =
+    tfIdfScore(tfIdfPostings(spark, dir, dim, maxDoc), k, nq)
+
+  /** (doc_id, tok, weight, nrm) TF-IDF postings with fixed-point norms
+    * — the ONE weighted-postings derivation behind the in-plan search,
+    * the persisted index and the index append. Norms ride along as a
+    * window over the weights frame, so the plan needs no separate norm
+    * aggregate and — crucially — no shuffle join of the scored pairs
+    * back against a norm table. */
+  private def tfIdfPostings(spark: SparkSession, dir: String, dim: Int,
+                            maxDoc: Option[Long] = None): DataFrame = {
     val byDoc = Window.partitionBy("doc_id")
-    val wn = tfIdfWeights(spark, dir, fittedVocab(spark, dir, dim, maxDoc), maxDoc)
+    tfIdfWeights(spark, dir, fittedVocab(spark, dir, dim, maxDoc), maxDoc)
       .withColumn("nrm", sqrt(
         sum(floor(col("weight") * col("weight") * 1e9 + 0.5).cast("long"))
           .over(byDoc) / 1e9))
+  }
+
+  /** The shared TF-IDF scoring tail over a (doc_id, tok, weight, nrm)
+    * postings frame: inverted-index join on the term against broadcast
+    * query postings; numerators are fixed-point long sums (fxSum —
+    * associative, so accumulation-order-free; an unordered double sum
+    * is not), mirrored exactly in the oracle. Shared by [[tfIdfSearch]]
+    * and [[tfIdfSearchIndexed]] so the two cannot diverge. */
+  private def tfIdfScore(wn: DataFrame, k: Int, nq: Int): DataFrame = {
     val qw = wn.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("tok"),
         col("weight").as("qweight"), col("nrm").as("qn"))
@@ -387,6 +403,48 @@ object Encoders {
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
   }
+
+  /** Persisted TF-IDF postings index — [[writeHashingIndex]]'s twin
+    * for the reference's PRIMARY encoder: the fitted-vocabulary
+    * weights and fixed-point norms land durable on disk at encode
+    * time, and indexed queries score from the stored doubles (IEEE
+    * round-trips through parquet exactly), so indexed ≡ in-plan
+    * bit-identically (spec-asserted). The FIT travels with the index:
+    * weights embed the vocabulary, so a later query needs neither the
+    * corpus nor a refit. */
+  def writeTfidfIndex(spark: SparkSession, dir: String, out: String,
+                      dim: Int = Dim, maxDoc: Option[Long] = None): Unit =
+    tfIdfPostings(spark, dir, dim, maxDoc).write.mode("overwrite").parquet(out)
+
+  /** Cosine top-k from a persisted [[writeTfidfIndex]] layout — no
+    * tokenize, no vocabulary fit, no window in the hot path. */
+  def tfIdfSearchIndexed(spark: SparkSession, indexPath: String,
+                         k: Int = 10, nq: Int = 5): DataFrame =
+    tfIdfScore(spark.read.parquet(indexPath), k, nq)
+
+  /** [[tfIdfSearchIndexed]] over a memoized per-(app, dir, dim)
+    * scratch index — the verified-query form, mirroring
+    * [[hashingSearchViaIndex]]. The ingest caveat differs from the
+    * hashing index: TF-IDF weights depend on the corpus-wide fit, so
+    * appending NEW documents is only exact under the FROZEN fit (the
+    * ref's fitted-TfidfVectorizer transform contract); refit + rebuild
+    * when drift accumulates, exactly like the IVF centroid contract. */
+  def tfIdfSearchViaIndex(spark: SparkSession, dir: String, k: Int = 10,
+                          nq: Int = 5, dim: Int = Dim): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    tfidfIndexCache.keySet.filter(_._1 != app).foreach(tfidfIndexCache.remove)
+    val path = tfidfIndexCache.getOrElseUpdate((app, dir, dim), {
+      val base = graft.Cleanup.onExit(
+        java.nio.file.Files.createTempDirectory("graft-tidx"))
+      val p = base.resolve("postings").toString
+      writeTfidfIndex(spark, dir, p, dim)
+      p
+    })
+    tfIdfSearchIndexed(spark, path, k, nq)
+  }
+
+  private val tfidfIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), String]
 
   /** BM25 top-k keyword retrieval — the keyword half of [[hybridSearch]]
     * and a standalone scorer (the standard Okapi/Lucene formulation the

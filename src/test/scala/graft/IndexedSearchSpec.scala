@@ -56,6 +56,27 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
       Encoders.hashingSearch(spark, sfDir).collect().map(_.toString).sorted
   }
 
+  test("indexed TF-IDF search is bit-identical to the in-plan search") {
+    val idx = s"${tempDir("graft-tidx-spec")}/postings"
+    Encoders.writeTfidfIndex(spark, sfDir, idx)
+    val direct = Encoders.tfIdfSearch(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val indexed = Encoders.tfIdfSearchIndexed(spark, idx)
+      .collect().map(_.toString).sorted
+    indexed shouldBe direct
+    direct should not be empty
+    // hot path: no corpus scan, no refit (the weights embed the
+    // vocabulary), no window
+    val plan = Encoders.tfIdfSearchIndexed(spark, idx)
+      .queryExecution.executedPlan.toString()
+    plan should not include "documents.parquet"
+    plan.toLowerCase should not include "explode(tokens"
+    plan should not include "Window"
+    // and the via-index wrapper matches too
+    Encoders.tfIdfSearchViaIndex(spark, sfDir)
+      .collect().map(_.toString).sorted shouldBe direct
+  }
+
   test("via-index wrapper memoizes the build per (app, dir, dim)") {
     val r1 = Encoders.hashingSearchViaIndex(spark, sfDir)
       .collect().map(_.toString).sorted
