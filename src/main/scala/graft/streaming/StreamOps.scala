@@ -600,4 +600,35 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Streaming ingest into the persisted hashing-TF postings index
+    * ([[graft.operators.Encoders.writeHashingIndex]]): each
+    * micro-batch of (doc_id, text) documents is tokenized/bucketed
+    * FROM THE BATCH ALONE (per-doc norms make a disjoint append
+    * bit-equal to a rebuild) and appended to the stored layout. Same
+    * idempotence discipline as [[ivfIngestStream]]: a replayed or
+    * overlapping batch is anti-joined against the index's existing
+    * doc_ids, so at-least-once delivery becomes an exactly-once
+    * index. Self-seeding: a missing layout means nothing to dedupe
+    * against, and the first appended batch creates it. */
+  def postingsIngestStream(docs: DataFrame, indexPath: String,
+                           checkpointDir: String, dim: Int = graft.operators.Encoders.Dim)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          try {
+            val existing = spark.read.parquet(indexPath)
+              .select("doc_id").distinct()
+            batch.join(existing, Seq("doc_id"), "left_anti")
+          } catch {
+            // no layout yet (first batch): nothing to dedupe against
+            case _: org.apache.spark.sql.AnalysisException => batch
+          }
+        if (!fresh.isEmpty)
+          graft.operators.Encoders.appendToHashingIndex(spark, fresh, indexPath, dim)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -265,6 +265,43 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.read.parquet(pathA).count() shouldBe nRows
   }
 
+  test("postingsIngestStream: streamed index equals batch build, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import operators.Encoders
+    val tmp = new java.io.File(tempDir("graft-poststream"))
+    val streamed = new java.io.File(tmp, "streamed").getAbsolutePath
+    val batch = new java.io.File(tmp, "batch").getAbsolutePath
+    Encoders.writeHashingIndex(spark, sfDir, batch)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    def ingest(ck: String): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.postingsIngestStream(
+        input.toDF().toDF("doc_id", "text"), streamed, tempDir(ck))
+      try {
+        // two micro-batches (self-seeding first, disjoint second)
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        input.addData(h1: _*); q.processAllAvailable()
+        input.addData(h2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    ingest("graft-postck1")
+    // the streamed index is bit-identical to the one-shot batch build
+    spark.read.parquet(streamed).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(batch).collect().map(_.toString).sorted
+    // and searches identically
+    Encoders.hashingSearchIndexed(spark, streamed)
+      .collect().map(_.toString).sorted shouldBe
+      Encoders.hashingSearchIndexed(spark, batch)
+        .collect().map(_.toString).sorted
+    // full replay under a fresh checkpoint: anti-join makes it a no-op
+    val nRows = spark.read.parquet(streamed).count()
+    ingest("graft-postck2")
+    spark.read.parquet(streamed).count() shouldBe nRows
+  }
+
   test("dedupStream drops re-seen content within the watermark horizon") {
     val s = spark
     import s.implicits._
