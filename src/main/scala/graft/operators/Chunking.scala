@@ -87,27 +87,85 @@ object Chunking {
   def chunkSearch(spark: SparkSession, dir: String, k: Int = 10,
                   nq: Int = 5, dim: Int = Encoders.Dim,
                   w: Int = W, s: Int = Stride): DataFrame = {
-    val byChunk = Window.partitionBy("doc_id", "chunk_id")
-    val cn = chunkToksOf(
-        Tables.documents(spark, dir).select("doc_id", "text"), w, s)
+    val cn = chunkPostings(spark, dir, dim, w, s)
       .filter(col("doc_id") >= nq)
-      .select(col("doc_id"), col("chunk_id"),
-        explode(col("chunk_toks")).as("tok"))
-      .select(col("doc_id"), col("chunk_id"),
-        (polyHash(col("tok")) % dim).as("bucket"))
-      .groupBy("doc_id", "chunk_id", "bucket").agg(count(lit(1)).as("cnt"))
-      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byChunk)))
     val byDoc = Window.partitionBy("doc_id")
     val qc = Encoders.bucketCounts(spark, dir, dim)
       .filter(col("doc_id") < nq)
       .withColumn("qn", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
       .select(col("doc_id").as("q_id"), col("bucket"),
         col("cnt").as("qcnt"), col("qn"))
-    // per-chunk cosine via the shared contract, then max-pool per doc
+    chunkScorePool(cn, qc, k)
+  }
+
+  /** (doc_id, chunk_id, bucket, cnt, norm) — the ONE chunk-postings
+    * derivation behind the in-plan search and the persisted index. */
+  private def chunkPostings(spark: SparkSession, dir: String, dim: Int,
+                            w: Int, s: Int): DataFrame = {
+    val byChunk = Window.partitionBy("doc_id", "chunk_id")
+    chunkToksOf(Tables.documents(spark, dir).select("doc_id", "text"), w, s)
+      .select(col("doc_id"), col("chunk_id"),
+        explode(col("chunk_toks")).as("tok"))
+      .select(col("doc_id"), col("chunk_id"),
+        (polyHash(col("tok")) % dim).as("bucket"))
+      .groupBy("doc_id", "chunk_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byChunk)))
+  }
+
+  /** The shared score-and-pool tail: per-chunk cosine via the shared
+    * sparse contract, max-pool per document, ranked top-k. */
+  private def chunkScorePool(cn: DataFrame, qc: DataFrame, k: Int): DataFrame = {
     val chunkScore = Encoders.sparseCosine(cn, qc, Seq("doc_id", "chunk_id"))
     val docScore = chunkScore.groupBy("q_id", "doc_id")
       .agg(max(col("score")).as("score"))
     Encoders.rankTopK(docScore, k)
+  }
+
+  /** Persisted chunk-postings index — the passage-retrieval serving
+    * layout ([[graft.operators.Encoders.writeHashingIndex]]'s chunk-
+    * granularity sibling): every chunk's integer bucket counts and
+    * exact-integer-squares norm land durable at ingest time. */
+  def writeChunkIndex(spark: SparkSession, dir: String, out: String,
+                      dim: Int = Encoders.Dim, w: Int = W,
+                      s: Int = Stride): Unit =
+    chunkPostings(spark, dir, dim, w, s).write.mode("overwrite").parquet(out)
+
+  /** Chunk-level retrieval from persisted layouts: chunk postings from
+    * a [[writeChunkIndex]], whole-document QUERY vectors from the
+    * doc-level hashing index (same dim, same exact counts/norms) — no
+    * tokenize, no window anywhere in the hot path; bit-identical to
+    * [[chunkSearch]] (spec-asserted). */
+  def chunkSearchIndexed(spark: SparkSession, chunkIndexPath: String,
+                         docIndexPath: String, k: Int = 10,
+                         nq: Int = 5): DataFrame = {
+    val cn = spark.read.parquet(chunkIndexPath).filter(col("doc_id") >= nq)
+    val qc = spark.read.parquet(docIndexPath).filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("bucket"),
+        col("cnt").as("qcnt"), col("norm").as("qn"))
+    chunkScorePool(cn, qc, k)
+  }
+
+  // chunk-index builds memoized per (app, dir, dim, w, s), scratch
+  // swept at JVM exit — the same BUILD contract as the doc-level index
+  private val chunkIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Int, Int), String]
+
+  /** [[chunkSearchIndexed]] over memoized scratch builds of BOTH
+    * layouts — the verified-query form (`pipeline_chunk_indexed`). */
+  def chunkSearchViaIndex(spark: SparkSession, dir: String, k: Int = 10,
+                          nq: Int = 5, dim: Int = Encoders.Dim,
+                          w: Int = W, s: Int = Stride): DataFrame = {
+    val app = spark.sparkContext.applicationId
+    chunkIndexCache.keySet.filter(_._1 != app).foreach(chunkIndexCache.remove)
+    val cPath = chunkIndexCache.getOrElseUpdate((app, dir, dim, w, s), {
+      val base = graft.Cleanup.onExit(
+        java.nio.file.Files.createTempDirectory("graft-cidx"))
+      val p = base.resolve("postings").toString
+      writeChunkIndex(spark, dir, p, dim, w, s)
+      p
+    })
+    chunkSearchIndexed(spark, cPath,
+      Encoders.hashingIndexPath(spark, dir, dim), k, nq)
   }
 
   /** Boilerplate-passage detection: exact dedup at CHUNK granularity

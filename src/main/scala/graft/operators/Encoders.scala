@@ -157,23 +157,30 @@ object Encoders {
   private val indexCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), String]
 
-  /** [[hashingSearchIndexed]] over a memoized per-(app, dir, dim)
-    * scratch index — the verified-query form: first call builds the
-    * index (the encode leg), every later call is query-only, which is
-    * exactly the ref's measured H2 shape. */
-  def hashingSearchViaIndex(spark: SparkSession, dir: String, k: Int = 10,
-                            nq: Int = 5, dim: Int = Dim): DataFrame = {
+  /** Path of the memoized per-(app, dir, dim) scratch hashing index,
+    * building it on first use — shared by [[hashingSearchViaIndex]]
+    * and the chunk-index query side ([[Chunking.chunkSearchViaIndex]]
+    * reads its whole-document query vectors from this same layout). */
+  def hashingIndexPath(spark: SparkSession, dir: String,
+                       dim: Int = Dim): String = {
     val app = spark.sparkContext.applicationId
     indexCache.keySet.filter(_._1 != app).foreach(indexCache.remove)
-    val path = indexCache.getOrElseUpdate((app, dir, dim), {
+    indexCache.getOrElseUpdate((app, dir, dim), {
       val base = graft.Cleanup.onExit(
         java.nio.file.Files.createTempDirectory("graft-hidx"))
       val p = base.resolve("postings").toString
       writeHashingIndex(spark, dir, p, dim)
       p
     })
-    hashingSearchIndexed(spark, path, k, nq)
   }
+
+  /** [[hashingSearchIndexed]] over the memoized scratch index — the
+    * verified-query form: first call builds the index (the encode
+    * leg), every later call is query-only, which is exactly the ref's
+    * measured H2 shape. */
+  def hashingSearchViaIndex(spark: SparkSession, dir: String, k: Int = 10,
+                            nq: Int = 5, dim: Int = Dim): DataFrame =
+    hashingSearchIndexed(spark, hashingIndexPath(spark, dir, dim), k, nq)
 
   /** The ONE sparse-cosine scoring contract, shared by
     * [[hashingSearch]] and [[Chunking.chunkSearch]]: postings

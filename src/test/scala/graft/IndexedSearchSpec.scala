@@ -77,6 +77,28 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
       .collect().map(_.toString).sorted shouldBe direct
   }
 
+  test("indexed chunk retrieval is bit-identical to the in-plan search") {
+    import graft.operators.Chunking
+    val base = tempDir("graft-cidx-spec")
+    val cIdx = s"$base/chunks"; val dIdx = s"$base/docs"
+    Chunking.writeChunkIndex(spark, sfDir, cIdx)
+    Encoders.writeHashingIndex(spark, sfDir, dIdx)
+    val direct = Chunking.chunkSearch(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val indexed = Chunking.chunkSearchIndexed(spark, cIdx, dIdx)
+      .collect().map(_.toString).sorted
+    indexed shouldBe direct
+    direct should not be empty
+    val plan = Chunking.chunkSearchIndexed(spark, cIdx, dIdx)
+      .queryExecution.executedPlan.toString()
+    plan should not include "documents.parquet"
+    plan.toLowerCase should not include "explode(tokens"
+    plan should not include "Window"
+    // and the via-index wrapper matches too
+    Chunking.chunkSearchViaIndex(spark, sfDir)
+      .collect().map(_.toString).sorted shouldBe direct
+  }
+
   test("via-index wrapper memoizes the build per (app, dir, dim)") {
     val r1 = Encoders.hashingSearchViaIndex(spark, sfDir)
       .collect().map(_.toString).sorted
