@@ -416,12 +416,41 @@ object Encoders {
     * weights and fixed-point norms land durable on disk at encode
     * time, and indexed queries score from the stored doubles (IEEE
     * round-trips through parquet exactly), so indexed ≡ in-plan
-    * bit-identically (spec-asserted). The FIT travels with the index:
-    * weights embed the vocabulary, so a later query needs neither the
-    * corpus nor a refit. */
+    * bit-identically (spec-asserted). The FIT travels with the index
+    * twice over: weights embed it, and the (tok, idf) table itself is
+    * stored under `_vocab/` (an underscore path — invisible to the
+    * postings scan, exactly like `_SUCCESS`), which is what lets
+    * [[appendToTfidfIndex]] transform NEW documents under the frozen
+    * fit without the original corpus. */
   def writeTfidfIndex(spark: SparkSession, dir: String, out: String,
-                      dim: Int = Dim, maxDoc: Option[Long] = None): Unit =
+                      dim: Int = Dim, maxDoc: Option[Long] = None): Unit = {
     tfIdfPostings(spark, dir, dim, maxDoc).write.mode("overwrite").parquet(out)
+    fittedVocab(spark, dir, dim, maxDoc)
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_vocab")
+  }
+
+  /** Frozen-fit incremental maintenance for a [[writeTfidfIndex]]
+    * layout — the fitted-TfidfVectorizer TRANSFORM contract (the ref
+    * fits once and transforms every later batch with the same
+    * vectorizer, encoder.py:76-92): a batch of NEW (doc_id, text)
+    * documents is weighted with the INDEX'S OWN stored vocabulary —
+    * idf does not move — and appended. Per-doc norms make a disjoint
+    * append bit-equal to having encoded those docs at build time
+    * under the same fit (spec-asserted). Refit + rebuild when drift
+    * accumulates, exactly like the IVF centroid contract. */
+  def appendToTfidfIndex(spark: SparkSession, newDocs: DataFrame,
+                         indexPath: String): Unit = {
+    val vocab = spark.read.parquet(s"$indexPath/_vocab")
+    val byDoc = Window.partitionBy("doc_id")
+    newDocs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(broadcast(vocab), "tok")
+      .select(col("doc_id"), col("tok"), (col("tf") * col("idf")).as("weight"))
+      .withColumn("nrm", sqrt(
+        sum(floor(col("weight") * col("weight") * 1e9 + 0.5).cast("long"))
+          .over(byDoc) / 1e9))
+      .write.mode("append").parquet(indexPath)
+  }
 
   /** Cosine top-k from a persisted [[writeTfidfIndex]] layout — no
     * tokenize, no vocabulary fit, no window in the hot path. */

@@ -77,6 +77,28 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
       .collect().map(_.toString).sorted shouldBe direct
   }
 
+  test("frozen-fit TF-IDF append is bit-identical to encoding at build time") {
+    import org.apache.spark.sql.functions.col
+    val base = tempDir("graft-tidx-append")
+    val full = s"$base/full"; val inc = s"$base/inc"
+    Encoders.writeTfidfIndex(spark, sfDir, full)
+    // partial layout: the even doc_ids' postings plus the stored fit
+    spark.read.parquet(full).filter(col("doc_id") % 2 === 0)
+      .write.parquet(inc)
+    spark.read.parquet(s"$full/_vocab").write.parquet(s"$inc/_vocab")
+    // the odd docs arrive later as a batch, transformed under the
+    // FROZEN fit (the index's own stored vocabulary)
+    Encoders.appendToTfidfIndex(spark,
+      Tables.documents(spark, sfDir).select("doc_id", "text")
+        .filter(col("doc_id") % 2 =!= 0), inc)
+    spark.read.parquet(inc).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(full).collect().map(_.toString).sorted
+    // and the appended index searches identically to the in-plan path
+    Encoders.tfIdfSearchIndexed(spark, inc)
+      .collect().map(_.toString).sorted shouldBe
+      Encoders.tfIdfSearch(spark, sfDir).collect().map(_.toString).sorted
+  }
+
   test("indexed chunk retrieval is bit-identical to the in-plan search") {
     import graft.operators.Chunking
     val base = tempDir("graft-cidx-spec")
