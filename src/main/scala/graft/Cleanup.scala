@@ -7,20 +7,44 @@ package graft
   * host — never accumulate parquet under /tmp. Deliberately
   * best-effort: a failed delete must not mask the app's own exit. */
 object Cleanup {
-  private lazy val queue = {
-    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-    Runtime.getRuntime.addShutdownHook(new Thread(() => q.forEach { base =>
+  // a keySet, not a queue: repeat registrations of the same base (the
+  // deterministic round-trip scratch re-registers per query run) must
+  // not grow exit-time work — one sweep per distinct directory
+  private lazy val registered = {
+    val s = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => s.forEach { base =>
       try java.nio.file.Files.walk(base)
         .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
       catch { case _: Throwable => }
     }))
-    q
+    s
   }
 
-  /** Registers `path` for recursive removal at JVM exit; returns it. */
+  /** Registers `path` for recursive removal at JVM exit (idempotent);
+    * returns it. */
   def onExit(path: java.nio.file.Path): java.nio.file.Path = {
-    queue.add(path)
+    registered.add(path)
     path
+  }
+
+  /** Memoized per-(applicationId, key) scratch BUILD — the one
+    * serving-index contract shared by the postings / TF-IDF / chunk /
+    * IVF scratch layouts: entries of stopped applications are evicted
+    * (one SparkContext per JVM, so a foreign applicationId can never
+    * be read again), the build runs at most once per live key, and
+    * the scratch base is swept at JVM exit. Returns the built path. */
+  def memoizedBuild[K](cache: scala.collection.concurrent.TrieMap[(String, K), String],
+                       spark: org.apache.spark.sql.SparkSession,
+                       key: K, prefix: String)(build: String => Unit): String = {
+    val app = spark.sparkContext.applicationId
+    cache.keySet.filter(_._1 != app).foreach(cache.remove)
+    cache.getOrElseUpdate((app, key), {
+      val base = onExit(java.nio.file.Files.createTempDirectory(prefix))
+      val p = base.resolve("index").toString
+      build(p)
+      p
+    })
   }
 }

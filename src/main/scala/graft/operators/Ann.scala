@@ -369,9 +369,8 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
-  // IVF scratch-layout builds memoized per (app, dir) — the same
-  // BUILD contract as the postings/chunk/TF-IDF serving indexes;
-  // scratch swept at JVM exit (graft.Cleanup)
+  // IVF scratch-layout builds memoized per (app, dir) — the
+  // graft.Cleanup.memoizedBuild contract shared by all scratch indexes
   private val ivfScratchCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), String]
 
@@ -380,18 +379,10 @@ object Ann {
     * the partitioned index, every later call is the DPP-pruned probe
     * alone. Results ≡ [[ivf]] (same centroids, same candidates), so it
     * shares the ivf oracle. */
-  def ivfViaIndex(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
-    val app = spark.sparkContext.applicationId
-    ivfScratchCache.keySet.filter(_._1 != app).foreach(ivfScratchCache.remove)
-    val path = ivfScratchCache.getOrElseUpdate((app, dir), {
-      val base = graft.Cleanup.onExit(
-        java.nio.file.Files.createTempDirectory("graft-ivfidx"))
-      val p = base.resolve("index").toString
-      writeIvfIndex(spark, dir, p)
-      p
-    })
-    ivfIndexed(spark, dir, path, k)
-  }
+  def ivfViaIndex(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    ivfIndexed(spark, dir,
+      graft.Cleanup.memoizedBuild(ivfScratchCache, spark, dir,
+        "graft-ivfidx")(writeIvfIndex(spark, dir, _)), k)
 
   /** Lloyd k-means fit over an embedding frame: each iteration is one
     * broadcast-assign + one groupBy-mean (two shuffle-free/one-shuffle

@@ -32,10 +32,12 @@ object Bucketing {
     * Crash-safe ordering (same discipline as compactIvfIndex's dynamic
     * overwrite): the rewrite lands in a TEMP table first, reading the
     * original's files in place — until that write commits, the
-    * original table and its data are untouched on disk, so a failure
-    * at any point leaves either the old table (rewrite failed) or
-    * both (swap not yet run), never neither. Only then is the
-    * original dropped and the temp renamed over it. An EXTERNAL
+    * original table and its data are untouched on disk. Only then is
+    * the original dropped and the temp renamed over it; the DATA is
+    * durable throughout, and a failure inside that final drop→rename
+    * window (the only instant with no table under the serving name)
+    * is self-healing — the next compactBucketed call detects the
+    * orphaned temp and completes the swap. An EXTERNAL
     * original's data directory is never deleted — the drop leaves it
     * intact (the compacted replacement is a managed table; reclaiming
     * the orphaned external directory is the operator's call).
@@ -50,6 +52,26 @@ object Bucketing {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
+    // a managed table's default location is warehouse-relative, with
+    // or without a <db>.db segment depending on the current database —
+    // clear BOTH candidates when a destination directory must be free
+    // (a non-default-LOCATION database is out of this op's scope)
+    def clearDefaultPaths(name: String): Unit = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val lc = name.toLowerCase(java.util.Locale.ROOT)
+      clearDir(s"$wh/$lc")
+      clearDir(s"$wh/${spark.catalog.currentDatabase}.db/$lc")
+    }
+    val tmp = table + "__compacting"
+    // recovery: a failure between the swap's DROP and RENAME leaves
+    // the compacted rewrite under the temp name and nothing under the
+    // serving name — complete the swap instead of throwing on the
+    // missing table (the temp IS the finished compaction)
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      clearDefaultPaths(table)
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      return
+    }
     val desc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
     def field(n: String): Option[String] =
       desc.find(_.getString(0) == n).map(_.getString(1))
@@ -58,10 +80,8 @@ object Bucketing {
     // a crashed prior run can leave the temp table, or just its
     // managed directory (CTAS validates the location before writing —
     // LOCATION_ALREADY_EXISTS otherwise): clear both
-    val tmp = table + "__compacting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    clearDir(s"${spark.conf.get("spark.sql.warehouse.dir")}/" +
-      tmp.toLowerCase(java.util.Locale.ROOT))
+    clearDefaultPaths(tmp)
     // rewrite FIRST, into the temp table, aligning write tasks 1:1
     // with bucket ids (both are murmur3-pmod on the key) so each
     // bucket comes out as exactly one sorted file; the original's
@@ -81,6 +101,10 @@ object Bucketing {
     // external location is deliberately NOT touched.
     spark.sql(s"DROP TABLE IF EXISTS $table")
     if (!external) location.foreach(clearDir)
+    // free the rename's destination directory in every case (for an
+    // EXTERNAL original this clears only stale default-path leftovers,
+    // never the external data location)
+    clearDefaultPaths(table)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }
 

@@ -145,25 +145,18 @@ object Chunking {
     chunkScorePool(cn, qc, k)
   }
 
-  // chunk-index builds memoized per (app, dir, dim, w, s), scratch
-  // swept at JVM exit — the same BUILD contract as the doc-level index
+  // chunk-index builds memoized per (app, dir, dim, w, s) — the
+  // graft.Cleanup.memoizedBuild contract shared by all scratch indexes
   private val chunkIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int, Int, Int), String]
+    .empty[(String, (String, Int, Int, Int)), String]
 
   /** [[chunkSearchIndexed]] over memoized scratch builds of BOTH
     * layouts — the verified-query form (`pipeline_chunk_indexed`). */
   def chunkSearchViaIndex(spark: SparkSession, dir: String, k: Int = 10,
                           nq: Int = 5, dim: Int = Encoders.Dim,
                           w: Int = W, s: Int = Stride): DataFrame = {
-    val app = spark.sparkContext.applicationId
-    chunkIndexCache.keySet.filter(_._1 != app).foreach(chunkIndexCache.remove)
-    val cPath = chunkIndexCache.getOrElseUpdate((app, dir, dim, w, s), {
-      val base = graft.Cleanup.onExit(
-        java.nio.file.Files.createTempDirectory("graft-cidx"))
-      val p = base.resolve("postings").toString
-      writeChunkIndex(spark, dir, p, dim, w, s)
-      p
-    })
+    val cPath = graft.Cleanup.memoizedBuild(chunkIndexCache, spark,
+      (dir, dim, w, s), "graft-cidx")(writeChunkIndex(spark, dir, _, dim, w, s))
     chunkSearchIndexed(spark, cPath,
       Encoders.hashingIndexPath(spark, dir, dim), k, nq)
   }

@@ -149,30 +149,20 @@ object Encoders {
   }
 
   // an index build is a BUILD (same contract as the vocabulary fit):
-  // one corpus pass whose on-disk result every later query shares.
-  // Keyed by applicationId like vocabCache, with the same
-  // stopped-app eviction. Scratch dirs are removed on JVM exit
-  // (graft.Cleanup) so repeated apps in one JVM don't accumulate
-  // parquet under /tmp.
+  // one corpus pass whose on-disk result every later query shares —
+  // the graft.Cleanup.memoizedBuild contract (stopped-app eviction,
+  // JVM-exit scratch sweep)
   private val indexCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int), String]
+    .empty[(String, (String, Int)), String]
 
   /** Path of the memoized per-(app, dir, dim) scratch hashing index,
     * building it on first use — shared by [[hashingSearchViaIndex]]
     * and the chunk-index query side ([[Chunking.chunkSearchViaIndex]]
     * reads its whole-document query vectors from this same layout). */
   def hashingIndexPath(spark: SparkSession, dir: String,
-                       dim: Int = Dim): String = {
-    val app = spark.sparkContext.applicationId
-    indexCache.keySet.filter(_._1 != app).foreach(indexCache.remove)
-    indexCache.getOrElseUpdate((app, dir, dim), {
-      val base = graft.Cleanup.onExit(
-        java.nio.file.Files.createTempDirectory("graft-hidx"))
-      val p = base.resolve("postings").toString
-      writeHashingIndex(spark, dir, p, dim)
-      p
-    })
-  }
+                       dim: Int = Dim): String =
+    graft.Cleanup.memoizedBuild(indexCache, spark, (dir, dim), "graft-hidx")(
+      writeHashingIndex(spark, dir, _, dim))
 
   /** [[hashingSearchIndexed]] over the memoized scratch index — the
     * verified-query form: first call builds the index (the encode
@@ -466,21 +456,13 @@ object Encoders {
     * ref's fitted-TfidfVectorizer transform contract); refit + rebuild
     * when drift accumulates, exactly like the IVF centroid contract. */
   def tfIdfSearchViaIndex(spark: SparkSession, dir: String, k: Int = 10,
-                          nq: Int = 5, dim: Int = Dim): DataFrame = {
-    val app = spark.sparkContext.applicationId
-    tfidfIndexCache.keySet.filter(_._1 != app).foreach(tfidfIndexCache.remove)
-    val path = tfidfIndexCache.getOrElseUpdate((app, dir, dim), {
-      val base = graft.Cleanup.onExit(
-        java.nio.file.Files.createTempDirectory("graft-tidx"))
-      val p = base.resolve("postings").toString
-      writeTfidfIndex(spark, dir, p, dim)
-      p
-    })
-    tfIdfSearchIndexed(spark, path, k, nq)
-  }
+                          nq: Int = 5, dim: Int = Dim): DataFrame =
+    tfIdfSearchIndexed(spark,
+      graft.Cleanup.memoizedBuild(tfidfIndexCache, spark, (dir, dim),
+        "graft-tidx")(writeTfidfIndex(spark, dir, _, dim)), k, nq)
 
   private val tfidfIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int), String]
+    .empty[(String, (String, Int)), String]
 
   /** BM25 top-k keyword retrieval — the keyword half of [[hybridSearch]]
     * and a standalone scorer (the standard Okapi/Lucene formulation the

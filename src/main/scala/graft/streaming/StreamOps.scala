@@ -594,7 +594,11 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val existing = spark.read.parquet(indexPath).select("doc_id")
-        val fresh = batch.join(existing, Seq("doc_id"), "left_anti")
+        // dedupe WITHIN the batch too: a producer retry can land the
+        // same doc twice in one trigger, where the index anti-join
+        // can't see it — one row per doc_id keeps the index invariant
+        val fresh = batch.dropDuplicates("doc_id")
+          .join(existing, Seq("doc_id"), "left_anti")
         if (!fresh.isEmpty)
           graft.operators.Ann.appendToIvfIndex(spark, dir, fresh, indexPath)
       }
@@ -617,14 +621,19 @@ object StreamOps {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // dedupe WITHIN the batch first (a producer retry can land the
+        // same doc twice in one trigger, where the index anti-join
+        // can't see it): duplicated postings would double cnt/norm and
+        // then be frozen forever by the anti-join on later replays
+        val unique = batch.dropDuplicates("doc_id")
         val fresh =
           try {
             val existing = spark.read.parquet(indexPath)
               .select("doc_id").distinct()
-            batch.join(existing, Seq("doc_id"), "left_anti")
+            unique.join(existing, Seq("doc_id"), "left_anti")
           } catch {
             // no layout yet (first batch): nothing to dedupe against
-            case _: org.apache.spark.sql.AnalysisException => batch
+            case _: org.apache.spark.sql.AnalysisException => unique
           }
         if (!fresh.isEmpty)
           graft.operators.Encoders.appendToHashingIndex(spark, fresh, indexPath, dim)

@@ -58,7 +58,10 @@ object H2Run {
     // that artifact (measure_offline_query_latency, :109-160) — it
     // never re-encodes. Same here: enc() builds the postings index,
     // q30() searches it.
-    val idxBase = java.nio.file.Files.createTempDirectory("graft-h2idx")
+    // registered for JVM-exit sweep (not an inline delete at the end:
+    // a thrown bench leg must not leak the 1 M-doc scratch index)
+    val idxBase = graft.Cleanup.onExit(
+      java.nio.file.Files.createTempDirectory("graft-h2idx"))
     def idxPath(dir: String): String =
       s"$idxBase/${new java.io.File(dir).getName}"
     def enc(dir: String): Double =
@@ -78,11 +81,6 @@ object H2Run {
       println(s"H2Q $n $e $q")
       System.out.flush()
     }
-    // the indexes are bench-local scratch
-    import java.nio.file.{Files, Path}
-    import java.util.Comparator
-    Files.walk(idxBase).sorted(Comparator.reverseOrder[Path]())
-      .forEach(p => Files.deleteIfExists(p))
     spark.stop()
   }
 }

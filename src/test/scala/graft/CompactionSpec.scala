@@ -93,6 +93,30 @@ class CompactionSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.sql(s"DROP TABLE IF EXISTS $other")
   }
 
+  test("compaction completes a swap interrupted between drop and rename") {
+    import spark.implicits._
+    val table = "graft_compact_recover"
+    val tmp = s"${table}__compacting"
+    Seq(table, tmp).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val df = (0 until 80).map(i => (i.toLong, s"v$i")).toDF("id", "payload")
+    // simulate the crash window: the compacted rewrite committed under
+    // the temp name, the original was dropped, the rename never ran
+    operators.Bucketing.writeBucketed(
+      df.repartition(4, col("id")), tmp, "id", 4)
+    val expected = spark.table(tmp).collect().map(_.toString).sorted
+    operators.Bucketing.compactBucketed(spark, table, "id", 4)
+    spark.catalog.tableExists(table) shouldBe true
+    spark.catalog.tableExists(tmp) shouldBe false
+    spark.table(table).collect().map(_.toString).sorted shouldBe expected
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("compaction preserves an external table's data directory and survives rewrite-first ordering") {
     import spark.implicits._
     val table = "graft_compact_ext"

@@ -122,6 +122,12 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
   }
 
   test("via-index wrapper memoizes the build per (app, dir, dim)") {
+    // memoization asserted on the PATH, not just result equality: a
+    // broken cache key would rebuild per call and still return equal
+    // results
+    val p1 = Encoders.hashingIndexPath(spark, sfDir)
+    val p2 = Encoders.hashingIndexPath(spark, sfDir)
+    p2 shouldBe p1
     val r1 = Encoders.hashingSearchViaIndex(spark, sfDir)
       .collect().map(_.toString).sorted
     val r2 = Encoders.hashingSearchViaIndex(spark, sfDir)

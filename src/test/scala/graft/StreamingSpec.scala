@@ -281,9 +281,11 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
       val q = StreamOps.postingsIngestStream(
         input.toDF().toDF("doc_id", "text"), streamed, tempDir(ck))
       try {
-        // two micro-batches (self-seeding first, disjoint second)
+        // two micro-batches (self-seeding first, disjoint second);
+        // the first carries an intra-batch duplicate — a producer
+        // retry inside one trigger — which must collapse to one row
         val (h1, h2) = rows.splitAt(rows.length / 2)
-        input.addData(h1: _*); q.processAllAvailable()
+        input.addData(h1 ++ h1.take(1): _*); q.processAllAvailable()
         input.addData(h2: _*); q.processAllAvailable()
       } finally q.stop()
     }
