@@ -592,6 +592,68 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** Minimum duplicated-substring length in TOKENS for
+    * [[spanCoverage]] — the ExactSubstr minimum-match-length knob
+    * (Lee et al. 2021 use 50 BPE tokens on real corpora; 8 binds on
+    * the short synthetic docs). */
+  val SpanW = 8
+
+  /** Per-doc duplicated-SPAN coverage — exact substring dedup at
+    * sub-document granularity (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": the ExactSubstr
+    * signal; the missing granularity between [[exact]]'s whole-doc
+    * hash and [[Chunking.chunkDedup]]'s fixed-boundary chunks, and the
+    * ref has no analog — reference dedup is whole-doc upsert only,
+    * local_db/mock.py batch_upsert). A region of a doc is duplicated
+    * when some ≥w-token window through it occurs at more than one
+    * (doc, position) in the corpus; overlapping or adjacent duplicated
+    * windows merge into maximal spans. Output: one row per affected
+    * doc — span count, covered tokens, coverage fraction (the per-doc
+    * gate an ExactSubstr-style scrub/filter applies).
+    *
+    * Spark-first shape (the original's suffix array is a single-node,
+    * inherently sequential build; fixed-W rolling-window hashing is
+    * the distributed equivalent, with W the minimum match length):
+    * one corpus scan → native rolling window hashes (zero string
+    * allocation) → posexplode to (doc, pos, h); duplicated hashes via
+    * a map-side-combined groupBy(h); occurrences re-join on h (1:1
+    * per occurrence — unlike the pair-expansion dedups there is NO
+    * quadratic blow-up anywhere, a window repeated a million times
+    * costs a million join rows, not 10¹² pairs, so no block cap is
+    * needed); span merge is a per-DOC window (frames hold one doc's
+    * duplicated positions, bounded by doc length, never the corpus);
+    * two keyed groupBys finish. Linear in total token count. */
+  def spanCoverage(spark: SparkSession, dir: String, w: Int = SpanW): DataFrame =
+    spanCoverageOf(Tables.documents(spark, dir), w)
+
+  /** [[spanCoverage]] over any (doc_id, text) frame. */
+  def spanCoverageOf(docs: DataFrame, w: Int = SpanW): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = docs
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
+        posexplode(graft.functions.native.shingleHashes(col("_toks"), w)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    occ.join(dup, Seq("h"))
+      .withColumn("_prev", lag("pos", 1).over(byDoc))
+      .withColumn("island",
+        sum(when(col("_prev").isNull || col("pos") - col("_prev") > w, 1L)
+          .otherwise(0L)).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("pos").as("s"), (max(col("pos")) + lit(w - 1)).as("e"),
+        first("n_tokens").as("n_tokens"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        first("n_tokens").as("n_tokens"))
+      .withColumn("dup_frac", rnd(col("dup_tokens") / col("n_tokens")))
+      .orderBy("doc_id")
+  }
+
   /** (blocking name, max observed members, applicable cap) for every
     * capped blocking at the given sf dir. Most verified oracles are
     * UNCAPPED SQL, so oracle equality silently depends on every
@@ -808,6 +870,35 @@ object Dedup {
          |SELECT id_a, id_b, ${S.rnd("c", 4)} AS cos
          |FROM s WHERE c >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
+
+    /** DuckDB mirror of [[Dedup.spanCoverage]]: the window hash is
+      * polyHash of the space-joined w-token slice — byte-for-byte the
+      * native kernel's rolling hash (Kernels.shingleHashes folds a
+      * single space between tokens). */
+    def spanCoverage(w: Int = SpanW): String =
+      s"""WITH t AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+         |      FROM t WHERE len(toks) >= $w),
+         |occ AS (SELECT doc_id, n_tokens, toks,
+         |    unnest(generate_series(1, CAST(n_tokens AS INTEGER) - ${w - 1})) AS pos
+         |  FROM d),
+         |och AS (SELECT doc_id, n_tokens, pos,
+         |    ${S.polyHash(s"array_to_string(toks[pos : pos + ${w - 1}], ' ')")} AS h
+         |  FROM occ),
+         |dh AS (SELECT h FROM och GROUP BY h HAVING count(*) > 1),
+         |docc AS (SELECT doc_id, n_tokens, pos FROM och JOIN dh USING (h)),
+         |lagd AS (SELECT doc_id, n_tokens, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM docc),
+         |isl AS (SELECT doc_id, n_tokens, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > $w THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + ${w - 1} AS e,
+         |    any_value(n_tokens) AS n_tokens FROM isl GROUP BY doc_id, island)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         |  any_value(n_tokens) AS n_tokens,
+         |  ${S.rnd("CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_tokens)", 4)} AS dup_frac
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
     def embeddingCosine(threshold: Double = 0.3): String =
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),
