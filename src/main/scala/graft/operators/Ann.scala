@@ -207,6 +207,65 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** Per-dimension scalar-quantization fit over the DOC set (FAISS
+    * ScalarQuantizer QT_8bit train): Dim (lo, hi) rows — constant-size,
+    * broadcast everywhere it's used. */
+  def sq8Ranges(spark: SparkSession, dir: String): DataFrame =
+    Knn.docSet(spark, dir)
+      .select(posexplode(col("doc_vec")).as(Seq("dim0", "x")))
+      .select((col("dim0") + 1).as("dim"), col("x").cast("double").as("v"))
+      .groupBy("dim").agg(min("v").as("lo"), max("v").as("hi"))
+
+  /** SQ8 asymmetric search — the scalar-quantized serving path between
+    * full-precision flat scan and PQ (FAISS IndexScalarQuantizer
+    * QT_8bit, the [[VectorCore.quantizeInt8]] audit's search
+    * counterpart): docs are stored as one int8 code per dimension
+    * (4× compression at near-full recall, vs PQ's 32× at lower
+    * recall); a query scores a doc from its codes alone —
+    * score = Σ_d q_d·(lo_d + code·Δ_d) with Δ_d = (hi_d−lo_d)/255 —
+    * then an exact top-k re-rank of the 3k leaders finishes.
+    *
+    * Scale shape: the fit is a Dim-row broadcast; scoring reads ONLY
+    * the code column (at 100 TB the float vectors stay on disk until
+    * the 3k-candidate re-rank); the per-(q,dim) base/step scalars are
+    * a tiny broadcast; the ADC sum is the same order-free fixed-point
+    * aggregate as [[pqSearch]] (map-side partial-combinable). The
+    * compute is Dim rows/doc/query vs PQ's PqM — the recall-for-work
+    * trade the quantization family exists to offer. */
+  def sq8Search(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
+    val ranges = sq8Ranges(spark, dir)
+    val codes = Knn.docSet(spark, dir)
+      .select(col("doc_id"), posexplode(col("doc_vec")).as(Seq("dim0", "x")))
+      .select(col("doc_id"), (col("dim0") + 1).as("dim"),
+        col("x").cast("double").as("v"))
+      .join(broadcast(ranges), Seq("dim"))
+      .select(col("doc_id"), col("dim"),
+        when(col("hi") > col("lo"),
+          floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5))
+          .otherwise(0.0).cast("long").as("code"))
+    val qparts = Knn.querySet(spark, dir)
+      .select(col("q_id"), posexplode(col("q_vec")).as(Seq("dim0", "q")))
+      .select(col("q_id"), (col("dim0") + 1).as("dim"),
+        col("q").cast("double").as("q"))
+      .join(broadcast(ranges), Seq("dim"))
+      .select(col("q_id"), col("dim"),
+        (col("q") * col("lo")).as("base"),
+        (col("q") * ((col("hi") - col("lo")) / 255.0)).as("step"))
+    val adc = codes.join(broadcast(qparts), Seq("dim"))
+      .groupBy("q_id", "doc_id")
+      .agg(fxSum(col("base") + col("code") * col("step"), 9).as("score"))
+    val cand = Knn.topKPerQuery(adc, 3 * k).select("q_id", "doc_id")
+    val exact = cand
+      .join(broadcast(Knn.querySet(spark, dir)), Seq("q_id"))
+      .join(Knn.docSet(spark, dir), Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score"))
+    Knn.topKPerQuery(exact, k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF+PQ composed search — the standard billion-scale ANN
     * architecture (FAISS IndexIVFPQ): the coarse quantizer prunes the
     * corpus to each query's NProbe inverted lists, ADC scores the
@@ -534,6 +593,45 @@ object Ann {
          |  GROUP BY lut.q_id, c.vec_id),
          |cand AS (
          |  SELECT q_id, doc_id FROM (
+         |    SELECT q_id, doc_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r
+         |    FROM adc) WHERE r <= ${3 * K}),
+         |exact AS (
+         |  SELECT c.q_id, c.doc_id, ${S.dot("q.q_vec", "d.doc_vec", Dim)} AS score
+         |  FROM cand c JOIN q0 q USING (q_id) JOIN d0 d USING (doc_id)),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM exact)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $K
+         |ORDER BY q_id, rank""".stripMargin
+
+    /** Mirror of [[Ann.sq8Search]]: identical fit, code, and base/step
+      * arithmetic (same IEEE operand order), fixed-point ADC sum, 3k
+      * candidate cut, exact re-rank. */
+    val sq8Search: String =
+      s"""WITH q0 AS ${Knn.SqlOracle.queriesCte()},
+         |d0 AS ${Knn.SqlOracle.docsCte()},
+         |vals AS (SELECT doc_id, i AS dim, CAST(doc_vec[i] AS DOUBLE) AS v
+         |         FROM d0 CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i)),
+         |ranges AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM vals GROUP BY dim),
+         |codes AS (
+         |  SELECT doc_id, dim,
+         |    CAST(CASE WHEN hi > lo
+         |      THEN floor((v - lo) / (hi - lo) * 255.0e0 + 0.5e0)
+         |      ELSE 0.0e0 END AS BIGINT) AS code
+         |  FROM vals JOIN ranges USING (dim)),
+         |qp AS (
+         |  SELECT q_id, dim, q * lo AS base, q * ((hi - lo) / 255.0e0) AS step
+         |  FROM (SELECT q_id, i AS dim, CAST(q_vec[i] AS DOUBLE) AS q
+         |        FROM q0 CROSS JOIN (SELECT unnest(range(1, ${Dim + 1})) AS i))
+         |  JOIN ranges USING (dim)),
+         |adc AS (
+         |  SELECT q_id, doc_id, ${S.fxSum("base + code * step", 9)} AS score
+         |  FROM codes JOIN qp USING (dim)
+         |  GROUP BY q_id, doc_id),
+         |cand AS (SELECT q_id, doc_id FROM (
          |    SELECT q_id, doc_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r
          |    FROM adc) WHERE r <= ${3 * K}),

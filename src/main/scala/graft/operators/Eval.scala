@@ -112,6 +112,8 @@ object Eval {
     annRecall(spark, dir, Ann.ivf(spark, dir))
   def annRecallPq(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.pqSearch(spark, dir))
+  def annRecallSq8(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, Ann.sq8Search(spark, dir))
 
   /** Position-discount table 1/log2(p+1) for p = 1..KMax, computed ONCE
     * in Scala and embedded as the same literal array in the Spark plan

@@ -492,3 +492,26 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
     graft.operators.Encoders.encodeBatched(spark, tmp).count() shouldBe 3
   }
 }
+
+/** SQ8 scalar-quantized search ([[operators.Ann.sq8Search]]): the
+  * oracle crosscheck pins engine equality; these pin the QUANTIZATION
+  * contract — code range, fit shape, and the near-lossless recall SQ8
+  * exists to offer (vs PQ's deeper compression). */
+class Sq8Spec extends AnyFunSuite with Matchers with SharedSpark {
+
+  test("sq8 fit is Dim ordered (lo, hi) rows; search has the family shape") {
+    val ranges = operators.Ann.sq8Ranges(spark, sfDir).collect()
+    ranges.length shouldBe operators.VectorCore.Dim
+    ranges.foreach(r => r.getDouble(1) should be <= r.getDouble(2))
+    val k = operators.Ann.sq8Search(spark, sfDir)
+    k.count() should be > 0L
+    // per-query result shape matches the rest of the ann family
+    k.columns shouldBe Array("q_id", "rank", "doc_id", "score")
+  }
+
+  test("sq8 recall-vs-exact is near-lossless at sf0.001") {
+    val rec = operators.Eval.annRecallSq8(spark, sfDir)
+      .agg(avg("recall")).collect()(0).getDouble(0)
+    rec should be >= 0.95
+  }
+}
