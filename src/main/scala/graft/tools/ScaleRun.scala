@@ -55,7 +55,16 @@ object ScaleRun {
     // round-9: query-from-stored-postings (the memoized build runs in
     // the warm-up pass, so the measured exponent is the QUERY leg:
     // postings scan + broadcast join + top-k, expected ~linear)
-    "pipeline_indexed_search")
+    "pipeline_indexed_search",
+    // round-9: span-level exact substring dedup — explode + dup-hash
+    // groupBy + 1:1 hash join + per-doc island window; the one dedup
+    // shape with NO pair expansion, so the exponent should read the
+    // token count's, ~linear (super-linear = the join degenerated)
+    "dedup_span_coverage",
+    // round-9: SQ8 ADC — Dim rows per (doc, query) through the fixed-
+    // point sum; linear in corpus, the probe keeps the broadcast side
+    // honest (a shuffled qparts join would read super-linear)
+    "ann_sq8_search")
 
   /** Warm-up + interleaved min-of-2 (t1, t10) per query — the
     * measurement kernel shared by the child main (line protocol) and
