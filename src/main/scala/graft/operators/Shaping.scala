@@ -151,6 +151,47 @@ object Shaping {
       .orderBy("doc_id")
   }
 
+  /** [[qualityCalibration]] keep-rate as an integer fraction (70%),
+    * so the rank cutoff ceil(rate·n) is pure integer arithmetic in
+    * both engines — a double 0.7·n would flap on representability. */
+  val KeepNum = 7
+  val KeepDen = 10
+
+  /** Per-language quality-threshold CALIBRATION — the step that turns
+    * a fixed quality gate into a per-language one at a target keep
+    * rate (score distributions differ by language, so one global
+    * cutoff over- or under-prunes; real pipelines calibrate per
+    * stratum): for each language, the highest threshold t keeping at
+    * least ceil(KeepNum/KeepDen · n) docs with quality ≥ t.
+    *
+    * Scale shape: the quality score is already 1e4-quantized
+    * ([[withQualityColumns]]), so the exact per-language quantile
+    * needs NO corpus-wide sort or percentile window — one map-side-
+    * combined groupBy(lang, quality) collapses the corpus to ≤ 10⁴
+    * rows per language, and the cumulative/threshold windows run on
+    * that constant-size histogram. This is the 100 TB alternative to
+    * percentile_disc over raw rows (a per-lang global sort) and to
+    * approx_percentile (which couldn't be oracle-exact). */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = withQualityColumns(Tables.documents(spark, dir))
+      .filter(col("n_toks") > 0)
+      .groupBy("lang", "quality").agg(count(lit(1)).as("cnt"))
+    val byLangDesc = Window.partitionBy("lang").orderBy(col("quality").desc)
+    hist
+      .withColumn("cum", sum("cnt").over(byLangDesc))
+      .withColumn("n_docs", sum("cnt").over(Window.partitionBy("lang")))
+      .withColumn("target",
+        expr(s"(n_docs * $KeepNum + ${KeepDen - 1}) div $KeepDen"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("lang")
+      .agg(first("n_docs").as("n_docs"), first("target").as("target"),
+        max("quality").as("threshold"), min("cum").as("n_kept"))
+      .select(col("lang"), col("n_docs"), col("target"), col("threshold"),
+        col("n_kept"), rnd(col("n_kept") / col("n_docs")).as("kept_frac"))
+      .orderBy("lang")
+  }
+
   /** Per-source corpus health: doc counts, language spread, mean
     * quality and exact-dup counts in ONE pass — the dashboard query a
     * data-pipeline team runs per ingest source. Two distinct
@@ -299,6 +340,41 @@ object Shaping {
          |WHERE n_toks > 0
          |  AND ${S.polyHash("'imp' || CAST(doc_id AS VARCHAR)")} % 1000 < floor(quality * 1000)
          |ORDER BY doc_id""".stripMargin
+    }
+
+    /** Mirror of [[Shaping.qualityCalibration]] — same quantized-score
+      * histogram, cumulative windows, and integer rank cutoff. */
+    val qualityCalibration: String = {
+      val stop = TextAnalysis.markers.head._2.map(w => s"'$w'").mkString(", ")
+      val toksE = S.tokens("text")
+      s"""WITH s AS (
+         |  SELECT lang,
+         |    CAST(len($toksE) AS BIGINT) AS n_toks,
+         |    CAST(len(list_distinct($toksE)) AS BIGINT) AS n_uniq,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter($toksE, t -> t IN ($stop))) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT lang,
+         |    (floor((
+         |      0.25e0 * least(1.0e0, n_toks / 100.0e0) +
+         |      0.35e0 * (n_uniq / CAST(n_toks AS DOUBLE)) +
+         |      0.2e0 * least(1.0e0, ((n_chars - (n_toks - 1)) / CAST(n_toks AS DOUBLE)) / 8.0e0) +
+         |      0.2e0 * (1.0e0 - n_stop / CAST(n_toks AS DOUBLE))) * 1e4 + 0.5e0) / 1e4) AS quality
+         |  FROM s WHERE n_toks > 0),
+         |h AS (SELECT lang, quality, count(*) AS cnt FROM q GROUP BY lang, quality),
+         |c AS (SELECT lang, quality, cnt,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY quality DESC) AS cum,
+         |    sum(cnt) OVER (PARTITION BY lang) AS n_docs
+         |  FROM h),
+         |t AS (SELECT lang, quality, cum, n_docs,
+         |    (n_docs * $KeepNum + ${KeepDen - 1}) // $KeepDen AS target FROM c)
+         |SELECT lang, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(any_value(target) AS BIGINT) AS target,
+         |  max(quality) AS threshold,
+         |  CAST(min(cum) AS BIGINT) AS n_kept,
+         |  ${S.rnd("min(cum) / CAST(any_value(n_docs) AS DOUBLE)", 4)} AS kept_frac
+         |FROM t WHERE cum >= target GROUP BY lang ORDER BY lang""".stripMargin
     }
 
     def reservoirSample(k: Int = 20): String =
