@@ -626,8 +626,10 @@ object Dedup {
   def spanCoverage(spark: SparkSession, dir: String, w: Int = SpanW): DataFrame =
     spanCoverageOf(Tables.documents(spark, dir), w)
 
-  /** [[spanCoverage]] over any (doc_id, text) frame. */
-  def spanCoverageOf(docs: DataFrame, w: Int = SpanW): DataFrame = {
+  /** The merged duplicated-span relation (doc_id, n_tokens, s, e) —
+    * shared derivation of [[spanCoverageOf]] (stats) and
+    * [[spanScrubOf]] (removal). */
+  def spanFrame(docs: DataFrame, w: Int = SpanW): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val occ = docs
       .select(col("doc_id"), tokens(col("text")).as("_toks"))
@@ -646,11 +648,53 @@ object Dedup {
       .groupBy(col("doc_id"), col("island"))
       .agg(min("pos").as("s"), (max(col("pos")) + lit(w - 1)).as("e"),
         first("n_tokens").as("n_tokens"))
+      .drop("island")
+  }
+
+  /** [[spanCoverage]] over any (doc_id, text) frame. */
+  def spanCoverageOf(docs: DataFrame, w: Int = SpanW): DataFrame =
+    spanFrame(docs, w)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(col("e") - col("s") + 1).as("dup_tokens"),
         first("n_tokens").as("n_tokens"))
       .withColumn("dup_frac", rnd(col("dup_tokens") / col("n_tokens")))
+      .orderBy("doc_id")
+
+  /** Duplicated-span SCRUB — the removal step [[spanCoverage]]'s
+    * signal feeds (Lee et al. 2021's dedup applied remove-ALL-wise:
+    * every ≥w-token region that occurs more than once in the corpus is
+    * dropped from every doc holding it; boilerplate and cross-doc
+    * copies vanish, unique prose stays): each doc keeps exactly the
+    * tokens no duplicated span covers. Verified by kept-token count +
+    * hash of the scrubbed text (the piiScrub technique — both engines
+    * must reassemble the identical byte string).
+    *
+    * Scale shape: [[spanFrame]]'s cost plus one collect_list of spans
+    * per AFFECTED doc (bounded by doc length / w) joined LEFT back to
+    * the corpus; the keep-filter is a per-row array op (token count ×
+    * span count, both doc-bounded). Output is one row per doc. */
+  def spanScrub(spark: SparkSession, dir: String, w: Int = SpanW): DataFrame =
+    spanScrubOf(Tables.documents(spark, dir), w)
+
+  /** [[spanScrub]] over any (doc_id, text) frame. */
+  def spanScrubOf(docs: DataFrame, w: Int = SpanW): DataFrame = {
+    val spans = spanFrame(docs, w)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("_toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        when(col("spans").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"), (_, i0) =>
+            !exists(col("spans"), sp =>
+              i0 + 1 >= sp.getField("s") && i0 + 1 <= sp.getField("e"))))
+          .as("_kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        md5(concat_ws(" ", col("_kept")).cast("binary")).as("scrub_hash"))
       .orderBy("doc_id")
   }
 
@@ -871,12 +915,13 @@ object Dedup {
          |FROM s WHERE c >= $threshold
          |ORDER BY id_a, id_b""".stripMargin
 
-    /** DuckDB mirror of [[Dedup.spanCoverage]]: the window hash is
-      * polyHash of the space-joined w-token slice — byte-for-byte the
-      * native kernel's rolling hash (Kernels.shingleHashes folds a
-      * single space between tokens). */
-    def spanCoverage(w: Int = SpanW): String =
-      s"""WITH t AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+    /** Shared CTE chain deriving the merged duplicated-span relation
+      * `sp(doc_id, s, e, n_tokens)` — the window hash is polyHash of
+      * the space-joined w-token slice, byte-for-byte the native
+      * kernel's rolling hash (Kernels.shingleHashes folds a single
+      * space between tokens). */
+    private def spanCtes(w: Int): String =
+      s"""t AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
          |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
          |      FROM t WHERE len(toks) >= $w),
          |occ AS (SELECT doc_id, n_tokens, toks,
@@ -893,12 +938,36 @@ object Dedup {
          |    sum(CASE WHEN prev IS NULL OR pos - prev > $w THEN 1 ELSE 0 END)
          |      OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd),
          |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + ${w - 1} AS e,
-         |    any_value(n_tokens) AS n_tokens FROM isl GROUP BY doc_id, island)
+         |    any_value(n_tokens) AS n_tokens FROM isl GROUP BY doc_id, island)""".stripMargin
+
+    /** Mirror of [[Dedup.spanCoverage]]. */
+    def spanCoverage(w: Int = SpanW): String =
+      s"""WITH ${spanCtes(w)}
          |SELECT doc_id, count(*) AS n_spans,
          |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
          |  any_value(n_tokens) AS n_tokens,
          |  ${S.rnd("CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_tokens)", 4)} AS dup_frac
          |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Mirror of [[Dedup.spanScrub]]: positions anti-joined to the
+      * span ranges (merged islands are disjoint and non-adjacent, so
+      * each position matches at most one span), scrubbed text
+      * reassembled in position order. */
+    def spanScrub(w: Int = SpanW): String =
+      s"""WITH ${spanCtes(w)},
+         |pt AS (SELECT doc_id, toks,
+         |    unnest(generate_series(1, CAST(len(toks) AS INTEGER))) AS i FROM t),
+         |kept AS (SELECT pt.doc_id, pt.i, pt.toks[pt.i] AS tok
+         |  FROM pt LEFT JOIN sp
+         |    ON pt.doc_id = sp.doc_id AND pt.i BETWEEN sp.s AND sp.e
+         |  WHERE sp.doc_id IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY i) AS s2 FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  md5(COALESCE(a.s2, '')) AS scrub_hash
+         |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin
 
     def embeddingCosine(threshold: Double = 0.3): String =
       s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0),

@@ -55,6 +55,35 @@ class SpanDedupSpec extends AnyFunSuite with Matchers with SharedSpark {
     out(11L) shouldBe ((1L, 9L, 9L, 1.0))
   }
 
+  test("scrub drops exactly the covered tokens and keeps position order") {
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val out = Dedup.spanScrubOf(Seq(
+      1L -> s"x1 x2 $run y1 y2",
+      2L -> s"$run z1 z2 z3",
+      3L -> "too short").toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1 loses tokens 3..12, keeping "x1 x2 y1 y2"
+    out(1L) shouldBe ((14L, 4L, md5("x1 x2 y1 y2")))
+    // doc 2 loses tokens 1..10, keeping "z1 z2 z3"
+    out(2L) shouldBe ((13L, 3L, md5("z1 z2 z3")))
+    // doc 3 has no window, keeps everything
+    out(3L) shouldBe ((2L, 2L, md5("too short")))
+  }
+
+  test("a fully duplicated doc scrubs to the empty string") {
+    val run = (1 to W).map(i => s"u$i").mkString(" ")
+    val out = Dedup.spanScrubOf(Seq(20L -> run, 21L -> run)
+      .toDF("doc_id", "text")).collect()
+    out.foreach { r =>
+      r.getLong(2) shouldBe 0L
+      r.getString(3) shouldBe "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    }
+  }
+
   test("corpus invariants hold at sf0.001") {
     val rows = Dedup.spanCoverage(spark, sfDir).collect()
     rows.length should be > 0
