@@ -234,7 +234,14 @@ object Ann {
     * trade the quantization family exists to offer. */
   def sq8Search(spark: SparkSession, dir: String, k: Int = K): DataFrame = {
     val ranges = sq8Ranges(spark, dir)
-    val codes = Knn.docSet(spark, dir)
+    sq8Score(spark, dir, sq8Encode(Knn.docSet(spark, dir), ranges), ranges, k)
+  }
+
+  /** (doc_id, dim, code) rows of a (doc_id, doc_vec) frame under a
+    * given (dim, lo, hi) fit — the shared encode of the in-plan search,
+    * the index build, and the frozen-fit append. */
+  def sq8Encode(docs: DataFrame, ranges: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), posexplode(col("doc_vec")).as(Seq("dim0", "x")))
       .select(col("doc_id"), (col("dim0") + 1).as("dim"),
         col("x").cast("double").as("v"))
@@ -243,6 +250,11 @@ object Ann {
         when(col("hi") > col("lo"),
           floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5))
           .otherwise(0.0).cast("long").as("code"))
+
+  /** ADC scoring + exact re-rank over an SQ8 code relation (the query
+    * half shared by [[sq8Search]] and [[sq8Indexed]]). */
+  private def sq8Score(spark: SparkSession, dir: String, codes: DataFrame,
+                       ranges: DataFrame, k: Int): DataFrame = {
     val qparts = Knn.querySet(spark, dir)
       .select(col("q_id"), posexplode(col("q_vec")).as(Seq("dim0", "q")))
       .select(col("q_id"), (col("dim0") + 1).as("dim"),
@@ -265,6 +277,51 @@ object Ann {
         rnd(col("score"), 4).as("score"))
       .orderBy("q_id", "rank")
   }
+
+  /** Persisted SQ8 serving layout: the code relation at `out`, the
+    * (dim, lo, hi) fit under `out/_fit` (underscore path — invisible
+    * to the postings scan, the [[Encoders.writeTfidfIndex]] `_vocab`
+    * convention). The fit travels WITH the index, so later queries and
+    * appends need neither the corpus nor a refit. */
+  def writeSq8Index(spark: SparkSession, dir: String, out: String): Unit = {
+    val ranges = sq8Ranges(spark, dir)
+    sq8Encode(Knn.docSet(spark, dir), ranges)
+      .write.mode("overwrite").parquet(out)
+    ranges.coalesce(1).write.mode("overwrite").parquet(s"$out/_fit")
+  }
+
+  /** Frozen-fit incremental maintenance (the FAISS add-to-trained-
+    * index contract, like [[appendToIvfIndex]]): a new (doc_id,
+    * doc_vec) batch is encoded with the INDEX'S OWN stored fit — the
+    * quantization grid does not move — and appended; only the batch is
+    * scanned. A disjoint append is bit-equal to having encoded those
+    * docs at build time (per-doc codes depend only on the fit).
+    * Refit + rebuild when range drift accumulates. */
+  def appendToSq8Index(spark: SparkSession, newVecs: DataFrame,
+                       indexPath: String): Unit =
+    sq8Encode(newVecs, spark.read.parquet(s"$indexPath/_fit"))
+      .write.mode("append").parquet(indexPath)
+
+  /** [[sq8Search]] answered from a persisted [[writeSq8Index]] layout —
+    * no encode pass in the hot path: codes and fit read from disk,
+    * queries score the stored codes, exact re-rank finishes. Results
+    * ≡ [[sq8Search]] (same fit, same codes), so it shares its oracle. */
+  def sq8Indexed(spark: SparkSession, dir: String, indexPath: String,
+                 k: Int = K): DataFrame =
+    sq8Score(spark, dir, spark.read.parquet(indexPath),
+      spark.read.parquet(s"$indexPath/_fit"), k)
+
+  // SQ8 scratch builds memoized per (app, dir) — the
+  // graft.Cleanup.memoizedBuild contract shared by all scratch indexes
+  private val sq8ScratchCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  /** [[sq8Indexed]] over a memoized scratch build — the verified-query
+    * form (`ann_sq8_indexed`). */
+  def sq8ViaIndex(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    sq8Indexed(spark, dir,
+      graft.Cleanup.memoizedBuild(sq8ScratchCache, spark, dir,
+        "graft-sq8idx")(writeSq8Index(spark, dir, _)), k)
 
   /** IVF+PQ composed search — the standard billion-scale ANN
     * architecture (FAISS IndexIVFPQ): the coarse quantizer prunes the

@@ -137,4 +137,39 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
     r1 shouldBe Encoders.hashingSearch(spark, sfDir)
       .collect().map(_.toString).sorted
   }
+
+  test("indexed SQ8 search is bit-identical to the in-plan search") {
+    val idx = s"${tempDir("graft-sq8-spec")}/codes"
+    operators.Ann.writeSq8Index(spark, sfDir, idx)
+    val direct = operators.Ann.sq8Search(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val indexed = operators.Ann.sq8Indexed(spark, sfDir, idx)
+      .collect().map(_.toString).sorted
+    indexed shouldBe direct
+    direct should not be empty
+  }
+
+  test("frozen-fit SQ8 append is bit-identical to encoding at build time") {
+    import org.apache.spark.sql.functions.col
+    val base = tempDir("graft-sq8-append")
+    val full = s"$base/full"; val inc = s"$base/inc"
+    operators.Ann.writeSq8Index(spark, sfDir, full)
+    // incremental: build from the even doc_ids, append the odds under
+    // the SAME fit (copy the full index's fit — the build-from-half
+    // fit would differ; the contract is append-under-frozen-fit)
+    val docs = graft.operators.Knn.docSet(spark, sfDir)
+    operators.Ann.sq8Encode(
+      docs.filter(col("doc_id") % 2 === 0),
+      spark.read.parquet(s"$full/_fit"))
+      .write.parquet(inc)
+    spark.read.parquet(s"$full/_fit").write.parquet(s"$inc/_fit")
+    operators.Ann.appendToSq8Index(spark,
+      docs.filter(col("doc_id") % 2 =!= 0), inc)
+    spark.read.parquet(inc).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(full).collect().map(_.toString).sorted
+    // the search over the appended index matches the direct plan
+    operators.Ann.sq8Indexed(spark, sfDir, inc)
+      .collect().map(_.toString).sorted shouldBe
+      operators.Ann.sq8Search(spark, sfDir).collect().map(_.toString).sorted
+  }
 }
