@@ -630,17 +630,28 @@ object Dedup {
     * shared derivation of [[spanCoverageOf]] (stats) and
     * [[spanScrubOf]] (removal). */
   def spanFrame(docs: DataFrame, w: Int = SpanW): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val occ = docs
+    val occ = spanOcc(docs, w)
+    val dup = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+    mergeIslands(occ.join(dup, Seq("h")), w)
+  }
+
+  /** (doc_id, n_tokens, pos, h): every w-token rolling-window hash
+    * occurrence of a (doc_id, text) frame, 1-based positions. */
+  private def spanOcc(docs: DataFrame, w: Int): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("_toks"))
       .select(col("doc_id"), size(col("_toks")).cast("long").as("n_tokens"),
         posexplode(graft.functions.native.shingleHashes(col("_toks"), w)))
       .select(col("doc_id"), col("n_tokens"),
         (col("pos") + 1).as("pos"), col("col").as("h"))
-    val dup = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select("h")
+
+  /** Merge duplicated-window positions into maximal spans — per-DOC
+    * window (frames bounded by doc length), gaps > w break islands. */
+  private def mergeIslands(dupOcc: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    occ.join(dup, Seq("h"))
+    dupOcc
       .withColumn("_prev", lag("pos", 1).over(byDoc))
       .withColumn("island",
         sum(when(col("_prev").isNull || col("pos") - col("_prev") > w, 1L)
@@ -649,6 +660,36 @@ object Dedup {
       .agg(min("pos").as("s"), (max(col("pos")) + lit(w - 1)).as("e"),
         first("n_tokens").as("n_tokens"))
       .drop("island")
+  }
+
+  /** Batch-vs-corpus span dedup — the continuous-feed shape of
+    * [[spanCoverage]] (the [[incremental]] contract at SPAN
+    * granularity): an incoming batch (doc_id ≡ 0 mod 10, the
+    * dedup_incremental convention) is checked for duplicated ≥w-token
+    * spans against the EXISTING corpus's distinct window-hash store
+    * PLUS itself, and reports per-batch-doc span coverage.
+    *
+    * Scale shape: at 100 TB the window-hash store is the persisted
+    * artifact kept between runs (like the content-hash fingerprint
+    * store) — the corpus contributes one distinct-hash set, never a
+    * re-scan per batch, and everything downstream touches batch-sized
+    * frames only. */
+  def spanIncremental(spark: SparkSession, dir: String,
+                      w: Int = SpanW): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val occB = spanOcc(docs.filter(pmod(col("doc_id"), lit(10L)) === 0), w)
+    val store = spanOcc(docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0), w)
+      .select("h").distinct()
+    val dup = occB.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select("h")
+      .union(store).distinct()
+    mergeIslands(occB.join(dup, Seq("h")), w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        first("n_tokens").as("n_tokens"))
+      .withColumn("dup_frac", rnd(col("dup_tokens") / col("n_tokens")))
+      .orderBy("doc_id")
   }
 
   /** [[spanCoverage]] over any (doc_id, text) frame. */
@@ -943,6 +984,37 @@ object Dedup {
     /** Mirror of [[Dedup.spanCoverage]]. */
     def spanCoverage(w: Int = SpanW): String =
       s"""WITH ${spanCtes(w)}
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+         |  any_value(n_tokens) AS n_tokens,
+         |  ${S.rnd("CAST(sum(e - s + 1) AS DOUBLE) / any_value(n_tokens)", 4)} AS dup_frac
+         |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+    /** Mirror of [[Dedup.spanIncremental]]: batch windows duplicated
+      * within the batch or present in the corpus-rest distinct-hash
+      * store, merged and reported exactly like spanCoverage. */
+    def spanIncremental(w: Int = SpanW): String =
+      s"""WITH t AS (SELECT doc_id, ${S.tokens("text")} AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens
+         |      FROM t WHERE len(toks) >= $w),
+         |och AS (SELECT doc_id, n_tokens,
+         |    unnest(generate_series(1, CAST(n_tokens AS INTEGER) - ${w - 1})) AS pos, toks
+         |  FROM d),
+         |oh AS (SELECT doc_id, n_tokens, pos,
+         |    ${S.polyHash(s"array_to_string(toks[pos : pos + ${w - 1}], ' ')")} AS h
+         |  FROM och),
+         |bocc AS (SELECT * FROM oh WHERE doc_id % 10 = 0),
+         |store AS (SELECT DISTINCT h FROM oh WHERE doc_id % 10 <> 0),
+         |dh AS (SELECT h FROM bocc GROUP BY h HAVING count(*) > 1
+         |       UNION SELECT h FROM store),
+         |docc AS (SELECT doc_id, n_tokens, pos FROM bocc JOIN dh USING (h)),
+         |lagd AS (SELECT doc_id, n_tokens, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM docc),
+         |isl AS (SELECT doc_id, n_tokens, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos - prev > $w THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM lagd),
+         |sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + ${w - 1} AS e,
+         |    any_value(n_tokens) AS n_tokens FROM isl GROUP BY doc_id, island)
          |SELECT doc_id, count(*) AS n_spans,
          |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
          |  any_value(n_tokens) AS n_tokens,
