@@ -636,6 +636,13 @@ object Dedup {
     mergeIslands(occ.join(dup, Seq("h")), w)
   }
 
+  /** Distinct w-token window hashes of a (doc_id, text) frame — the
+    * span-dedup STORE artifact ([[spanIncremental]]'s corpus side;
+    * maintained incrementally by
+    * [[graft.streaming.StreamOps.spanStoreIngestStream]]). */
+  def windowHashes(docs: DataFrame, w: Int = SpanW): DataFrame =
+    spanOcc(docs, w).select("h").distinct()
+
   /** (doc_id, n_tokens, pos, h): every w-token rolling-window hash
     * occurrence of a (doc_id, text) frame, 1-based positions. */
   private def spanOcc(docs: DataFrame, w: Int): DataFrame =

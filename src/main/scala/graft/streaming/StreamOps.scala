@@ -640,4 +640,35 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Streaming maintenance of the span-dedup window-hash STORE
+    * ([[graft.operators.Dedup.spanIncremental]]'s corpus-side
+    * artifact): each micro-batch's distinct w-token window hashes are
+    * appended — minus those already stored, so the store stays a SET
+    * and a full replay is a no-op (write-time idempotent, the
+    * postings-ingest discipline). Self-seeding: the first batch
+    * creates the layout. At 100 TB this is how the between-runs hash
+    * store tracks a live feed without ever re-scanning the corpus. */
+  def spanStoreIngestStream(docs: DataFrame, storePath: String,
+                            checkpointDir: String,
+                            w: Int = graft.operators.Dedup.SpanW)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val hashes = graft.operators.Dedup.windowHashes(
+          batch.dropDuplicates("doc_id"), w)
+        val fresh =
+          try {
+            val existing = spark.read.parquet(storePath)
+            hashes.join(existing, Seq("h"), "left_anti")
+          } catch {
+            // no layout yet (first batch): nothing stored
+            case _: org.apache.spark.sql.AnalysisException => hashes
+          }
+        if (!fresh.isEmpty)
+          fresh.write.mode("append").parquet(storePath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

@@ -304,6 +304,40 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.read.parquet(streamed).count() shouldBe nRows
   }
 
+  test("spanStoreIngestStream: streamed hash store equals batch set, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val tmp = new java.io.File(tempDir("graft-spanstream"))
+    val store = new java.io.File(tmp, "store").getAbsolutePath
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    def ingest(ck: String): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.spanStoreIngestStream(
+        input.toDF().toDF("doc_id", "text"), store, tempDir(ck))
+      try {
+        // two micro-batches; the first carries an intra-batch
+        // duplicate doc (producer retry inside one trigger)
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        input.addData(h1 ++ h1.take(1): _*); q.processAllAvailable()
+        input.addData(h2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    ingest("graft-spanck1")
+    // streamed store = the batch-computed distinct window-hash set
+    val streamedSet = spark.read.parquet(store)
+      .collect().map(_.getLong(0)).sorted
+    streamedSet shouldBe operators.Dedup.windowHashes(docs)
+      .collect().map(_.getLong(0)).sorted
+    // it is a SET: appending batches never duplicated a hash
+    streamedSet.distinct.length shouldBe streamedSet.length
+    // full replay under a fresh checkpoint: anti-join makes it a no-op
+    val n = spark.read.parquet(store).count()
+    ingest("graft-spanck2")
+    spark.read.parquet(store).count() shouldBe n
+  }
+
   test("dedupStream drops re-seen content within the watermark horizon") {
     val s = spark
     import s.implicits._
