@@ -151,4 +151,59 @@ class CompactionSpec extends AnyFunSuite with Matchers with SharedSpark {
       .count(_.getName.endsWith(".parquet")) shouldBe extFilesBefore
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("flat compaction folds append debt, preserves metadata dirs and results") {
+    import org.apache.spark.sql.functions.col
+    val idx = s"${tempDir("graft-flatcompact")}/postings"
+    operators.Encoders.writeTfidfIndex(spark, sfDir, idx)
+    val before = operators.Encoders.tfIdfSearchIndexed(spark, idx)
+      .collect().map(_.toString).sorted
+    // simulate append debt: re-land the existing rows in many batches
+    // under the frozen fit (10 disjoint single-shard appends)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val fresh = s"${tempDir("graft-flatcompact2")}/postings"
+    // the frozen fit must be in place before any append reads it
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(fresh))
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(s"$idx/_vocab"),
+      fs, new org.apache.hadoop.fs.Path(s"$fresh/_vocab"), false,
+      spark.sparkContext.hadoopConfiguration)
+    (0L until 10L).foreach { k =>
+      operators.Encoders.appendToTfidfIndex(spark,
+        docs.filter(col("doc_id") % 10 === k), fresh)
+    }
+    def nFiles(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    nFiles(fresh) should be > 8
+    val done = operators.Compaction.compactFlat(spark, fresh)
+    done should not be empty
+    nFiles(fresh) shouldBe 1
+    // metadata preserved, rows identical, search identical
+    fs.exists(new org.apache.hadoop.fs.Path(s"$fresh/_vocab")) shouldBe true
+    operators.Encoders.tfIdfSearchIndexed(spark, fresh)
+      .collect().map(_.toString).sorted shouldBe before
+    // below threshold now: idempotent no-op
+    operators.Compaction.compactFlat(spark, fresh) shouldBe None
+  }
+
+  test("flat compaction completes a swap interrupted between the renames") {
+    val base = tempDir("graft-flatrecover")
+    val idx = s"$base/codes"
+    operators.Ann.writeSq8Index(spark, sfDir, idx)
+    val expected = operators.Ann.sq8Indexed(spark, sfDir, idx)
+      .collect().map(_.toString).sorted
+    // simulate the crash window: the rewrite (with metadata moved in)
+    // sits under the temp name, the original is set aside, the
+    // promoting rename never ran
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(idx),
+      new org.apache.hadoop.fs.Path(s"$idx.__compact"))
+    operators.Compaction.compactFlat(spark, idx) shouldBe None // recovery
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx.__compact")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/_fit")) shouldBe true
+    operators.Ann.sq8Indexed(spark, sfDir, idx)
+      .collect().map(_.toString).sorted shouldBe expected
+  }
 }
