@@ -543,6 +543,44 @@ object Encoders {
       .orderBy("q_id", "rank")
   }
 
+  /** Hybrid retrieval, relative-score fusion — the OTHER Weaviate
+    * hybrid mode (relativeScoreFusion, its default since 1.24; the
+    * reference's hybrid knob dispatches to Weaviate, so both fusion
+    * semantics are part of its surface): each arm's top-k scores are
+    * min-max normalized to [0,1] WITHIN the query's candidate list,
+    * fused = α·vector + (1−α)·keyword (α = 0.75, Weaviate's default —
+    * rank-free, so score GAPS matter, unlike [[hybridSearch]]'s RRF).
+    *
+    * Determinism: both arms' outputs are already 1e4-quantized, the
+    * min/max windows run over ≤k rows per query, and the fused score
+    * is 1e9-quantized BEFORE ranking so both engines rank identical
+    * values. Arms are independent subplans; fusion touches 2·nq·k
+    * rows. */
+  def hybridAlphaSearch(spark: SparkSession, dir: String, k: Int = 10,
+                        nq: Int = 5, dim: Int = Dim, alpha: Double = 0.75,
+                        model: String = "hashing_tf",
+                        kwFit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
+    val byQ = Window.partitionBy("q_id")
+    def norm(arm: DataFrame, as: String) = arm
+      .withColumn("_mn", min(col("score")).over(byQ))
+      .withColumn("_mx", max(col("score")).over(byQ))
+      .select(col("q_id"), col("doc_id"),
+        when(col("_mx") > col("_mn"),
+          (col("score") - col("_mn")) / (col("_mx") - col("_mn")))
+          .otherwise(lit(1.0)).as(as))
+    val vec = norm(if (model == "tfidf") tfIdfSearch(spark, dir, k, nq, dim)
+                   else hashingSearch(spark, dir, k, nq, dim), "nv")
+    val kw = norm(bm25TopK(spark, dir, k, nq, dim, fit = kwFit), "nk")
+    val fused = vec.join(kw, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        rnd(lit(alpha) * coalesce(col("nv"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("nk"), lit(0.0)), 9).as("score"))
+    Knn.topKPerQuery(fused, k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        rnd(col("score"), 6).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** TF-IDF with a capped vocabulary (ref encoder.py:76-116
     * DummyEncoder/TfidfVectorizer): vocabulary = top `dim` terms by
     * total corpus frequency (ties: term asc), smoothed idf
@@ -863,6 +901,40 @@ object Encoders {
          |    coalesce(v.doc_id, w.doc_id) AS doc_id,
          |    coalesce(1e0 / (60 + v.rv), 0e0) + coalesce(1e0 / (60 + w.rk), 0e0) AS score
          |  FROM vecr v FULL JOIN kwr w ON v.q_id = w.q_id AND v.doc_id = w.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 6)} AS score
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+    }
+
+    /** Relative-score (α) hybrid oracle: min-max normalize each arm's
+      * top-k within the query, α-weight, 1e9-quantize before ranking
+      * (mirrors [[Encoders.hybridAlphaSearch]] exactly). */
+    def hybridAlphaSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim,
+                          alpha: Double = 0.75, model: String = "hashing_tf",
+                          idf: Option[Seq[(Long, Long)]] = None): String = {
+      val vecSql =
+        if (model == "tfidf") tfIdfSearch(k, nq, dim) else hashingSearch(k, nq, dim)
+      val a = s"${alpha}e0"; val b = s"${1.0 - alpha}e0"
+      def normCte(src: String, out: String, col: String): String =
+        s"""$out AS (SELECT q_id, doc_id,
+           |    CASE WHEN mx > mn THEN (score - mn) / (mx - mn) ELSE 1e0 END AS $col
+           |  FROM (SELECT q_id, doc_id, score,
+           |      min(score) OVER (PARTITION BY q_id) AS mn,
+           |      max(score) OVER (PARTITION BY q_id) AS mx FROM $src))""".stripMargin
+      s"""WITH vecr AS (SELECT q_id, doc_id, score FROM (
+         |$vecSql) tv),
+         |kwr AS (SELECT q_id, doc_id, score FROM (
+         |${bm25TopK(k, nq, dim, None, idf)}) tk),
+         |${normCte("vecr", "vnorm", "nv")},
+         |${normCte("kwr", "knorm", "nk")},
+         |fused AS (
+         |  SELECT coalesce(v.q_id, w.q_id) AS q_id,
+         |    coalesce(v.doc_id, w.doc_id) AS doc_id,
+         |    ${S.rnd(s"$a * coalesce(v.nv, 0e0) + $b * coalesce(w.nk, 0e0)", 9)} AS score
+         |  FROM vnorm v FULL JOIN knorm w ON v.q_id = w.q_id AND v.doc_id = w.doc_id),
          |ranked AS (
          |  SELECT q_id, doc_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
