@@ -85,6 +85,30 @@ object VectorCore {
     * map-side-combined per-dim reduce. Both aggregates are
     * partitioning-independent (min/max exact, the error sum
     * fixed-point), so the audit is bit-stable at any scale. */
+  /** Exact Gram matrix Gᵀ·G of the embedding corpus (upper triangle,
+    * Dim·(Dim+1)/2 = 2080 rows) — the kernel that makes PCA / whitening
+    * / OPQ rotation fitting a DRIVER-LOCAL eigen problem at any corpus
+    * size: the corpus reduces to a constant-size matrix in one pass,
+    * the 64×64 eigendecomposition then costs microseconds off-cluster
+    * (the standard big-data PCA shape). Per-row pair products explode
+    * from a LITERAL (i ≤ j) index array and map-side combine leaves
+    * ≤ 2080 rows per task; sums are fixed-point longs (order-free,
+    * partitioning-independent — the fxSum contract). */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairLit = array((1 to Dim).flatMap(i => (i to Dim).map(j =>
+      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j")))): _*)
+    Tables.embeddings(spark, dir)
+      .select(explode(transform(pairLit, p => struct(
+        p.getField("i").as("i"), p.getField("j").as("j"),
+        (element_at(col("embedding"), p.getField("i").cast("int")).cast("double") *
+          element_at(col("embedding"), p.getField("j").cast("int")).cast("double"))
+          .as("prod")))).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.prod"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n_vecs"), rnd(fxSum(col("prod"), 9), 6).as("g"))
+      .orderBy("i", "j")
+  }
+
   def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
     def vals = Tables.embeddings(spark, dir)
       .select(posexplode(col("embedding")).as(Seq("dim0", "x")))
@@ -144,6 +168,15 @@ object VectorCore {
       s"""SELECT id_a, id_b, (floor((${S.euclid("va", "vb", Dim)}) * 1e4 + 0.5e0) / 1e4) AS dist
          |$joinFrom
          |ORDER BY id_a""".stripMargin
+
+    val gramMatrix: String =
+      s"""SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+         |  count(*) AS n_vecs,
+         |  ${S.rnd(S.fxSum(
+             "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)", 9), 6)} AS g
+         |FROM embeddings, range(1, ${Dim + 1}) a(i), range(1, ${Dim + 1}) b(j)
+         |WHERE j >= i
+         |GROUP BY i, j ORDER BY i, j""".stripMargin
 
     val quantizeInt8: String = {
       val q = "floor((v - lo) / (hi - lo) * 255.0e0 + 0.5e0)"
