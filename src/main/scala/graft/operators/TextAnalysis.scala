@@ -30,6 +30,27 @@ object TextAnalysis {
         regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
       .orderBy("doc_id")
 
+  /** Per-language tokenizer health dashboard (fertility stats): doc
+    * counts, total tokens/chars, chars-per-token (the bytes-per-token
+    * proxy a tokenizer team watches per language — a language whose
+    * fertility drifts is being fragmented) and tokens-per-doc. One
+    * map-side-combined groupBy of per-row integer stats; divisions of
+    * exact long sums are engine-identical. */
+  def tokenizerStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_tokens"),
+        sum("n_chars").as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("total_chars"),
+        rnd(col("total_chars") / col("total_tokens")).as("chars_per_token"),
+        rnd(col("total_tokens") / col("n_docs")).as("tokens_per_doc"))
+      .orderBy("lang")
+
   /** Corpus bigram frequency: top `topN` word 2-grams by count — the
     * corpus-analysis query a training-data pipeline runs for
     * boilerplate/contamination detection. Explode + groupBy with
@@ -362,6 +383,18 @@ object TextAnalysis {
          |  CAST(len($toksE) AS BIGINT) AS n_ws,
          |  CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin
+
+    val tokenizerStats: String =
+      s"""WITH s AS (SELECT lang,
+         |    CAST(len($toksE) AS BIGINT) AS n_toks,
+         |    CAST(length(text) AS BIGINT) AS n_chars
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  ${S.rnd("CAST(sum(n_chars) AS BIGINT) / CAST(CAST(sum(n_toks) AS BIGINT) AS DOUBLE)", 4)} AS chars_per_token,
+         |  ${S.rnd("CAST(sum(n_toks) AS BIGINT) / CAST(count(*) AS DOUBLE)", 4)} AS tokens_per_doc
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
     val langId: String = {
       val scores = markers.map { case (l, ws) =>
