@@ -359,4 +359,45 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     pi should not include "Window"
     "Exchange".r.findAllIn(pi).size should be <= 1 // presentation sort only
   }
+
+  test("span dedup: no cartesian product, island window partitioned by doc only") {
+    val p = plan(Dedup.spanCoverage(spark, sfDir))
+    p should not include "CartesianProduct"
+    // every Window operator is doc-partitioned (frames bounded by one
+    // doc's duplicated positions, never the corpus)
+    "Window".r.findAllIn(p).toSeq.size should be >= 1
+    p.linesIterator.filter(_.contains("Window")).foreach(l =>
+      l should include("doc_id"))
+    val ps = plan(Dedup.spanScrub(spark, sfDir))
+    ps should not include "CartesianProduct"
+  }
+
+  test("sq8: fit and query scalars broadcast, ADC partial-aggregates map-side") {
+    val p = plan(Ann.sq8Search(spark, sfDir))
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // the fixed-point ADC sum partial-aggregates before the shuffle
+    p.toLowerCase should include("partial_sum")
+  }
+
+  test("hybrid alpha fusion: arm windows run on <=k-row frames, no cartesian") {
+    val p = plan(Encoders.hybridAlphaSearch(spark, sfDir))
+    p should not include "CartesianProduct"
+  }
+
+  test("gram matrix: partial aggregation after the pair explode") {
+    val p = plan(VectorCore.gramMatrix(spark, sfDir))
+    p.toLowerCase should include("partial_count")
+    p should not include "CartesianProduct"
+    // one shuffle for the (i, j) groupBy + the presentation sort only
+    "Exchange".r.findAllIn(p).size should be <= 2
+  }
+
+  test("quality calibration: corpus collapses to the histogram before any window") {
+    val p = plan(Shaping.qualityCalibration(spark, sfDir))
+    // the lang/quality groupBy partial-aggregates map-side; windows
+    // run on the aggregated histogram
+    p.toLowerCase should include("partial_count")
+    p should not include "CartesianProduct"
+  }
 }
