@@ -175,6 +175,25 @@ object Sources {
       .orderBy("category")
   }
 
+  /** documents parquet → ORC → read back → per-lang summary with the
+    * polynomial content-hash sum (the JSONL contract over the OTHER
+    * columnar format Spark ships natively — a lakehouse frequently
+    * carries both, and the round trip proves schema and every text
+    * byte survive the format change). */
+  def roundTripDocsOrc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions._
+    val path = scratch(dir, "docs_orc")
+    graft.Tables.documents(spark, dir)
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text")).cast("long")).as("sum_chars"),
+        sum(col("n_chars")).as("sum_n_chars"),
+        sum(polyHash(col("text"))).as("content_hash_sum"))
+      .orderBy("lang")
+  }
+
   object SqlOracle {
     import graft.functions.{Sql => S}
 
@@ -186,6 +205,14 @@ object Sources {
          |  min(ts) AS min_ts, max(ts) AS max_ts
          |FROM ${S.eventsUs} e
          |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+    val roundTripDocsOrc: String =
+      s"""SELECT lang, count(*) AS n,
+         |  CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+         |  CAST(sum(${S.polyHash("text")}) AS BIGINT) AS content_hash_sum
+         |FROM documents
+         |GROUP BY lang ORDER BY lang""".stripMargin
 
     val roundTripDocsJsonl: String =
       s"""SELECT lang AS category, count(*) AS n,
