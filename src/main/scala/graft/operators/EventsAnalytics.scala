@@ -99,6 +99,25 @@ object EventsAnalytics {
       .orderBy("event_type", "bin")
   }
 
+  /** Semi-structured payload extraction — the JSON-column surface
+    * (events carry a JSON `props` string, the shape telemetry and
+    * product logs arrive in): `get_json_object` pulls the typed field
+    * per row (a pure codegen'd map — at 100 TB prefer `from_json` with
+    * an explicit schema once fields stabilize, same plan shape), then
+    * a per-type aggregate over the extracted value. The log shuffles
+    * only its one-row-per-type partials. */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
   /** Z-score outlier detection per event type — the metric-anomaly
     * sweep an ops pipeline runs over its telemetry. Two passes: a
     * map-side-combined stats aggregate (count + fixed-point Σv, Σv²,
@@ -202,6 +221,18 @@ object EventsAnalytics {
       .orderBy("rank")
 
   object SqlOracle {
+    val propsExtract: String =
+      """WITH x AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  count(k) AS n_parsed,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+        |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+
     val activeUsers: String =
       s"""WITH ud AS (
          |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
