@@ -95,17 +95,16 @@ object VectorCore {
     * ≤ 2080 rows per task; sums are fixed-point longs (order-free,
     * partitioning-independent — the fxSum contract). */
   def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
-    val pairLit = array((1 to Dim).flatMap(i => (i to Dim).map(j =>
-      struct(lit(i.toLong).as("i"), lit(j.toLong).as("j")))): _*)
+    val pairs = (1 to Dim).flatMap(i => (i to Dim).map(j => (i.toLong, j.toLong)))
+    val iLit = array(pairs.map(p => lit(p._1)): _*)
+    val jLit = array(pairs.map(p => lit(p._2)): _*)
     Tables.embeddings(spark, dir)
-      .select(explode(transform(pairLit, p => struct(
-        p.getField("i").as("i"), p.getField("j").as("j"),
-        (element_at(col("embedding"), p.getField("i").cast("int")).cast("double") *
-          element_at(col("embedding"), p.getField("j").cast("int")).cast("double"))
-          .as("prod")))).as("c"))
-      .select(col("c.i"), col("c.j"), col("c.prod"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n_vecs"), rnd(fxSum(col("prod"), 9), 6).as("g"))
+      .agg(graft.functions.GramAgg.gramTriangle(col("embedding"), Dim).as("gfx"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("n_vecs"), posexplode(col("gfx")).as(Seq("idx", "s")))
+      .select(element_at(iLit, col("idx") + 1).as("i"),
+        element_at(jLit, col("idx") + 1).as("j"),
+        col("n_vecs"), rnd(col("s") / 1e9, 6).as("g"))
       .orderBy("i", "j")
   }
 
