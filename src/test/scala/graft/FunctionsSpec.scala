@@ -142,4 +142,33 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
     rows(1) shouldBe 0.0
     java.lang.Double.doubleToRawLongBits(rows(1)) shouldBe 0L // not -0.0
   }
+
+  test("GramTriangle equals the declarative pair-product fold, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = 4
+    val vecs = Seq(
+      Array(1.0f, 2.0f, -3.0f, 0.5f),
+      Array(0.0f, 1.5f, 2.5f, -1.0f),
+      Array(4.0f, -0.5f, 0.25f, 2.0f),
+      Array(-2.0f, 3.0f, 1.0f, 0.0f),
+      Array(0.1f, 0.2f, 0.3f, 0.4f))
+    def gram(parts: Int): Array[Long] = {
+      val df = vecs.toDF("embedding").repartition(parts)
+      df.agg(graft.functions.GramAgg.gramTriangle(col("embedding"), dim).as("g"))
+        .collect()(0).getSeq[Long](0).toArray
+    }
+    // reference: per-pair fixed-point products summed in plain Scala
+    val expect = new Array[Long](dim * (dim + 1) / 2)
+    vecs.foreach { v =>
+      var idx = 0
+      for (i <- 0 until dim; j <- i until dim) {
+        expect(idx) += math.floor(v(i).toDouble * v(j).toDouble * 1e9 + 0.5).toLong
+        idx += 1
+      }
+    }
+    gram(1) shouldBe expect
+    gram(3) shouldBe expect // partials merge exactly on any split
+    gram(5) shouldBe expect
+  }
 }
