@@ -239,7 +239,10 @@ object Ann {
 
   /** (doc_id, dim, code) rows of a (doc_id, doc_vec) frame under a
     * given (dim, lo, hi) fit — the shared encode of the in-plan search,
-    * the index build, and the frozen-fit append. */
+    * the index build, and the frozen-fit append. Codes clamp to
+    * [0, 255] (the FAISS QT_8bit encode clip): a frozen-fit append of
+    * vectors outside the trained (lo, hi) range saturates at the grid
+    * edge instead of emitting out-of-byte codes. */
   def sq8Encode(docs: DataFrame, ranges: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), posexplode(col("doc_vec")).as(Seq("dim0", "x")))
@@ -248,7 +251,8 @@ object Ann {
       .join(broadcast(ranges), Seq("dim"))
       .select(col("doc_id"), col("dim"),
         when(col("hi") > col("lo"),
-          floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5))
+          least(lit(255.0), greatest(lit(0.0),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * 255.0 + 0.5))))
           .otherwise(0.0).cast("long").as("code"))
 
   /** ADC scoring + exact re-rank over an SQ8 code relation (the query
@@ -676,7 +680,8 @@ object Ann {
          |codes AS (
          |  SELECT doc_id, dim,
          |    CAST(CASE WHEN hi > lo
-         |      THEN floor((v - lo) / (hi - lo) * 255.0e0 + 0.5e0)
+         |      THEN least(255.0e0, greatest(0.0e0,
+         |             floor((v - lo) / (hi - lo) * 255.0e0 + 0.5e0)))
          |      ELSE 0.0e0 END AS BIGINT) AS code
          |  FROM vals JOIN ranges USING (dim)),
          |qp AS (

@@ -101,15 +101,37 @@ object EventsAnalytics {
 
   /** Semi-structured payload extraction — the JSON-column surface
     * (events carry a JSON `props` string, the shape telemetry and
-    * product logs arrive in): `get_json_object` pulls the typed field
-    * per row (a pure codegen'd map — at 100 TB prefer `from_json` with
-    * an explicit schema once fields stabilize, same plan shape), then
-    * a per-type aggregate over the extracted value. The log shuffles
-    * only its one-row-per-type partials. */
+    * product logs arrive in): `from_json` with an EXPLICIT schema
+    * parses the typed field per row — the 100 TB-correct form (one
+    * schema-driven parse per row, no per-field path re-scan, and new
+    * fields are a schema edit instead of a new path expression); a
+    * malformed payload yields a NULL field exactly like the
+    * path-extraction form ([[propsExtractPaths]], pinned equal in
+    * EventsSpec). Then a per-type aggregate over the extracted value —
+    * the log shuffles only its one-row-per-type partials. */
   def propsExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("k")).as("n_parsed"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy("event_type")
+
+  /** The per-path extraction form of [[propsExtract]]
+    * (`get_json_object('$.k')` + try_cast) — kept as the
+    * ad-hoc-exploration twin (no schema needed) and spec-pinned
+    * result-equal to the schema-driven parse. The cast MUST be
+    * `try_cast`: under ANSI (Spark 4 default) a plain cast THROWS on a
+    * non-integral payload value where `from_json` yields NULL — the
+    * exact engine divergence ADVICE r9 flagged. */
+  def propsExtractPaths(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").try_cast("long").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         count(col("k")).as("n_parsed"),

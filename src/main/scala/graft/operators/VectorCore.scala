@@ -101,6 +101,10 @@ object VectorCore {
     Tables.embeddings(spark, dir)
       .agg(graft.functions.GramAgg.gramTriangle(col("embedding"), Dim).as("gfx"),
         count(lit(1)).as("n_vecs"))
+      // empty-corpus guard: the global aggregate always yields one row;
+      // without this filter an empty table would explode to 2080
+      // all-zero rows while the oracle's self-join yields zero
+      .filter(col("n_vecs") > 0)
       .select(col("n_vecs"), posexplode(col("gfx")).as(Seq("idx", "s")))
       .select(element_at(iLit, col("idx") + 1).as("i"),
         element_at(jLit, col("idx") + 1).as("j"),

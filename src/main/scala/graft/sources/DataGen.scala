@@ -105,7 +105,12 @@ object DataGen {
           (pmod(xxhash64(lit(seed + 8), col("event_id")), lit(types.size)) + 1).cast("int"))
           .as("event_type"),
         (floor(u01(seed + 9, col("event_id")) * 500.0 * 100.0 + 0.5) / 100.0).as("value"),
-        concat(lit("p"), pmod(xxhash64(lit(seed + 10), col("event_id")), lit(3))).as("props"))
+        // real JSON payloads mirroring the driver tables' shape
+        // ({"k": <int>}), so the props-extraction path is actually
+        // exercised at generated scale, never NULL-vacuous
+        concat(lit("{\"k\": "),
+          pmod(xxhash64(lit(seed + 10), col("event_id")), lit(100)),
+          lit("}")).as("props"))
   }
 
   /** (q_id, doc_id) relevance pairs for the first `nQueries` docs:

@@ -131,11 +131,14 @@ object Sources {
   // oracle contract, not just test coverage.
 
   // round-trip scratch is removed at JVM exit (graft.Cleanup): the
-  // path is deterministic per input dir (re-runs overwrite, not
-  // accumulate), but distinct inputs (bench scale corpora, probe
-  // dirs) would each leak one dir under /tmp forever otherwise
+  // path is deterministic per (JVM, input dir) — stable within a JVM
+  // so re-runs overwrite rather than accumulate, but pid-qualified so
+  // two JVMs sharing one input dir (a parent and a ScaleRun/bench
+  // child) never share a base one's shutdown sweep could delete out
+  // from under the other mid-round-trip
   private def scratch(dir: String, leaf: String): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-${math.abs(dir.hashCode)}"
+    val pid = java.lang.ProcessHandle.current().pid()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-$pid-${math.abs(dir.hashCode)}"
     graft.Cleanup.onExit(java.nio.file.Paths.get(base))
     s"$base/$leaf"
   }

@@ -385,11 +385,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p should not include "CartesianProduct"
   }
 
-  test("gram matrix: partial aggregation after the pair explode") {
+  test("gram matrix: GramTriangle typed aggregate, zero row expansion before it") {
     val p = plan(VectorCore.gramMatrix(spark, sfDir))
-    p.toLowerCase should include("partial_count")
+    // the r9 rewrite's point: the corpus reduces through the
+    // partial-combinable GramTriangle aggregate — a regression back to
+    // the (i, j) pair explode would drop the aggregate name and
+    // reintroduce a Generate BEFORE the aggregation
+    p.toLowerCase should include("partial_gramtriangle")
+    // the only Generate is the presentation posexplode of the 2080-slot
+    // result AFTER the aggregate: above the scan there is exactly one
+    val gens = "Generate".r.findAllIn(p).size
+    gens should be <= 1
     p should not include "CartesianProduct"
-    // one shuffle for the (i, j) groupBy + the presentation sort only
+    // one shuffle for the global aggregate + the presentation sort only
     "Exchange".r.findAllIn(p).size should be <= 2
   }
 
