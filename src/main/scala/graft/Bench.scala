@@ -69,20 +69,49 @@ object Bench {
       warmedFallback
       batch.map(n => n -> (timed(n, sfDir), timed(n, sfDir)))
     }
+    def parseBenchq(lines: Seq[String]): Map[String, (Double, Double)] =
+      lines.flatMap { l =>
+        l.trim.split("\\s+") match {
+          case Array("BENCHQ", n, c, w) =>
+            try Some(n -> (c.toDouble, w.toDouble))
+            catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap
     // Sorted names group query families into the same child batch.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results: Seq[(String, (Double, Double))] =
-      names.grouped(BatchSize).toSeq.flatMap { batch =>
+    // The multi-job graph family has been the flagged bench outlier
+    // three rounds running (r7-r9: ±35% swings adjudicated as
+    // batch-placement noise, twice re-measured at their floor in fresh
+    // JVMs). They launch ~30 tiny jobs each, so they inherit whatever
+    // scheduler/GC state the preceding batch neighbors left behind.
+    // They get the scale section's discipline instead: a dedicated
+    // child JVM holding ONLY this family, run twice, per-query
+    // cross-child minima — a decayed child can sink its own numbers
+    // but not the recorded minimum.
+    val Isolated = Set("ann_graph_search", "eval_ann_recall_graph",
+      "dedup_cluster_labels", "dedup_semantic_graph")
+    val (isoNames, batchNames) = names.partition(Isolated.contains)
+    val isoResults: Seq[(String, (Double, Double))] =
+      if (isoNames.isEmpty) Nil
+      else {
+        val tries = (1 to 2).flatMap(_ =>
+          spawn("graft.tools.BenchRun", sfDir +: isoNames).map(parseBenchq))
+        def minOk(ts: Seq[Double]): Double = {
+          val ok = ts.filter(_ > 0)
+          if (ok.isEmpty) -1.0 else ok.min
+        }
+        val (seen, missing) = isoNames.partition(n => tries.exists(_.contains(n)))
+        seen.map { n =>
+          val ts = tries.flatMap(_.get(n))
+          n -> (minOk(ts.map(_._1)), minOk(ts.map(_._2)))
+        } ++ (if (missing.isEmpty) Nil else fallback(missing))
+      }
+    val results: Seq[(String, (Double, Double))] = isoResults ++
+      batchNames.grouped(BatchSize).toSeq.flatMap { batch =>
         spawn("graft.tools.BenchRun", sfDir +: batch) match {
           case Some(lines) =>
-            val m = lines.flatMap { l =>
-              l.trim.split("\\s+") match {
-                case Array("BENCHQ", n, c, w) =>
-                  try Some(n -> (c.toDouble, w.toDouble))
-                  catch { case _: NumberFormatException => None }
-                case _ => None
-              }
-            }.toMap
+            val m = parseBenchq(lines)
             // a query missing from child stdout (mid-batch crash) is
             // re-timed in-process rather than dropped
             val missing = batch.filterNot(m.contains)

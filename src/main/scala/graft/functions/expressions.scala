@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -146,6 +146,24 @@ object Kernels {
     var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
+  }
+
+  /** Exact integer sparse·dense inner product: Σ cnts[i] ·
+    * dense[buckets[i]], skipping buckets outside the dense range —
+    * equals the bucket-join Σ qcnt·cnt of
+    * [[graft.operators.Encoders.sparseCosine]] for a dense side built
+    * from the same postings (integer sums are order-free). */
+  def sparseDotDense(b: ArrayData, c: ArrayData, d: ArrayData): Long = {
+    val n = math.min(b.numElements(), c.numElements())
+    val dn = d.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val bi = b.getLong(i)
+      if (bi >= 0 && bi < dn) s += c.getLong(i) * d.getLong(bi.toInt)
+      i += 1
+    }
+    s
   }
 
   /** Intersection size of two SORTED long arrays (strictly increasing,
@@ -349,6 +367,25 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** sparse_dot_dense(buckets array<long>, cnts array<long>,
+  * dense array<long>) — exact integer inner product of a sparse
+  * (indices, values) pair against a dense vector; the join-free
+  * scoring kernel of the dense serving path. */
+case class SparseDotDenseExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(b: Any, c: Any, d: Any): Any =
+    Kernels.sparseDotDense(b.asInstanceOf[ArrayData],
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, c, d) => s"graft.functions.Kernels.sparseDotDense($b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SparseDotDenseExpr =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column-level entry points for the native kernels. */
 object native {
   private def ex(c: Column) = Bridge.expression(c)
@@ -384,4 +421,7 @@ object native {
 
   def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
     Bridge.column(HyperplaneSigExpr(ex(v), planes))
+
+  def sparseDotDense(buckets: Column, cnts: Column, dense: Column): Column =
+    Bridge.column(SparseDotDenseExpr(ex(buckets), ex(cnts), ex(dense)))
 }

@@ -140,13 +140,93 @@ object Encoders {
     * scan+join+agg — no tokenize/explode/window anywhere in the hot
     * path. */
   def hashingSearchIndexed(spark: SparkSession, indexPath: String,
-                           k: Int = 10, nq: Int = 5): DataFrame = {
-    val idx = spark.read.parquet(indexPath)
+                           k: Int = 10, nq: Int = 5): DataFrame =
+    hashingSearchIndexedFrame(spark.read.parquet(indexPath), k, nq)
+
+  /** [[hashingSearchIndexed]] against an already-loaded (and possibly
+    * `persist`ed) postings frame — the repeated-query serving shape:
+    * the ref's query loop memmaps the vector file ONCE and every query
+    * reads it page-cache-warm (auto_run_tests.py:150-160); a serving
+    * process holding the postings in Spark storage memory is the same
+    * discipline, and is what the H2 bench leg measures. */
+  def hashingSearchIndexedFrame(idx: DataFrame, k: Int = 10,
+                                nq: Int = 5): DataFrame = {
     val qc = idx.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("bucket"),
         col("cnt").as("qcnt"), col("norm").as("qn"))
     rankTopK(sparseCosine(idx.filter(col("doc_id") >= nq), qc, Seq("doc_id")), k)
   }
+
+  /** Per-doc gathered form of a [[writeHashingIndex]] postings layout:
+    * (doc_id, buckets, cnts, norm) with the two arrays pair-aligned —
+    * the Spark analog of the ref's row-major vector memmap (one row
+    * per doc, auto_run_tests.py:52-108). Gathering is the serving
+    * process's LOAD step (the ref's `np.memmap` open): done once,
+    * persisted, and every query after it scans doc rows instead of
+    * postings rows. */
+  def gatherPostings(idx: DataFrame): DataFrame =
+    idx.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("cnt")))).as("es"),
+        first(col("norm")).as("norm"))
+      .select(col("doc_id"),
+        col("es").getField("bucket").as("buckets"),
+        col("es").getField("cnt").as("cnts"),
+        col("norm"))
+
+  /** [[hashingSearchIndexedFrame]] re-expressed JOIN-FREE over a
+    * gathered layout — the ref's actual scoring shape
+    * (offline_search's chunked `mmap.dot(q)`, auto_run_tests.py:115-140):
+    * each query becomes a broadcast dense vector, every doc row scores
+    * against it with one codegen'd sparse·dense kernel pass, and the
+    * bounded-heap top-k partial-aggregates map-side — so the ONLY
+    * shuffle is ~(partitions × queries) tiny heaps, versus the sparse
+    * form's (q, doc)-group shuffle. Bit-identical to the sparse form:
+    * the inner product is the same exact integer sum (order-free), the
+    * ip > 0 filter reproduces the bucket-join's candidate set (a pair
+    * joins iff it shares a bucket iff its integer ip is positive), and
+    * the division is the same IEEE expression. At 100 TB this is the
+    * serving scan: linear in docs, no shuffle of anything
+    * corpus-sized, embarrassingly parallel across executors. */
+  def hashingSearchDense(gathered: DataFrame, k: Int = 10, nq: Int = 5,
+                         dim: Int = Dim): DataFrame = {
+    val qg = gathered.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"),
+        map_from_arrays(col("buckets"), col("cnts")).as("m"),
+        col("norm").as("qn"))
+      .select(col("q_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("qdense"),
+        col("qn"))
+    val scored = gathered.filter(col("doc_id") >= nq)
+      .crossJoin(broadcast(qg))
+      .select(col("q_id"), col("doc_id"),
+        (graft.functions.native.sparseDotDense(
+          col("buckets"), col("cnts"), col("qdense")).cast("double") /
+          (col("qn") * col("norm"))).as("score"))
+    // The no-shared-bucket pairs the sparse join never produces score
+    // exactly 0 here (integer ip = 0; positives are ≥ 1/(qn·dn) > 0).
+    // They are dropped AFTER the heap, not before: a pre-heap filter
+    // gets pushed into the join condition and evaluates the kernel
+    // twice per row. Zero-score rows rank strictly below every
+    // positive row, so surviving rows keep identical ranks and the
+    // output equals the sparse form's row-for-row.
+    Knn.topKPerQuery(scored, k)
+      .filter(col("score") > 0)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** [[hashingSearchDense]] over the memoized scratch index — the
+    * verified-query form (`pipeline_indexed_dense`); results ≡
+    * [[hashingSearchViaIndex]] ≡ [[hashingSearch]], so it shares
+    * their oracle. */
+  def hashingSearchDenseViaIndex(spark: SparkSession, dir: String,
+                                 k: Int = 10, nq: Int = 5,
+                                 dim: Int = Dim): DataFrame =
+    hashingSearchDense(
+      gatherPostings(spark.read.parquet(hashingIndexPath(spark, dir, dim))),
+      k, nq, dim)
 
   // an index build is a BUILD (same contract as the vocabulary fit):
   // one corpus pass whose on-disk result every later query shares —

@@ -21,6 +21,43 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
     direct should not be empty
   }
 
+  test("dense join-free serving scan is bit-identical to the sparse indexed search") {
+    val idx = s"${tempDir("graft-hidx-dense")}/postings"
+    Encoders.writeHashingIndex(spark, sfDir, idx)
+    val sparse = Encoders.hashingSearchIndexed(spark, idx)
+      .collect().map(_.toString).sorted
+    val dense = Encoders.hashingSearchDense(
+      Encoders.gatherPostings(spark.read.parquet(idx)))
+      .collect().map(_.toString).sorted
+    dense shouldBe sparse
+    dense should not be empty
+  }
+
+  test("dense serving plan: one broadcast, no postings-sized shuffle") {
+    val idx = s"${tempDir("graft-hidx-densep")}/postings"
+    Encoders.writeHashingIndex(spark, sfDir, idx)
+    // the serving shape: gathered layout materialized once (the load
+    // step) — localCheckpoint stands in for the persisted relation
+    // without embedding the gather's own build plan in the plan string
+    val gathered = Encoders.gatherPostings(spark.read.parquet(idx))
+      .localCheckpoint(true)
+    val p = Encoders.hashingSearchDense(gathered)
+      .queryExecution.executedPlan.toString()
+    // scoring is the codegen'd kernel against a broadcast query set
+    // over the materialized gather — no re-gather, no sort-merge join,
+    // and the only aggregation leaving a task is the bounded heap top-k
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "SortMergeJoin"
+    p.toLowerCase should include("partial_topkby")
+    // kernel evaluated once per (doc, query) row: a pre-heap filter
+    // regression would push it into the join condition as a second
+    // sparsedotdenseexpr occurrence
+    "sparsedotdenseexpr".r.findAllIn(p.toLowerCase).size shouldBe 1
+    // exchanges: broadcast of the query set, the heap merge, the
+    // presentation sort — never a (q, doc)-pair-sized shuffle
+    "Exchange".r.findAllIn(p).size should be <= 3
+  }
+
   test("the indexed query plan never touches the documents table") {
     val idx = s"${tempDir("graft-hidx-spec2")}/postings"
     Encoders.writeHashingIndex(spark, sfDir, idx)
