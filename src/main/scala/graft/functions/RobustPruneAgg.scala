@@ -1,0 +1,251 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Bounded candidate pool for [[RobustPruneExpr]]: the top-r entries by
+  * (score desc, id asc), id-distinct, each carrying its vector. r is a
+  * small constant (the neighborhood cap), so sorted-array insertion
+  * beats heap bookkeeping and keeps the pool in best-first order for
+  * free — exactly the order the sequential prune consumes.
+  */
+final class PruneBuffer(val r: Int) {
+  val scores = new Array[Double](r)
+  val ids = new Array[Long](r)
+  val vecs = new Array[Array[Float]](r)
+  var size = 0
+
+  @inline private def better(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+    sa > sb || (sa == sb && ia < ib)
+
+  def add(score: Double, id: Long, vec: Array[Float]): Unit = {
+    // id-distinct: a duplicate id only upgrades its kept score
+    var j = 0
+    while (j < size) {
+      if (ids(j) == id) {
+        if (score > scores(j)) {
+          // remove and re-insert at its improved position
+          val v = vecs(j)
+          var m = j
+          while (m < size - 1) {
+            scores(m) = scores(m + 1); ids(m) = ids(m + 1); vecs(m) = vecs(m + 1)
+            m += 1
+          }
+          size -= 1
+          insert(score, id, v)
+        }
+        return
+      }
+      j += 1
+    }
+    insert(score, id, vec)
+  }
+
+  private def insert(score: Double, id: Long, vec: Array[Float]): Unit = {
+    if (size == r && !better(score, id, scores(size - 1), ids(size - 1))) return
+    var pos = if (size < r) size else size - 1
+    if (size < r) size += 1
+    while (pos > 0 && better(score, id, scores(pos - 1), ids(pos - 1))) {
+      scores(pos) = scores(pos - 1); ids(pos) = ids(pos - 1); vecs(pos) = vecs(pos - 1)
+      pos -= 1
+    }
+    scores(pos) = score; ids(pos) = id; vecs(pos) = vec
+  }
+}
+
+/** robust_prune(score, id, vec, k, r, alpha): per-group bounded pool of
+  * the r best candidates followed by the *sequential* DiskANN/HNSW edge
+  * selection (Subramanya et al. RobustPrune; Malkov & Yashunin §4
+  * "heuristic" select — public algorithms) evaluated locally at
+  * finish:
+  *
+  *   process candidates best-first; keep c unless some already-KEPT b
+  *   satisfies α·d(b,c) ≤ d(s,c)  (d = cosine distance; d(s,c) comes
+  *   from the score column, so the pivot's own vector is never needed);
+  *   stop at k kept; if fewer than k survive, fill the remaining slots
+  *   with the best pruned candidates in rank order (degree stays k,
+  *   connectivity never shrinks).
+  *
+  * Why kept-only coverage matters: on a near-dup clique every candidate
+  * is approximately covered by the rank-0 candidate, so an
+  * "any-better-ranked" over-approximation prunes everything and a
+  * rank-ordered fill-in degenerates to plain top-k — the measured
+  * no-op (0.42 → 0.43 recall at the 200 k clustered corpus). The
+  * sequential rule instead keeps the first member of each *direction*:
+  * the kept set spreads across distance scales, which is what makes
+  * greedy graph search converge (α > 1 keeps some longer edges — the
+  * DiskANN default 1.2).
+  *
+  * Deterministic and partitioning-independent: the pool is the id-
+  * distinct top-r by (score desc, id asc) — a set function of the
+  * input — and the greedy is a pure function of the pool.
+  *
+  * Cost: partial aggregation bounds every map-side group at r entries
+  * (r·dim floats ride the shuffle per node — the same O(N·r) volume the
+  * pool join already materializes); finish is O(r²·dim) per node, a
+  * constant.
+  */
+case class RobustPruneExpr(
+    score: Expression,
+    id: Expression,
+    vec: Expression,
+    k: Int,
+    r: Int,
+    alpha: Double,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PruneBuffer] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(score, id, vec)
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(DoubleType, LongType, ArrayType(FloatType))
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (k < 1 || r < k) TypeCheckResult.TypeCheckFailure(
+      s"need 1 <= k <= r, got k=$k r=$r")
+    else if (alpha < 1.0) TypeCheckResult.TypeCheckFailure(
+      s"alpha must be >= 1, got $alpha")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): PruneBuffer = new PruneBuffer(r)
+
+  override def update(buf: PruneBuffer, input: InternalRow): PruneBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    val v = vec.eval(input)
+    if (s != null && i != null && v != null) {
+      // toFloatArray copies out of the (possibly reused) row buffer
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long],
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray)
+    }
+    buf
+  }
+
+  override def merge(buf: PruneBuffer, other: PruneBuffer): PruneBuffer = {
+    var i = 0
+    while (i < other.size) {
+      buf.add(other.scores(i), other.ids(i), other.vecs(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: PruneBuffer): Any = {
+    val n = buf.size
+    val norms = new Array[Double](n)
+    var i = 0
+    while (i < n) { norms(i) = l2(buf.vecs(i)); i += 1 }
+    val kept = new Array[Int](math.min(k, n))
+    var nKept = 0
+    val pruned = new Array[Boolean](n)
+    var c = 0
+    while (c < n && nKept < kept.length) {
+      val dSC = 1.0 - buf.scores(c)
+      var covered = false
+      var j = 0
+      while (j < nKept && !covered) {
+        val b = kept(j)
+        val sim = dot(buf.vecs(b), buf.vecs(c)) / (norms(b) * norms(c))
+        covered = alpha * (1.0 - sim) <= dSC
+        j += 1
+      }
+      if (!covered) { kept(nKept) = c; nKept += 1 } else pruned(c) = true
+      c += 1
+    }
+    // fill remaining degree with the best pruned, rank order
+    val out = new Array[Any](math.min(k, n))
+    var o = 0
+    var j = 0
+    while (j < nKept) { out(o) = InternalRow(buf.scores(kept(j)), buf.ids(kept(j))); o += 1; j += 1 }
+    c = 0
+    while (o < out.length && c < n) {
+      if (pruned(c)) { out(o) = InternalRow(buf.scores(c), buf.ids(c)); o += 1 }
+      c += 1
+    }
+    // kept-first then fill can interleave ranks; restore (score desc,
+    // id asc) presentation order so the output is a pure set function
+    new GenericArrayData(out.take(o).sortBy { r0 =>
+      val r1 = r0.asInstanceOf[InternalRow]
+      (-r1.getDouble(0), r1.getLong(1))
+    })
+  }
+
+  @inline private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+  @inline private def l2(a: Array[Float]): Double = {
+    val d = math.sqrt(dot(a, a))
+    if (d == 0.0) 1.0 else d
+  }
+
+  override def serialize(buf: PruneBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.r)
+    out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      out.writeDouble(buf.scores(i)); out.writeLong(buf.ids(i))
+      val v = buf.vecs(i)
+      out.writeInt(v.length)
+      var j = 0
+      while (j < v.length) { out.writeFloat(v(j)); j += 1 }
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): PruneBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val rr = in.readInt()
+    val n = in.readInt()
+    val buf = new PruneBuffer(rr)
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble(); val id = in.readLong()
+      val len = in.readInt()
+      val v = new Array[Float](len)
+      var j = 0
+      while (j < len) { v(j) = in.readFloat(); j += 1 }
+      buf.add(s, id, v)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RobustPruneExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RobustPruneExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): RobustPruneExpr =
+    copy(score = newChildren(0), id = newChildren(1), vec = newChildren(2))
+}
+
+object RobustPruneAgg {
+  /** Column form: array<struct<score,id>> of the ≤k diversified
+    * out-edges per group (see [[RobustPruneExpr]]). */
+  def prune(score: Column, id: Column, vec: Column, k: Int, r: Int,
+            alpha: Double): Column =
+    Bridge.column(
+      RobustPruneExpr(Bridge.expression(score), Bridge.expression(id),
+        Bridge.expression(vec), k, r, alpha)
+        .toAggregateExpression())
+}

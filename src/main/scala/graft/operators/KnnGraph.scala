@@ -58,11 +58,13 @@ import graft.functions._
   * is governed by entry quality and walk reach, not neighbor recall
   * alone: with LSH entry slices + a 64-beam/8-hop walk it measures
   * 0.83 at 2 k near-random nodes (vs 0.505 for plain LSH over the
-  * same signatures) and 0.42 at the 200 k-node clustered decade
-  * corpus (where a converged kNN graph is near-dup cliques and reach
-  * is the binding constraint; IVF reads 0.99 there and remains this
+  * same signatures) and — with the r10 RobustPrune edge
+  * diversification plus the √N auto-beam (see [[Beam]]) — 0.715 at
+  * the 200 k-node clustered decade corpus (0.42 before; IVF reads
+  * 0.99 there by scanning whole cells exactly and remains this
   * library's primary serving path). Beam/Hops are the ef-analog
-  * tuning knobs; every per-query cost is constant in N.
+  * tuning knobs; per-query cost is O(√N) under the auto-beam,
+  * constant in N at any fixed beam.
   */
 object KnnGraph {
   /** Out-degree kept per node (HNSW's `m`-analog). */
@@ -74,14 +76,24 @@ object KnnGraph {
   /** Undirected-neighborhood cap during refinement (proposal volume is
     * R² per node — the efConstruction-analog knob). */
   val R = 20
-  /** Search beam width per query (the ef-analog). Sized with [[Hops]]
-    * against the measured recall curve: a converged kNN graph is
-    * near-dup cliques with weak long-range links, so the walk's REACH
-    * (beam × hops), not the graph's neighbor recall, is what bounds
-    * search recall on big corpora (r8 probes: 24/4 → 0.26 recall@10 at
-    * 200 k clustered nodes, 64/8 → 0.42; at 2 k nodes 0.73 → 0.83).
-    * Cost stays constant per query in N either way. */
+  /** Minimum search beam width per query (the ef-analog). The default
+    * `beam = AutoBeam` auto-sizes to max(Beam, ⌈√N⌉) — the same √N
+    * lever as IVF's centroid count, and for the same reason: the r10
+    * miss diagnosis at the 200 k clustered decade corpus showed the
+    * walk REACHES the right region (mean exact10th−found10th score gap
+    * 0.0027) but the true top-k hide among thousands of near-tie
+    * near-dups that 8 edges/node cannot enumerate — a *local
+    * exhaustiveness* bound, not a navigation bound, so it scales with
+    * neighborhood size (∝√N under the clustered-growth regime the
+    * decade corpus models), not with hops. Measured there (diversified
+    * graph, hops=8): beam 64 → 0.43 recall@10, 256 → 0.605, √N≈448 →
+    * 0.715, 512 → 0.725. Per-query cost is O(beam·degree·hops) =
+    * O(√N) — sub-linear, vs IVF's nprobe·N/√N = O(√N) scan. */
   val Beam = 64
+
+  /** Sentinel for [[graphSearch]]'s `beam`: resolve to max([[Beam]],
+    * ⌈√N⌉) from the corpus size the search already computes. */
+  val AutoBeam = -1
   /** Frontier-expansion hops; each hop is one keyed join. Must cover
     * the graph-distance from an LSH entry to the query's true
     * neighborhood, which grows with cluster size — 8 hops ≈ diameter
@@ -100,6 +112,38 @@ object KnnGraph {
   private def topKEdges(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("src")
       .agg(TopKAgg.topKByDistinct(col("score"), col("dst"), k).as("tk"))
+      .select(col("src"), explode(col("tk")).as("e"))
+      .select(col("src"), col("e.id").as("dst"), col("e.score").as("score"))
+
+  /** RobustPrune α for [[diversifyEdges]] (the DiskANN default): keep
+    * candidate c only while no kept b is α-fold closer to c than the
+    * pivot is; α > 1 retains some longer edges, the knob that makes
+    * greedy search distance halve per hop instead of creeping. */
+  val Alpha = 1.2
+
+  /** Diversified pruning of a per-node candidate pool down to ≤k
+    * out-edges — the public DiskANN/HNSW edge-selection rule
+    * (Subramanya et al. RobustPrune; Malkov & Yashunin §4 "heuristic"
+    * select), run as the *sequential kept-only greedy* inside a
+    * bounded aggregate ([[graft.functions.RobustPruneExpr]]): a
+    * converged plain-kNN graph over clustered data spends all k slots
+    * on one near-dup clique and the walk cannot traverse between
+    * sub-regions (measured 0.42 recall@10 at the 200 k clustered
+    * corpus); the greedy keeps the first candidate of each *direction*
+    * instead, so the degree budget spans distance scales. The pool is
+    * the id-distinct top-r per node (one aggregation), candidate
+    * vectors arrive by one keyed join (O(N·r) rows), and the prune
+    * itself is per-group local — no pair join, no window. */
+  private def diversifyEdges(cands: DataFrame, emb: DataFrame, k: Int,
+                             r: Int): DataFrame =
+    cands.groupBy("src")
+      .agg(TopKAgg.topKByDistinct(col("score"), col("dst"), r).as("tk"))
+      .select(col("src"), explode(col("tk")).as("e"))
+      .select(col("src"), col("e.id").as("dst"), col("e.score").as("score"))
+      .join(emb.select(col("id").as("dst"), col("vec")), Seq("dst"))
+      .groupBy("src")
+      .agg(RobustPruneAgg.prune(col("score"), col("dst"), col("vec"),
+        k, r, Alpha).as("tk"))
       .select(col("src"), explode(col("tk")).as("e"))
       .select(col("src"), col("e.id").as("dst"), col("e.score").as("score"))
 
@@ -240,8 +284,13 @@ object KnnGraph {
       // is ONE aggregation pass (the old groupBy(src,dst) pre-dedupe
       // was a second full shuffle of the same rows).
       // localCheckpoint per round: iterative self-union doubles the
-      // lineage otherwise (the dedup_cluster_labels lesson from r4)
-      edges = topKEdges(edges.union(proposals), k).localCheckpoint(true)
+      // lineage otherwise (the dedup_cluster_labels lesson from r4).
+      // The LAST round keeps the full r-pool and diversify-prunes it
+      // to k (see diversifyEdges) — intermediate rounds keep plain
+      // top-k, since descent quality is driven by nearest candidates.
+      edges = (if (round == iters)
+          diversifyEdges(edges.union(proposals), emb, k, r)
+        else topKEdges(edges.union(proposals), k)).localCheckpoint(true)
     }
     edges
   }
@@ -251,7 +300,7 @@ object KnnGraph {
     * `queries` = (q_id, q_vec); `emb` = (id, vec); `edges` = built
     * graph. Returns (q_id, rank, id, score). */
   def graphSearch(queries: DataFrame, emb0: DataFrame, edges: DataFrame,
-                  k: Int = Knn.K, beam: Int = Beam, hops: Int = Hops,
+                  k: Int = Knn.K, beam: Int = AutoBeam, hops: Int = Hops,
                   nSeeds: Int = NSeeds): DataFrame = {
     val emb = emb0.select(col("id"), col("vec"))
     // fixed entry points (index metadata): the nSeeds smallest node
@@ -270,6 +319,10 @@ object KnnGraph {
     // + the same walk restores the high-recall regime while every per-
     // query cost stays constant in N.
     val n = emb.count()
+    // resolve the AutoBeam sentinel from the corpus size this search
+    // already computes for the entry-slice split (see [[Beam]])
+    val bw = if (beam > 0) beam
+      else math.max(Beam, math.ceil(math.sqrt(n.toDouble)).toInt)
     val bucketsPerBand = 1L << Ann.BandBits
     val subCount = math.max(1L, n / (bucketsPerBand * SeedGroup))
     def bands(c: Column): Column = explode(array(
@@ -303,7 +356,7 @@ object KnnGraph {
       // id-distinct heap dedupes for free here and again at the final
       // top-k, and no per-hop groupBy(q_id, id) shuffle runs at all.
       val beamDf = visited.groupBy("q_id")
-        .agg(TopKAgg.topKByDistinct(col("score"), col("id"), beam).as("tk"))
+        .agg(TopKAgg.topKByDistinct(col("score"), col("id"), bw).as("tk"))
         .select(col("q_id"), explode(col("tk")).as("e"))
         .select(col("q_id"), col("e.id").as("id"))
       val expanded = beamDf

@@ -40,6 +40,68 @@ object GraphProbe {
       }
       spark.stop(); return
     }
+    // sweep mode: build ONCE, then measure recall for a list of
+    // hops:beam configs (args like 8:256 8:512 12:512)
+    if (args.length >= 2 && args(1) == "sweep") {
+      val docs0 = Knn.docSet(spark, dir)
+        .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+      val t0 = System.nanoTime()
+      val g = KnnGraph.buildGraph(docs0).localCheckpoint(true)
+      println(f"[probe] build ${(System.nanoTime() - t0) / 1e9}%.2f s (edges=${g.count()})")
+      val exact = Knn.cosineTopK(spark, dir, Knn.K)
+        .select(col("q_id"), col("doc_id")).cache()
+      val total = exact.count()
+      for (cfg <- args.drop(2)) {
+        val Array(h, b) = cfg.split(":").map(_.toInt)
+        val t1 = System.nanoTime()
+        val res = KnnGraph.graphSearch(
+            Knn.querySet(spark, dir).select(col("q_id"), col("q_vec")),
+            docs0, g, Knn.K, beam = b, hops = h)
+          .select(col("q_id"), col("id").as("doc_id"))
+        val hits = res.join(exact, Seq("q_id", "doc_id")).count()
+        println(f"[probe] hops=$h beam=$b search ${(System.nanoTime() - t1) / 1e9}%.2f s recall@${Knn.K}=${hits.toDouble / total}%.3f")
+      }
+      spark.stop(); return
+    }
+    // diag mode: at one dir, classify the misses — within 1 undirected
+    // hop of a FOUND doc (final-coverage problem: the walk was there,
+    // the beam didn't keep/expand it) vs farther (navigation problem:
+    // the walk never reached the region)
+    if (args.length >= 2 && args(1) == "diag") {
+      val hops = if (args.length >= 3) args(2).toInt else KnnGraph.Hops
+      val beam = if (args.length >= 4) args(3).toInt else KnnGraph.Beam
+      val docs0 = Knn.docSet(spark, dir)
+        .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+      val g = KnnGraph.buildGraph(docs0).cache()
+      val res = KnnGraph.graphSearch(
+          Knn.querySet(spark, dir).select(col("q_id"), col("q_vec")),
+          docs0, g, Knn.K, beam = beam, hops = hops)
+        .select(col("q_id"), col("id").as("doc_id"), col("score")).cache()
+      val exact = Knn.cosineTopK(spark, dir, Knn.K)
+        .select(col("q_id"), col("doc_id"), col("score")).cache()
+      val total = exact.count()
+      val found = res.select("q_id", "doc_id")
+        .join(exact.select("q_id", "doc_id"), Seq("q_id", "doc_id")).cache()
+      println(f"[probe] recall@${Knn.K}=${found.count().toDouble / total}%.3f")
+      val missed = exact.select("q_id", "doc_id")
+        .exceptAll(res.select("q_id", "doc_id")).cache()
+      val und = g.select("src", "dst")
+        .union(g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val near1 = missed
+        .join(res.select(col("q_id"), col("doc_id").as("src")), Seq("q_id"))
+        .join(und, Seq("src"))
+        .filter(col("dst") === col("doc_id"))
+        .select("q_id", "doc_id").distinct().count()
+      println(s"[probe] missed=${missed.count()} of $total; within 1 undirected hop of a found doc: $near1")
+      // score profile: how bad are the substitutes the search returned?
+      val gap = res.groupBy("q_id").agg(min("score").as("f_min"))
+        .join(exact.groupBy("q_id").agg(min("score").as("e_min")), Seq("q_id"))
+        .select(avg(col("e_min") - col("f_min")).as("mean_gap"),
+          sum(when(col("f_min") >= col("e_min") - 1e-9, 1).otherwise(0)).as("q_at_floor"))
+        .head
+      println(f"[probe] mean(exact10th - found10th)=${gap.getDouble(0)}%.4f; queries already at exact floor: ${gap.getLong(1)}")
+      spark.stop(); return
+    }
     val maxIt = if (args.length >= 2) args(1).toInt else 4
     val docs = Knn.docSet(spark, dir)
       .select(col("doc_id").as("id"), col("doc_vec").as("vec"))

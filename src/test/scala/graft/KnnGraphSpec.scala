@@ -163,6 +163,76 @@ class KnnGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
       .filter(col("prev").isNotNull && col("score") > col("prev"))
     bad.count() shouldBe 0
   }
+
+  // local cosine mirror for the RobustPrune tests
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(b.map(x => x.toDouble * x).sum))
+  }
+
+  test("RobustPrune keeps direction diversity a plain top-k would drop") {
+    import spark.implicits._
+    // pivot at (1,0): three near-dup candidates in the pivot's own
+    // direction plus one orthogonal-ish candidate with a worse score.
+    // Plain top-3 keeps the three near-dups; the sequential α-prune
+    // keeps the best near-dup, prunes its covered clique-mates, and
+    // spends a slot on the different direction.
+    val pivot = Array(1f, 0f)
+    val clique = Seq(
+      1L -> Array(0.9995f, 0.03f),
+      2L -> Array(0.999f, 0.04f),
+      3L -> Array(0.998f, 0.06f))
+    val far = Seq(4L -> Array(0.7f, 0.7f))
+    val rows = (clique ++ far).map { case (id, v) => (10L, cos(pivot, v), id, v) }
+    val df = rows.toDF("src", "score", "dst", "vec")
+    val out = df.groupBy("src")
+      .agg(functions.RobustPruneAgg.prune(col("score"), col("dst"), col("vec"),
+        3, 4, 1.2).as("tk"))
+      .select(explode(col("tk.id")).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    out should contain(4L) // the diverse direction survives
+    out should contain(1L) // the best near-dup survives
+    out.size shouldBe 3    // degree budget still filled (fill-in)
+  }
+
+  test("RobustPrune is a set function: partitioning-independent and id-distinct") {
+    import spark.implicits._
+    val rnd0 = new scala.util.Random(7)
+    val rows = (0 until 60).map { i =>
+      val v = Array.fill(4)(rnd0.nextFloat() - 0.5f)
+      val q = Array(1f, 0.2f, -0.1f, 0.05f)
+      (i.toLong % 3, cos(q, v), (i % 20).toLong, v) // dup ids across rows
+    }
+    def run(parts: Int): Map[Long, Seq[(Double, Long)]] =
+      rows.toDF("src", "score", "dst", "vec").repartition(parts)
+        .groupBy("src")
+        .agg(functions.RobustPruneAgg.prune(col("score"), col("dst"), col("vec"),
+          5, 12, 1.2).as("tk"))
+        .select(col("src"), explode(col("tk")).as("e"))
+        .select(col("src"), col("e.score"), col("e.id"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (s, rs) => s -> rs.map(r => (r.getDouble(1), r.getLong(2))).toSeq }
+    val one = run(1)
+    run(7) shouldBe one
+    // ≤k slots per group, all ids distinct within a group
+    one.values.foreach { es =>
+      es.size should be <= 5
+      es.map(_._2).distinct.size shouldBe es.size
+    }
+  }
+
+  test("AutoBeam sentinel equals the explicit floor beam on a small corpus") {
+    // √N < Beam at the spec corpus, so AutoBeam must resolve to Beam
+    val auto = KnnGraph.graphSearch(
+      Knn.querySet(spark, sfDir).select(col("q_id"), col("q_vec")),
+      docs, edges, Knn.K, beam = KnnGraph.AutoBeam)
+    val fixed = KnnGraph.graphSearch(
+      Knn.querySet(spark, sfDir).select(col("q_id"), col("q_vec")),
+      docs, edges, Knn.K, beam = KnnGraph.Beam)
+    auto.collect().map(_.toString).sorted shouldBe
+      fixed.collect().map(_.toString).sorted
+  }
 }
 
 /** Markdown report emitter (Sources.writeMarkdownReport) — the ref's
