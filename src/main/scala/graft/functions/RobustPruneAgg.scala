@@ -126,8 +126,12 @@ case class RobustPruneExpr(
     val s = score.eval(input)
     val i = id.eval(input)
     val v = vec.eval(input)
-    if (s != null && i != null && v != null) {
-      // toFloatArray copies out of the (possibly reused) row buffer
+    if (s != null && i != null && v != null &&
+        !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
+      // toFloatArray copies out of the (possibly reused) row buffer;
+      // NaN scores are skipped like nulls (a NaN dSC would compare
+      // false against every coverage test and silently consume a
+      // degree slot ahead of real neighbors — ADVICE r10)
       buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long],
         v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray)
     }
@@ -151,8 +155,17 @@ case class RobustPruneExpr(
     val kept = new Array[Int](math.min(k, n))
     var nKept = 0
     val pruned = new Array[Boolean](n)
+    // a NaN norm (vector containing NaN) makes every sim against that
+    // candidate NaN, so the coverage test silently passes/fails wrong;
+    // exclude such candidates from keep AND fill, matching the null/NaN
+    // skipping at pool insert (ADVICE r10)
+    val bad = new Array[Boolean](n)
+    i = 0
+    while (i < n) { bad(i) = java.lang.Double.isNaN(norms(i)); i += 1 }
     var c = 0
     while (c < n && nKept < kept.length) {
+      if (bad(c)) { c += 1 }
+      else {
       val dSC = 1.0 - buf.scores(c)
       var covered = false
       var j = 0
@@ -164,6 +177,7 @@ case class RobustPruneExpr(
       }
       if (!covered) { kept(nKept) = c; nKept += 1 } else pruned(c) = true
       c += 1
+      }
     }
     // fill remaining degree with the best pruned, rank order
     val out = new Array[Any](math.min(k, n))

@@ -242,12 +242,15 @@ object Ann {
     * the index build, and the frozen-fit append. Codes clamp to
     * [0, 255] (the FAISS QT_8bit encode clip): a frozen-fit append of
     * vectors outside the trained (lo, hi) range saturates at the grid
-    * edge instead of emitting out-of-byte codes. */
+    * edge instead of emitting out-of-byte codes. A NaN component
+    * encodes as value 0.0 — NaN compares greatest in Spark, so without
+    * the nanvl the clamp would silently saturate garbage at the top
+    * grid cell 255 (ADVICE r10). */
   def sq8Encode(docs: DataFrame, ranges: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), posexplode(col("doc_vec")).as(Seq("dim0", "x")))
       .select(col("doc_id"), (col("dim0") + 1).as("dim"),
-        col("x").cast("double").as("v"))
+        nanvl(col("x").cast("double"), lit(0.0)).as("v"))
       .join(broadcast(ranges), Seq("dim"))
       .select(col("doc_id"), col("dim"),
         when(col("hi") > col("lo"),

@@ -173,6 +173,54 @@ object Encoders {
         col("es").getField("cnt").as("cnts"),
         col("norm"))
 
+  /** Persist the gathered per-doc layout as its own parquet artifact —
+    * the serving-side twin of [[writeHashingIndex]] and the Spark
+    * analog of the ref's row-major memmap FILE (auto_run_tests.py:52-108
+    * writes it at encode time; every query pass after that scans it).
+    * Written doc_id-SORTED: range partitioning gives each file/row-group
+    * a tight doc_id span, so the query-side `doc_id < nq` probe prunes
+    * to one row group instead of decoding the whole corpus, and the
+    * serving scan reads sequentially. Deliberately parquet, NOT a
+    * `.persist()`: a 100 TB (or even multi-GB) gathered corpus must not
+    * depend on Spark storage memory — the r10 bench showed the
+    * MEMORY_AND_DISK shape collapsing to disk-deserialization speed
+    * under memory pressure, while a columnar scan stays page-cache-fast
+    * and is what a 1000-executor cluster would do anyway. */
+  def writeGatheredIndex(spark: SparkSession, idxPath: String,
+                         out: String): Unit =
+    gatherPostings(spark.read.parquet(idxPath))
+      .orderBy("doc_id")
+      .write.mode("overwrite").parquet(out)
+
+  /** Query side of the dense scan: the first `nq` doc rows of a
+    * gathered layout expanded to dense integer vectors —
+    * (q_id, qdense, qn). */
+  def denseQueries(gathered: DataFrame, nq: Int = 5,
+                   dim: Int = Dim): DataFrame =
+    gathered.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"),
+        map_from_arrays(col("buckets"), col("cnts")).as("m"),
+        col("norm").as("qn"))
+      .select(col("q_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("qdense"),
+        col("qn"))
+
+  /** [[denseQueries]] collected into a LocalRelation — the serving
+    * process's query-prep step. The ref's measured loop encodes
+    * `query_embs` BEFORE its timed region (auto_run_tests.py:172-194:
+    * t0 starts after q_emb is in hand), so a timed pass over a plan
+    * holding the queries as local data is the faithful shape: the
+    * timed job broadcasts 30 in-memory rows and scans ONLY the
+    * gathered artifact, with no query-side file scan job. nq is tiny
+    * by contract (a query batch), so the collect is bounded. */
+  def denseQueriesLocal(gathered: DataFrame, nq: Int = 5,
+                        dim: Int = Dim): DataFrame = {
+    val qg = denseQueries(gathered, nq, dim)
+    qg.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qg.collect(): _*), qg.schema)
+  }
+
   /** [[hashingSearchIndexedFrame]] re-expressed JOIN-FREE over a
     * gathered layout — the ref's actual scoring shape
     * (offline_search's chunked `mmap.dot(q)`, auto_run_tests.py:115-140):
@@ -188,15 +236,14 @@ object Encoders {
     * serving scan: linear in docs, no shuffle of anything
     * corpus-sized, embarrassingly parallel across executors. */
   def hashingSearchDense(gathered: DataFrame, k: Int = 10, nq: Int = 5,
-                         dim: Int = Dim): DataFrame = {
-    val qg = gathered.filter(col("doc_id") < nq)
-      .select(col("doc_id").as("q_id"),
-        map_from_arrays(col("buckets"), col("cnts")).as("m"),
-        col("norm").as("qn"))
-      .select(col("q_id"),
-        transform(sequence(lit(0L), lit(dim - 1L)),
-          i => coalesce(element_at(col("m"), i), lit(0L))).as("qdense"),
-        col("qn"))
+                         dim: Int = Dim): DataFrame =
+    hashingSearchDenseOver(gathered, denseQueries(gathered, nq, dim), k, nq)
+
+  /** The dense scoring tail with an explicit query side (either the
+    * in-plan [[denseQueries]] subtree or a [[denseQueriesLocal]]
+    * LocalRelation — bit-identical results either way). */
+  def hashingSearchDenseOver(gathered: DataFrame, qg: DataFrame,
+                             k: Int = 10, nq: Int = 5): DataFrame = {
     val scored = gathered.filter(col("doc_id") >= nq)
       .crossJoin(broadcast(qg))
       .select(col("q_id"), col("doc_id"),
@@ -217,16 +264,29 @@ object Encoders {
       .orderBy("q_id", "rank")
   }
 
-  /** [[hashingSearchDense]] over the memoized scratch index — the
-    * verified-query form (`pipeline_indexed_dense`); results ≡
-    * [[hashingSearchViaIndex]] ≡ [[hashingSearch]], so it shares
-    * their oracle. */
+  /** [[hashingSearchDense]] over the memoized GATHERED artifact — the
+    * verified-query form (`pipeline_indexed_dense`): first call builds
+    * postings + gathered layout (the encode leg), every later call is
+    * a pure serving scan of the gathered parquet — the exact H2 shape.
+    * Results ≡ [[hashingSearchViaIndex]] ≡ [[hashingSearch]], so it
+    * shares their oracle. */
   def hashingSearchDenseViaIndex(spark: SparkSession, dir: String,
                                  k: Int = 10, nq: Int = 5,
                                  dim: Int = Dim): DataFrame =
     hashingSearchDense(
-      gatherPostings(spark.read.parquet(hashingIndexPath(spark, dir, dim))),
-      k, nq, dim)
+      spark.read.parquet(gatheredIndexPath(spark, dir, dim)), k, nq, dim)
+
+  private val gatheredIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, (String, Int)), String]
+
+  /** Path of the memoized per-(app, dir, dim) scratch GATHERED layout
+    * ([[writeGatheredIndex]] over [[hashingIndexPath]]'s postings),
+    * building both on first use. */
+  def gatheredIndexPath(spark: SparkSession, dir: String,
+                        dim: Int = Dim): String =
+    graft.Cleanup.memoizedBuild(gatheredIndexCache, spark, (dir, dim),
+      "graft-hgat")(out =>
+      writeGatheredIndex(spark, hashingIndexPath(spark, dir, dim), out))
 
   // an index build is a BUILD (same contract as the vocabulary fit):
   // one corpus pass whose on-disk result every later query shares —
@@ -760,6 +820,35 @@ object Encoders {
         // memory-maps the model here, once, then streams batches
         it.grouped(batchSize).flatMap { batch =>
           val vecs = stubModelEncode(batch.map(_._2))
+          batch.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
+        }
+      }
+      .toDF("doc_id", "vec")
+  }
+
+  /** [[encodeBatched]] with a REAL model through the same seam —
+    * weights travel as a broadcast (how real weight blobs ship), the
+    * model object is constructed from them ONCE PER PARTITION at the
+    * documented init point, and batches stream through it. The plan
+    * shape is identical to the stub path (mapPartitions over the same
+    * projection — asserted in EncodersSpec), which is the whole claim:
+    * a trained encoder drops into the seam with no plan change,
+    * matching real_encoder.py:1-74's role in the reference. */
+  def encodeBatchedWith(spark: SparkSession, dir: String,
+                        model: LinearProbe.Model,
+                        batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bcW = spark.sparkContext.broadcast((model.featDim, model.w, model.b))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition init: reconstruct the model from the broadcast
+        // weights once, before the iterator is consumed
+        val (fd, w, b) = bcW.value
+        val m = LinearProbe.Model(fd, w, b)
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = m.encode(batch.map(_._2))
           batch.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
         }
       }

@@ -136,7 +136,38 @@ object Sources {
   // two JVMs sharing one input dir (a parent and a ScaleRun/bench
   // child) never share a base one's shutdown sweep could delete out
   // from under the other mid-round-trip
+  // a crashed JVM (no shutdown hook) would leak its pid-qualified dirs
+  // forever; the first scratch use of each JVM sweeps siblings whose
+  // pid is no longer alive (ADVICE r10). Best-effort: a sweep race
+  // against a just-started JVM is impossible because a live pid is
+  // never swept, and IO failures are ignored like Cleanup's own.
+  private lazy val sweepStale: Unit = {
+    val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val self = java.lang.ProcessHandle.current().pid()
+    try {
+      val listing = java.nio.file.Files.list(tmp)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("graft-roundtrip-")) {
+            val pid = name.stripPrefix("graft-roundtrip-").takeWhile(_.isDigit)
+            val dead = pid.nonEmpty && pid.toLong != self &&
+              !java.lang.ProcessHandle.of(pid.toLong).isPresent
+            if (dead) {
+              import java.nio.file.{Files, Path}
+              Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+                .forEach(q => Files.deleteIfExists(q))
+            }
+          }
+        }
+      } finally listing.close()
+    } catch { case _: Throwable => }
+  }
+
   private def scratch(dir: String, leaf: String): String = {
+    sweepStale
     val pid = java.lang.ProcessHandle.current().pid()
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-roundtrip-$pid-${math.abs(dir.hashCode)}"
     graft.Cleanup.onExit(java.nio.file.Paths.get(base))

@@ -641,6 +641,45 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming ingest into a persisted TF-IDF index
+    * ([[graft.operators.Encoders.writeTfidfIndex]]) under its FROZEN
+    * fit: each micro-batch of (doc_id, text) documents is weighted
+    * with the index's own stored `_vocab` (idf never moves — the ref's
+    * fitted-TfidfVectorizer transform contract, encoder.py:76-92) and
+    * appended. NOT self-seeding, by design: the frozen fit must exist
+    * before any transform, so the index is created by a batch
+    * [[graft.operators.Encoders.writeTfidfIndex]] build (possibly over
+    * an empty corpus snapshot, leaving just `_vocab`) and the stream
+    * only appends. Idempotence is the [[postingsIngestStream]]
+    * discipline: intra-batch dropDuplicates + anti-join against the
+    * index's existing doc_ids, so at-least-once delivery and full
+    * replays land exactly once. Refit + rebuild when drift
+    * accumulates, exactly like the IVF centroid contract. */
+  def tfidfIngestStream(docs: DataFrame, indexPath: String,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val unique = batch.dropDuplicates("doc_id")
+        val fresh =
+          try {
+            val existing = spark.read.parquet(indexPath)
+              .select("doc_id").distinct()
+            unique.join(existing, Seq("doc_id"), "left_anti")
+          } catch {
+            // vocab-only layout (fresh index, no postings yet):
+            // nothing to dedupe against — `_vocab` is underscore-hidden
+            // from the postings read, so this is the empty-snapshot
+            // case, not a missing index (that throws in the append)
+            case _: org.apache.spark.sql.AnalysisException => unique
+          }
+        if (!fresh.isEmpty)
+          graft.operators.Encoders.appendToTfidfIndex(spark, fresh, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming maintenance of the span-dedup window-hash STORE
     * ([[graft.operators.Dedup.spanIncremental]]'s corpus-side
     * artifact): each micro-batch's distinct w-token window hashes are

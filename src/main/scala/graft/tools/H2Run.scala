@@ -11,14 +11,29 @@ import org.apache.spark.sql.SparkSession
   * auto_test_H2_local_summary_*.csv (experiments/results/):
   *  - encode wall-time over the full corpus, ending durable on disk
   *    (ref: encode_total_s — encode_to_memmap WRITES the memmap,
-  *    auto_run_tests.py:52-108 → ours: hashing-TF postings index at
-  *    dim 512, [[graft.operators.Encoders.writeHashingIndex]]), and
+  *    auto_run_tests.py:52-108 → ours: the hashing-TF postings index
+  *    at dim 512 PLUS its gathered per-doc serving layout,
+  *    [[graft.operators.Encoders.writeHashingIndex]] +
+  *    [[graft.operators.Encoders.writeGatheredIndex]] — both artifacts
+  *    are the encode leg's durable output, as the memmap is the ref's),
+  *    and
   *  - the 30-query top-10 retrieval against that prebuilt artifact
   *    (ref: measure_offline_query_latency scans ONLY the memmap,
-  *    :109-160, sample_queries=30 → ours: ONE 30-query
-  *    inverted-index plan over the stored postings,
-  *    [[graft.operators.Encoders.hashingSearchIndexed]]; the parent
+  *    :109-160, sample_queries=30 → ours: ONE 30-query join-free dense
+  *    scan of the gathered parquet,
+  *    [[graft.operators.Encoders.hashingSearchDenseOver]]; the parent
   *    reports wall/30 as the per-query figure).
+  *
+  * The query vectors are prepared OUTSIDE the timed region, exactly as
+  * the ref does (auto_run_tests.py:172-194: `q_emb` is in hand before
+  * `t0 = time.time()`): [[graft.operators.Encoders.denseQueriesLocal]]
+  * collects the 30 dense query rows once per size, so each timed pass
+  * broadcasts 30 local rows and scans ONLY the gathered artifact —
+  * no Spark block-manager caching anywhere (the r10 MEMORY_AND_DISK
+  * persist collapsed to disk-deser speed under the driver's memory
+  * pressure: 0.70× → 8.1× at 1 M docs; a parquet scan is page-cache
+  * fast and storage-memory independent).
+  *
   * Line protocol: `H2Q <n_docs> <encode_sec> <q30_sec>` per size,
   * min-of-2 after a warm-up pass, interleaved across sizes like
   * [[ScaleRun.measure]] so residual JVM drift doesn't read as scaling.
@@ -52,35 +67,31 @@ object H2Run {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // The ref's two legs, faithfully: encode ENDS with the corpus
-    // durable on disk (encode_to_memmap writes the memmap,
-    // auto_run_tests.py:52-108), and the timed query loop reads ONLY
-    // that artifact (measure_offline_query_latency, :109-160) — it
-    // never re-encodes. Same here: enc() builds the postings index,
-    // q30() searches it.
     // registered for JVM-exit sweep (not an inline delete at the end:
     // a thrown bench leg must not leak the 1 M-doc scratch index)
     val idxBase = graft.Cleanup.onExit(
       java.nio.file.Files.createTempDirectory("graft-h2idx"))
     def idxPath(dir: String): String =
       s"$idxBase/${new java.io.File(dir).getName}"
-    def enc(dir: String): Double =
-      timed(graft.operators.Encoders.writeHashingIndex(spark, dir, idxPath(dir), Dim))
-    // The gathered per-doc layout persists in Spark storage memory
-    // across query passes — the ref's measured loop opens its memmap
-    // ONCE and every query re-scans it page-cache-warm
-    // (auto_run_tests.py:150-160); gather+persist is the same load
-    // step. The first q30 pass pays the cache build, min-of-2 measures
-    // the warm serving shape (the ref's steady state), and the scoring
-    // plan is the join-free dense scan (hashingSearchDense) — the same
-    // chunked mmap.dot(q) shape the ref times, bit-identical to the
-    // sparse postings join. */
-    val idxFrames = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    def gatPath(dir: String): String = s"${idxPath(dir)}-gathered"
+    // encode ENDS with the corpus durable on disk in BOTH layouts
+    // (postings + gathered) — the ref's encode leg ends with the
+    // memmap written; the timed query loop reads ONLY that artifact
+    // and never re-encodes.
+    def enc(dir: String): Double = timed {
+      graft.operators.Encoders.writeHashingIndex(spark, dir, idxPath(dir), Dim)
+      graft.operators.Encoders.writeGatheredIndex(spark, idxPath(dir), gatPath(dir))
+    }
+    // query prep (the ref's pre-t0 q_emb encode): 30 local dense rows
+    // per size, collected once from the first build — enc() rewrites
+    // the same deterministic content, so re-collection is pointless
+    val qLocal = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
     def q30(dir: String): Double = {
-      val f = idxFrames.getOrElseUpdate(dir,
-        graft.operators.Encoders.gatherPostings(spark.read.parquet(idxPath(dir)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      timed(graft.operators.Encoders.hashingSearchDense(f, K, NQ, Dim).count())
+      val q = qLocal.getOrElseUpdate(dir,
+        graft.operators.Encoders.denseQueriesLocal(
+          spark.read.parquet(gatPath(dir)), NQ, Dim))
+      timed(graft.operators.Encoders.hashingSearchDenseOver(
+        spark.read.parquet(gatPath(dir)), q, K, NQ).count())
     }
     // warm-up pass on the smallest corpus only (parquet/codegen init)
     enc(dirs.head._2); q30(dirs.head._2)

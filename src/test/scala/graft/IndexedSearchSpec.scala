@@ -33,6 +33,33 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
     dense should not be empty
   }
 
+  test("gathered artifact + local queries: bit-identical, query side is local data") {
+    val base = tempDir("graft-hidx-gat")
+    val idx = s"$base/postings"; val gat = s"$base/gathered"
+    Encoders.writeHashingIndex(spark, sfDir, idx)
+    Encoders.writeGatheredIndex(spark, idx, gat)
+    val sparse = Encoders.hashingSearchIndexed(spark, idx)
+      .collect().map(_.toString).sorted
+    // the H2 serving shape: queries prepared outside the scan plan
+    // (the ref encodes query_embs before its timed loop), doc side a
+    // plain parquet scan of the gathered artifact
+    val qLocal = Encoders.denseQueriesLocal(spark.read.parquet(gat))
+    val served = Encoders.hashingSearchDenseOver(
+      spark.read.parquet(gat), qLocal)
+    served.collect().map(_.toString).sorted shouldBe sparse
+    sparse should not be empty
+    // after execution AQE appends an "== Initial Plan ==" twin of the
+    // tree; assert on the final-plan section only
+    val p = served.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==")(0)
+    // the broadcast side is in-memory rows — the timed pass scans ONLY
+    // the gathered artifact, no second file scan for the query probe
+    p should include("LocalTableScan")
+    "FileScan".r.findAllIn(p).size shouldBe 1
+    p should include("BroadcastNestedLoopJoin")
+    p.toLowerCase should include("partial_topkby")
+  }
+
   test("dense serving plan: one broadcast, no postings-sized shuffle") {
     val idx = s"${tempDir("graft-hidx-densep")}/postings"
     Encoders.writeHashingIndex(spark, sfDir, idx)

@@ -304,6 +304,50 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.read.parquet(streamed).count() shouldBe nRows
   }
 
+  test("tfidfIngestStream: streamed appends under the frozen fit equal the batch build, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import operators.Encoders
+    val tmp = new java.io.File(tempDir("graft-tfidfstream"))
+    val streamed = new java.io.File(tmp, "streamed").getAbsolutePath
+    val batch = new java.io.File(tmp, "batch").getAbsolutePath
+    Encoders.writeTfidfIndex(spark, sfDir, batch)
+    // the streamed index starts as an empty-corpus snapshot holding
+    // ONLY the frozen fit (the batch build's own _vocab) — the
+    // non-self-seeding contract: the fit exists before any transform
+    new java.io.File(streamed).mkdirs()
+    spark.read.parquet(s"$batch/_vocab")
+      .coalesce(1).write.parquet(s"$streamed/_vocab")
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect().toSeq
+    def ingest(ck: String): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.tfidfIngestStream(
+        input.toDF().toDF("doc_id", "text"), streamed, tempDir(ck))
+      try {
+        // two micro-batches; the first carries an intra-batch
+        // duplicate (producer retry inside one trigger)
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        input.addData(h1 ++ h1.take(1): _*); q.processAllAvailable()
+        input.addData(h2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    ingest("graft-tfidfck1")
+    // streamed-under-frozen-fit ≡ the one-shot batch build bit-identically
+    spark.read.parquet(streamed).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(batch).collect().map(_.toString).sorted
+    // and searches identically
+    Encoders.tfIdfSearchIndexed(spark, streamed)
+      .collect().map(_.toString).sorted shouldBe
+      Encoders.tfIdfSearchIndexed(spark, batch)
+        .collect().map(_.toString).sorted
+    // full replay under a fresh checkpoint: anti-join makes it a no-op
+    val nRows = spark.read.parquet(streamed).count()
+    ingest("graft-tfidfck2")
+    spark.read.parquet(streamed).count() shouldBe nRows
+  }
+
   test("spanStoreIngestStream: streamed hash store equals batch set, replay is a no-op") {
     val s = spark
     import s.implicits._
