@@ -105,4 +105,31 @@ class ReportLayerSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.read.option("header", "true").csv(s"$dir/model_by_size")
       .columns should contain allOf ("corpus_cap", "model", "map", "model_rank")
   }
+
+  test("writePlots renders the ref's three chart families as well-formed SVG") {
+    import graft.operators.Plotting
+    val dir = tempDir("graft-plots")
+    val paths = Plotting.writePlots(spark, sfDir, dir)
+    paths.map(p => new java.io.File(p).getName) shouldBe Seq(
+      "h1_ingest_throughput.svg", "h2_precision_vs_n_docs.svg",
+      "h3_model_map_vs_n_docs.svg")
+    // every artifact is well-formed XML (parse, don't eyeball)
+    val parsed = paths.map { p =>
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.newDocumentBuilder().parse(new java.io.File(p))
+    }
+    parsed.foreach(_.getDocumentElement.getTagName shouldBe "svg")
+    // the H3 chart carries one series (polyline) per model in the grid
+    val nModels = Report.modelBySize(spark, sfDir)
+      .select("model").distinct().count()
+    parsed(2).getElementsByTagName("polyline").getLength shouldBe nModels
+    // H2 carries the p@5 and MAP series
+    parsed(1).getElementsByTagName("polyline").getLength shouldBe 2
+    // deterministic: a second render is byte-identical
+    val again = Plotting.writePlots(spark, sfDir, tempDir("graft-plots2"))
+    paths.zip(again).foreach { case (a, b) =>
+      java.nio.file.Files.readString(java.nio.file.Paths.get(a)) shouldBe
+        java.nio.file.Files.readString(java.nio.file.Paths.get(b))
+    }
+  }
 }
