@@ -104,6 +104,55 @@ object Plotting {
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** Render a grouped bar chart (the ref's seaborn barplot shape,
+    * plots/plotting.py:36-44 plot_precision_recall: metric groups on
+    * x, one bar per model within each group, legend by model). One
+    * value per (series, group); missing values render as no bar. */
+  def barChartSvg(title: String, yLabel: String, groups: Seq[String],
+                  series: Seq[(String, Seq[Double])],
+                  width: Int = 640, height: Int = 420): String = {
+    val margin = 56
+    val w = width - 2 * margin
+    val h = height - 2 * margin
+    val all = series.flatMap(_._2)
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">"""
+    sb ++= s"""<rect width="$width" height="$height" fill="white"/>"""
+    sb ++= s"""<text x="${width / 2}" y="22" text-anchor="middle" font-family="sans-serif" font-size="14" font-weight="bold">${xmlEscape(title)}</text>"""
+    if (all.nonEmpty && groups.nonEmpty) {
+      val y1 = math.max(all.max, 1e-9)
+      def sy(y: Double) = height - margin - y / y1 * h
+      sb ++= s"""<line x1="$margin" y1="${height - margin}" x2="${width - margin}" y2="${height - margin}" stroke="black"/>"""
+      sb ++= s"""<line x1="$margin" y1="$margin" x2="$margin" y2="${height - margin}" stroke="black"/>"""
+      (0 to 4).map(i => y1 * i / 4).foreach { t =>
+        val py = sy(t)
+        sb ++= s"""<line x1="${margin - 5}" y1="${fmt(py)}" x2="$margin" y2="${fmt(py)}" stroke="black"/>"""
+        sb ++= s"""<text x="${margin - 8}" y="${fmt(py + 3)}" text-anchor="end" font-family="sans-serif" font-size="10">${fmt(t)}</text>"""
+      }
+      val groupW = w.toDouble / groups.size
+      val barW = groupW * 0.8 / math.max(1, series.size)
+      groups.zipWithIndex.foreach { case (g, gi) =>
+        val gx = margin + gi * groupW
+        sb ++= s"""<text x="${fmt(gx + groupW / 2)}" y="${height - margin + 18}" text-anchor="middle" font-family="sans-serif" font-size="10">${xmlEscape(g)}</text>"""
+        series.zipWithIndex.foreach { case ((_, vals), si) =>
+          if (gi < vals.length) {
+            val v = vals(gi)
+            val bx = gx + groupW * 0.1 + si * barW
+            sb ++= s"""<rect x="${fmt(bx)}" y="${fmt(sy(v))}" width="${fmt(barW)}" height="${fmt(height - margin - sy(v))}" fill="${Palette(si % Palette.size)}"/>"""
+          }
+        }
+      }
+      series.zipWithIndex.foreach { case ((label, _), i) =>
+        val ly = margin + 14 + i * 16
+        sb ++= s"""<rect x="${width - margin - 110}" y="${ly - 6}" width="12" height="12" fill="${Palette(i % Palette.size)}"/>"""
+        sb ++= s"""<text x="${width - margin - 92}" y="${ly + 4}" font-family="sans-serif" font-size="11">${xmlEscape(label)}</text>"""
+      }
+      sb ++= s"""<text x="16" y="${height / 2}" text-anchor="middle" font-family="sans-serif" font-size="12" transform="rotate(-90 16 ${height / 2})">${xmlEscape(yLabel)}</text>"""
+    }
+    sb ++= "</svg>"
+    sb.toString
+  }
+
   /** Render the reference's three plot families from the SAME verified
     * frames `Report.writePlotSeries` emits as CSV — one SVG each,
     * returning the written paths:
@@ -141,6 +190,15 @@ object Plotting {
       .limit(Report.MaxDetail).collect()
       .map(r => (r.getAs[Long]("batch_id").toDouble,
         r.getAs[Double]("throughput_vps"))).toSeq
+    // metric-by-model grouped bars (plots/plotting.py:36-44's
+    // precision/recall barplot) over the vector-mode experiment legs
+    val matrixRows = Experiment.matrix(spark, dir).collect()
+      .filter(_.getAs[String]("search_mode") == "vector")
+      .sortBy(_.getAs[String]("model"))
+    val metricCols = Seq("mean_p_at_5", "mean_p_at_10", "map")
+    val bars = matrixRows.map { r =>
+      r.getAs[String]("model") -> metricCols.map(r.getAs[Double](_))
+    }.toSeq
     Seq(
       save("h1_ingest_throughput.svg", lineChartSvg(
         "H1: ingest throughput by batch", "batch", "events/sec",
@@ -148,6 +206,9 @@ object Plotting {
       save("h2_precision_vs_n_docs.svg", lineChartSvg(
         "H2: precision vs corpus size", "n_docs", "score", h2, logX = true)),
       save("h3_model_map_vs_n_docs.svg", lineChartSvg(
-        "H3: model effect (MAP)", "n_docs", "MAP", byModel, logX = true)))
+        "H3: model effect (MAP)", "n_docs", "MAP", byModel, logX = true)),
+      save("metrics_by_model.svg", barChartSvg(
+        "Precision@k and MAP by embedding model", "score",
+        Seq("p@5", "p@10", "MAP"), bars)))
   }
 }

@@ -292,7 +292,46 @@ object Shaping {
       .orderBy("source")
   }
 
+  /** Snippet-query + qrels generation (ref experiments/create_qs.py:
+    * 1-37: shuffle the corpus, take min(200, N) docs, each query = the
+    * doc's first 200 chars, qrels qid → [docid], qid = "q<rank>"). The
+    * ref's `random.shuffle` becomes a deterministic polynomial-hash
+    * priority (the [[sampleKey]] discipline — retry-stable,
+    * partition-independent, engine-portable); selection is
+    * orderBy(priority).limit(q), which Spark plans as
+    * TakeOrderedAndProject — a top-k selection where every partition
+    * keeps ≤ q rows and no global sort materializes — so query-set
+    * generation over a 100 TB corpus is one bounded-output scan. The
+    * final rank window runs over the ≤ q selected rows only. */
+  def queryGen(spark: SparkSession, dir: String, qCount: Int = 200,
+               snippetLen: Int = 200): DataFrame = {
+    val picked = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(col("text"), 1, snippetLen).as("query"),
+        polyHash(concat(lit("qs"), col("doc_id").cast("string"))).as("pri"))
+      .orderBy(col("pri"), col("doc_id")).limit(qCount)
+    val w = Window.orderBy(col("pri"), col("doc_id"))
+    picked
+      .select(row_number().over(w).cast("long").as("q_num"),
+        col("query"), col("doc_id").as("rel_doc_id"))
+      .select(col("q_num"),
+        concat(lit("q"), col("q_num")).as("q_id"),
+        col("query"), col("rel_doc_id"))
+      .orderBy("q_num")
+  }
+
   object SqlOracle {
+    def queryGen(qCount: Int = 200, snippetLen: Int = 200): String =
+      s"""WITH p AS (
+         |  SELECT doc_id, substr(text, 1, $snippetLen) AS query,
+         |    ${S.polyHash("'qs' || CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM documents ORDER BY pri, doc_id LIMIT $qCount),
+         |r AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS q_num,
+         |    query, doc_id AS rel_doc_id FROM p)
+         |SELECT q_num, 'q' || CAST(q_num AS VARCHAR) AS q_id, query, rel_doc_id
+         |FROM r ORDER BY q_num""".stripMargin
+
     val mixtureWeights: String =
       s"""WITH s AS (
          |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),

@@ -348,6 +348,30 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
 class ShapingSpec extends AnyFunSuite with Matchers with SharedSpark {
   import graft.operators.{Shaping, TextAnalysis}
 
+  test("queryGen: deterministic snippet queries with self-consistent qrels") {
+    val q = Shaping.queryGen(spark, sfDir, qCount = 50, snippetLen = 40)
+    val rows = q.collect()
+    rows.length shouldBe 50
+    // ranks are 1..q, qids formatted q<rank> (create_qs.py's shape)
+    rows.map(_.getAs[Long]("q_num")) shouldBe (1L to 50L).toArray
+    rows.foreach(r => r.getAs[String]("q_id") shouldBe s"q${r.getAs[Long]("q_num")}")
+    // one qrel doc per query, all distinct (sampling without replacement)
+    rows.map(_.getAs[Long]("rel_doc_id")).distinct.length shouldBe 50
+    // the query IS the relevant doc's prefix
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      r.getAs[String]("query") shouldBe
+        texts(r.getAs[Long]("rel_doc_id")).take(40)
+    }
+    // deterministic: a second run is identical (no rand() anywhere)
+    Shaping.queryGen(spark, sfDir, qCount = 50, snippetLen = 40)
+      .collect().map(_.toString) shouldBe rows.map(_.toString)
+    // qCount caps at the corpus size
+    val n = Tables.documents(spark, sfDir).count()
+    Shaping.queryGen(spark, sfDir, qCount = 100000).count() shouldBe n
+  }
+
   test("stratified sample honors per-language quotas and is deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val total = docs.groupBy("lang").count()

@@ -112,7 +112,7 @@ class ReportLayerSpec extends AnyFunSuite with Matchers with SharedSpark {
     val paths = Plotting.writePlots(spark, sfDir, dir)
     paths.map(p => new java.io.File(p).getName) shouldBe Seq(
       "h1_ingest_throughput.svg", "h2_precision_vs_n_docs.svg",
-      "h3_model_map_vs_n_docs.svg")
+      "h3_model_map_vs_n_docs.svg", "metrics_by_model.svg")
     // every artifact is well-formed XML (parse, don't eyeball)
     val parsed = paths.map { p =>
       val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
@@ -125,6 +125,10 @@ class ReportLayerSpec extends AnyFunSuite with Matchers with SharedSpark {
     parsed(2).getElementsByTagName("polyline").getLength shouldBe nModels
     // H2 carries the p@5 and MAP series
     parsed(1).getElementsByTagName("polyline").getLength shouldBe 2
+    // the metric-by-model bar chart: 3 metric groups × models bars
+    // (+ one legend swatch rect per model, + the background rect)
+    val nBars = parsed(3).getElementsByTagName("rect").getLength
+    nBars shouldBe (1 + nModels * 3 + nModels)
     // deterministic: a second render is byte-identical
     val again = Plotting.writePlots(spark, sfDir, tempDir("graft-plots2"))
     paths.zip(again).foreach { case (a, b) =>
