@@ -101,9 +101,17 @@ object Chunking {
   /** (doc_id, chunk_id, bucket, cnt, norm) — the ONE chunk-postings
     * derivation behind the in-plan search and the persisted index. */
   private def chunkPostings(spark: SparkSession, dir: String, dim: Int,
-                            w: Int, s: Int): DataFrame = {
+                            w: Int, s: Int): DataFrame =
+    chunkPostingsOf(Tables.documents(spark, dir).select("doc_id", "text"),
+      dim, w, s)
+
+  /** Chunk postings of an arbitrary (doc_id, text) frame — shared by
+    * the full build and the append path (norms are per-CHUNK windows,
+    * so they are computable from any batch alone). */
+  private def chunkPostingsOf(docs: DataFrame, dim: Int, w: Int,
+                              s: Int): DataFrame = {
     val byChunk = Window.partitionBy("doc_id", "chunk_id")
-    chunkToksOf(Tables.documents(spark, dir).select("doc_id", "text"), w, s)
+    chunkToksOf(docs, w, s)
       .select(col("doc_id"), col("chunk_id"),
         explode(col("chunk_toks")).as("tok"))
       .select(col("doc_id"), col("chunk_id"),
@@ -111,6 +119,18 @@ object Chunking {
       .groupBy("doc_id", "chunk_id", "bucket").agg(count(lit(1)).as("cnt"))
       .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byChunk)))
   }
+
+  /** Incremental maintenance for a [[writeChunkIndex]] layout — the
+    * chunk-granularity sibling of
+    * [[graft.operators.Encoders.appendToHashingIndex]]: postings for
+    * a batch of NEW (doc_id, text) documents, computed from the batch
+    * ALONE (chunk norms are per-chunk, so for batch doc_ids disjoint
+    * from the index's, append ≡ full rebuild bit-identically) and
+    * appended. */
+  def appendToChunkIndex(spark: SparkSession, newDocs: DataFrame,
+                         out: String, dim: Int = Encoders.Dim,
+                         w: Int = W, s: Int = Stride): Unit =
+    chunkPostingsOf(newDocs, dim, w, s).write.mode("append").parquet(out)
 
   /** The shared score-and-pool tail: per-chunk cosine via the shared
     * sparse contract, max-pool per document, ranked top-k. */

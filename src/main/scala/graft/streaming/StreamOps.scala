@@ -680,6 +680,67 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming ingest into a persisted SQ8 code layout
+    * ([[graft.operators.Ann.writeSq8Index]]) under its FROZEN stored
+    * `_fit`: each micro-batch of (doc_id, doc_vec) rows is encoded
+    * with the index's own quantization grid (the FAISS
+    * add-to-trained-index contract) and appended. NOT self-seeding
+    * (the fit must exist first — same contract as
+    * [[tfidfIngestStream]]); idempotent via intra-batch
+    * dropDuplicates + the doc_id anti-join. Refit + rebuild when
+    * range drift accumulates. */
+  def sq8IngestStream(vecs: DataFrame, indexPath: String,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val unique = batch.dropDuplicates("doc_id")
+        val fresh =
+          try {
+            val existing = spark.read.parquet(indexPath)
+              .select("doc_id").distinct()
+            unique.join(existing, Seq("doc_id"), "left_anti")
+          } catch {
+            // fit-only layout (fresh index, no codes yet): nothing to
+            // dedupe against — `_fit` is underscore-hidden from the
+            // codes read
+            case _: org.apache.spark.sql.AnalysisException => unique
+          }
+        if (!fresh.isEmpty)
+          graft.operators.Ann.appendToSq8Index(spark, fresh, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** Streaming ingest into a persisted chunk-postings index
+    * ([[graft.operators.Chunking.writeChunkIndex]]): each micro-batch
+    * of (doc_id, text) documents is chunked/bucketed from the batch
+    * alone (per-CHUNK norms ⇒ disjoint append ≡ rebuild) and
+    * appended. Self-seeding and idempotent — the
+    * [[postingsIngestStream]] discipline at chunk granularity. */
+  def chunkIndexIngestStream(docs: DataFrame, indexPath: String,
+                             checkpointDir: String,
+                             dim: Int = graft.operators.Encoders.Dim)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val unique = batch.dropDuplicates("doc_id")
+        val fresh =
+          try {
+            val existing = spark.read.parquet(indexPath)
+              .select("doc_id").distinct()
+            unique.join(existing, Seq("doc_id"), "left_anti")
+          } catch {
+            case _: org.apache.spark.sql.AnalysisException => unique
+          }
+        if (!fresh.isEmpty)
+          graft.operators.Chunking.appendToChunkIndex(spark, fresh, indexPath, dim)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming maintenance of the span-dedup window-hash STORE
     * ([[graft.operators.Dedup.spanIncremental]]'s corpus-side
     * artifact): each micro-batch's distinct w-token window hashes are

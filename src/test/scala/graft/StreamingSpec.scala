@@ -348,6 +348,81 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.read.parquet(streamed).count() shouldBe nRows
   }
 
+  test("sq8IngestStream: streamed frozen-fit appends equal the batch build, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import operators.Ann
+    val tmp = new java.io.File(tempDir("graft-sq8stream"))
+    val streamed = new java.io.File(tmp, "streamed").getAbsolutePath
+    val batch = new java.io.File(tmp, "batch").getAbsolutePath
+    Ann.writeSq8Index(spark, sfDir, batch)
+    // the streamed index starts as a fit-only snapshot (the frozen
+    // quantization grid) — the non-self-seeding contract
+    new java.io.File(streamed).mkdirs()
+    spark.read.parquet(s"$batch/_fit")
+      .coalesce(1).write.parquet(s"$streamed/_fit")
+    val rows = operators.Knn.docSet(spark, sfDir)
+      .select("doc_id", "doc_vec")
+      .as[(Long, Array[Float])].collect().toSeq
+    def ingest(ck: String): Unit = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = StreamOps.sq8IngestStream(
+        input.toDF().toDF("doc_id", "doc_vec"), streamed, tempDir(ck))
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        input.addData(h1 ++ h1.take(1): _*); q.processAllAvailable()
+        input.addData(h2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    ingest("graft-sq8ck1")
+    spark.read.parquet(streamed).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(batch).collect().map(_.toString).sorted
+    // and searches identically
+    Ann.sq8Indexed(spark, sfDir, streamed)
+      .collect().map(_.toString).sorted shouldBe
+      Ann.sq8Indexed(spark, sfDir, batch).collect().map(_.toString).sorted
+    val nRows = spark.read.parquet(streamed).count()
+    ingest("graft-sq8ck2")
+    spark.read.parquet(streamed).count() shouldBe nRows
+  }
+
+  test("chunkIndexIngestStream: streamed chunk index equals batch build, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import operators.{Chunking, Encoders}
+    val tmp = new java.io.File(tempDir("graft-cidxstream"))
+    val streamed = new java.io.File(tmp, "streamed").getAbsolutePath
+    val batch = new java.io.File(tmp, "batch").getAbsolutePath
+    val docIdx = new java.io.File(tmp, "docs").getAbsolutePath
+    Chunking.writeChunkIndex(spark, sfDir, batch)
+    val rows = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    def ingest(ck: String): Unit = {
+      val input = MemoryStream[(Long, String)]
+      val q = StreamOps.chunkIndexIngestStream(
+        input.toDF().toDF("doc_id", "text"), streamed, tempDir(ck))
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        input.addData(h1 ++ h1.take(1): _*); q.processAllAvailable()
+        input.addData(h2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    ingest("graft-cidxck1")
+    spark.read.parquet(streamed).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(batch).collect().map(_.toString).sorted
+    // and the chunk retrieval over the streamed layout matches
+    Encoders.writeHashingIndex(spark, sfDir, docIdx)
+    Chunking.chunkSearchIndexed(spark, streamed, docIdx)
+      .collect().map(_.toString).sorted shouldBe
+      Chunking.chunkSearchIndexed(spark, batch, docIdx)
+        .collect().map(_.toString).sorted
+    val nRows = spark.read.parquet(streamed).count()
+    ingest("graft-cidxck2")
+    spark.read.parquet(streamed).count() shouldBe nRows
+  }
+
   test("spanStoreIngestStream: streamed hash store equals batch set, replay is a no-op") {
     val s = spark
     import s.implicits._
