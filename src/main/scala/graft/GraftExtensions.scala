@@ -72,6 +72,13 @@ object GraftExtensions {
     },
     "graft_hyperplane_sig" -> { args =>
       HyperplaneSigExpr(args(0), graft.operators.Ann.planes)
+    },
+    // the dense-serving scoring kernel (r10/r11): exact integer
+    // sparse·dense inner product over a gathered (buckets, cnts)
+    // layout and a dense query vector — SQL users can score a
+    // writeGatheredIndex artifact directly
+    "graft_sparse_dot_dense" -> { args =>
+      SparseDotDenseExpr(args(0), args(1), args(2))
     })
 
   /** Registers the functions on an already-built session. */

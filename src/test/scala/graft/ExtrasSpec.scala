@@ -26,6 +26,12 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SharedSpark {
         |GROUP BY label""".stripMargin)
     topk.select(Fn.size(col("tk"))).distinct().collect()
       .map(_.getInt(0)).toSet shouldBe Set(3)
+    // the dense-serving kernel: exact integer sparse·dense product
+    spark.sql(
+      """SELECT graft_sparse_dot_dense(
+        |  array(0L, 2L, 5L), array(3L, 4L, 5L),
+        |  array(10L, 0L, 1L, 0L, 0L, 2L)) AS ip""".stripMargin)
+      .as[Long].head() shouldBe (3 * 10 + 4 * 1 + 5 * 2)
   }
 }
 
