@@ -721,7 +721,9 @@ object StreamOps {
     * [[postingsIngestStream]] discipline at chunk granularity. */
   def chunkIndexIngestStream(docs: DataFrame, indexPath: String,
                              checkpointDir: String,
-                             dim: Int = graft.operators.Encoders.Dim)
+                             dim: Int = graft.operators.Encoders.Dim,
+                             w: Int = graft.operators.Chunking.W,
+                             s: Int = graft.operators.Chunking.Stride)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -736,7 +738,8 @@ object StreamOps {
             case _: org.apache.spark.sql.AnalysisException => unique
           }
         if (!fresh.isEmpty)
-          graft.operators.Chunking.appendToChunkIndex(spark, fresh, indexPath, dim)
+          graft.operators.Chunking.appendToChunkIndex(spark, fresh, indexPath,
+            dim, w, s)
       }
       .option("checkpointLocation", checkpointDir)
       .start()
