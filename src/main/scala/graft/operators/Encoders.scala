@@ -157,6 +157,41 @@ object Encoders {
     rankTopK(sparseCosine(idx.filter(col("doc_id") >= nq), qc, Seq("doc_id")), k)
   }
 
+  /** Free-text query search — the reference's actual ONLINE query
+    * shape (mock.query_vector_search / offline_search score arbitrary
+    * ENCODED QUERY TEXTS against the corpus, auto_run_tests.py:109-146
+    * and unit_test_precision.py:1-20; the corpus-prefix searches model
+    * its H-grid runs, where queries are drawn from the corpus):
+    * encode a (q_id, text) query frame with the same hashing-TF map
+    * and cosine-rank the corpus against it. The query side is a tiny
+    * frame (broadcast through [[sparseCosine]]); the corpus side is
+    * the one postings pass — at scale, point it at a
+    * [[writeHashingIndex]] layout instead via
+    * [[hashingSearchTextIndexed]]. */
+  def hashingSearchText(spark: SparkSession, dir: String,
+                        queries: DataFrame, k: Int = 10,
+                        dim: Int = Dim): DataFrame =
+    hashingSearchTextOver(
+      postingsOf(Tables.documents(spark, dir).select("doc_id", "text"), dim),
+      queries, k, dim)
+
+  /** [[hashingSearchText]] against a prebuilt postings layout — the
+    * serving form: query encode touches only the (tiny) query frame,
+    * the corpus side reads the stored index. */
+  def hashingSearchTextIndexed(spark: SparkSession, indexPath: String,
+                               queries: DataFrame, k: Int = 10,
+                               dim: Int = Dim): DataFrame =
+    hashingSearchTextOver(spark.read.parquet(indexPath), queries, k, dim)
+
+  private def hashingSearchTextOver(postings: DataFrame, queries: DataFrame,
+                                    k: Int, dim: Int): DataFrame = {
+    val qc = postingsOf(
+      queries.select(col("q_id").as("doc_id"), col("text")), dim)
+      .select(col("doc_id").as("q_id"), col("bucket"),
+        col("cnt").as("qcnt"), col("norm").as("qn"))
+    rankTopK(sparseCosine(postings, qc, Seq("doc_id")), k)
+  }
+
   /** Per-doc gathered form of a [[writeHashingIndex]] postings layout:
     * (doc_id, buckets, cnts, norm) with the two arrays pair-aligned —
     * the Spark analog of the ref's row-major vector memmap (one row
@@ -968,6 +1003,43 @@ object Encoders {
          |  FROM ip
          |  JOIN n qn ON qn.doc_id = ip.q_id
          |  JOIN n dn ON dn.doc_id = ip.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+
+    /** Oracle for the queryGen→text-search composition
+      * (`pipeline_text_query_search`): generated snippet queries
+      * scored against the corpus — the unit_test_precision.py flow. */
+    def textQuerySearch(q: Int = 20, snippetLen: Int = 200, k: Int = 10,
+                        dim: Int = Dim): String =
+      s"""WITH p AS (
+         |  SELECT doc_id, substr(text, 1, $snippetLen) AS qtext,
+         |    ${S.polyHash("'qs' || CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM documents ORDER BY pri, doc_id LIMIT $q),
+         |q AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS q_id,
+         |    qtext FROM p),
+         |qt AS (SELECT q_id, unnest(${S.tokens("qtext")}) AS tok FROM q),
+         |qb AS (SELECT q_id, ${S.polyHash("tok")} % $dim AS bucket FROM qt),
+         |qcc AS (SELECT q_id, bucket, count(*) AS qcnt FROM qb GROUP BY q_id, bucket),
+         |qn AS (SELECT q_id, sqrt(CAST(sum(qcnt * qcnt) AS BIGINT)) AS qn
+         |       FROM qcc GROUP BY q_id),
+         |t AS $toksCte,
+         |b AS (SELECT doc_id, ${S.polyHash("tok")} % $dim AS bucket FROM t),
+         |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
+         |n AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS BIGINT)) AS norm
+         |      FROM c GROUP BY doc_id),
+         |ip AS (
+         |  SELECT q_id, doc_id, CAST(sum(qcnt * cnt) AS BIGINT) AS ip
+         |  FROM c JOIN qcc USING (bucket) GROUP BY q_id, doc_id),
+         |scored AS (
+         |  SELECT ip.q_id, ip.doc_id, ip.ip / (qn.qn * n.norm) AS score
+         |  FROM ip JOIN qn ON qn.q_id = ip.q_id
+         |  JOIN n ON n.doc_id = ip.doc_id),
          |ranked AS (
          |  SELECT q_id, doc_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank

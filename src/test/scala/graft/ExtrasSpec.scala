@@ -354,6 +354,41 @@ class SkewSpec extends AnyFunSuite with Matchers with SharedSpark {
 class ShapingSpec extends AnyFunSuite with Matchers with SharedSpark {
   import graft.operators.{Shaping, TextAnalysis}
 
+  test("snippet queries retrieve their source doc (unit_test_precision.py flow)") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Encoders
+    // the ref's own unit test, mirrored faithfully: a tiny planted
+    // corpus whose docs each carry a unique keyword and fit inside the
+    // snippet window (unit_test_precision.py:7 builds exactly this),
+    // snippet queries generated from it, retrieval must put each
+    // query's source doc at rank 1 — qrels p@1 = 1.0. On the big
+    // synthetic soup corpora self-retrieval at rank 1 is NOT implied
+    // (a 200-char snippet of a long doc can match a short doc better),
+    // which is why the planted corpus is the right fixture, exactly as
+    // the ref chose.
+    val s2 = spark
+    import s2.implicits._
+    val tmp = tempDir("graft-utp")
+    (1 to 5).map(i =>
+        (i.toLong, s"some unique content about topic $i and keyword_$i"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$tmp/documents.parquet")
+    val qs = graft.operators.Shaping.queryGen(spark, tmp, qCount = 5)
+    val res = Encoders.hashingSearchText(spark, tmp,
+      qs.select(col("q_num").as("q_id"), col("query").as("text")), k = 5)
+    val rank1 = res.filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("doc_id")).toMap
+    val qrels = qs.collect()
+      .map(r => r.getAs[Long]("q_num") -> r.getAs[Long]("rel_doc_id"))
+    qrels.length shouldBe 5
+    qrels.foreach { case (q, d) =>
+      withClue(s"query $q (source doc $d): ") { rank1(q) shouldBe d }
+    }
+    // and the snippet IS the full doc here, so the top score is exact 1
+    res.filter(col("rank") === 1).collect()
+      .foreach(_.getAs[Double]("score") shouldBe 1.0)
+  }
+
   test("queryGen: deterministic snippet queries with self-consistent qrels") {
     val q = Shaping.queryGen(spark, sfDir, qCount = 50, snippetLen = 40)
     val rows = q.collect()
