@@ -153,6 +153,10 @@ object SparkEntry {
       Encoders.hashingSearchText(s, d,
         Shaping.queryGen(s, d, qCount = 20)
           .select(col("q_num").as("q_id"), col("query").as("text")))),
+    "pipeline_tfidf_text_search" -> ((s, d) =>
+      Encoders.tfIdfSearchText(s, d,
+        Shaping.queryGen(s, d, qCount = 20)
+          .select(col("q_num").as("q_id"), col("query").as("text")))),
     "sample_reservoir" -> ((s, d) => Shaping.reservoirSample(s, d)),
     "pack_sequences" -> ((s, d) => Shaping.packSequences(s, d)),
     "pipeline_quality_filter" -> ((s, d) => Shaping.qualityFilterPipeline(s, d)),
@@ -306,6 +310,7 @@ object SparkEntry {
     "corpus_quality_calibration" -> Shaping.SqlOracle.qualityCalibration,
     "corpus_query_gen" -> Shaping.SqlOracle.queryGen(),
     "pipeline_text_query_search" -> Encoders.SqlOracle.textQuerySearch(),
+    "pipeline_tfidf_text_search" -> Encoders.SqlOracle.tfIdfTextSearch(),
     "sample_reservoir" -> Shaping.SqlOracle.reservoirSample(),
     "pack_sequences" -> Shaping.SqlOracle.packSequences,
     "pipeline_quality_filter" -> Shaping.SqlOracle.qualityFilterPipeline(),

@@ -576,6 +576,51 @@ object Encoders {
       .orderBy("q_id", "rank")
   }
 
+  /** Free-text query search under the reference's PRIMARY encoder —
+    * the fitted-TfidfVectorizer TRANSFORM applied to arbitrary query
+    * text (encoder.py:76-92: fit once on the corpus, transform every
+    * query with the same vectorizer): query terms are weighted with
+    * the FROZEN corpus fit (unknown terms drop, idf does not move —
+    * sklearn transform semantics) and cosine-ranked against the
+    * corpus postings. The [[hashingSearchText]] twin for the tfidf
+    * model. */
+  def tfIdfSearchText(spark: SparkSession, dir: String,
+                      queries: DataFrame, k: Int = 10,
+                      dim: Int = Dim): DataFrame =
+    tfIdfScoreText(tfIdfPostings(spark, dir, dim),
+      fittedVocab(spark, dir, dim), queries, k)
+
+  /** [[tfIdfSearchText]] against a persisted [[writeTfidfIndex]]
+    * layout — the serving form: the frozen fit is the index's own
+    * stored `_vocab`, so query transform needs neither corpus nor
+    * refit. */
+  def tfIdfSearchTextIndexed(spark: SparkSession, indexPath: String,
+                             queries: DataFrame, k: Int = 10): DataFrame =
+    tfIdfScoreText(spark.read.parquet(indexPath),
+      spark.read.parquet(s"$indexPath/_vocab"), queries, k)
+
+  private def tfIdfScoreText(wn: DataFrame, vocab: DataFrame,
+                             queries: DataFrame, k: Int): DataFrame = {
+    val byQ = Window.partitionBy("q_id")
+    val qw = queries.select(col("q_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("q_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(broadcast(vocab), "tok")
+      .select(col("q_id"), col("tok"), (col("tf") * col("idf")).as("qweight"))
+      .withColumn("qn", sqrt(
+        sum(floor(col("qweight") * col("qweight") * 1e9 + 0.5).cast("long"))
+          .over(byQ) / 1e9))
+    val scored = wn.join(broadcast(qw), "tok")
+      .groupBy("q_id", "doc_id")
+      .agg(fxSum(col("qweight") * col("weight"), 9).as("ip"),
+        first(col("qn")).as("qn"), first(col("nrm")).as("dn"))
+      .select(col("q_id"), col("doc_id"),
+        (col("ip") / (col("qn") * col("dn"))).as("score"))
+    Knn.topKPerQuery(scored, k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Persisted TF-IDF postings index — [[writeHashingIndex]]'s twin
     * for the reference's PRIMARY encoder: the fitted-vocabulary
     * weights and fixed-point norms land durable on disk at encode
@@ -1040,6 +1085,56 @@ object Encoders {
          |  SELECT ip.q_id, ip.doc_id, ip.ip / (qn.qn * n.norm) AS score
          |  FROM ip JOIN qn ON qn.q_id = ip.q_id
          |  JOIN n ON n.doc_id = ip.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+
+    /** Oracle for the queryGen→TF-IDF-text-search composition
+      * (`pipeline_tfidf_text_search`): generated snippet queries
+      * transformed under the frozen corpus fit, scored against the
+      * corpus — [[tfIdfSearch]]'s CTEs with a text query side. */
+    def tfIdfTextSearch(q: Int = 20, snippetLen: Int = 200, k: Int = 10,
+                        dim: Int = Dim): String =
+      s"""WITH t AS $toksCte,
+         |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+         |vocab AS (SELECT tok, sum(tf) AS total, count(*) AS df FROM dt
+         |          GROUP BY tok ORDER BY total DESC, tok LIMIT $dim),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |idf AS (SELECT tok, (ln((1.0 + n_docs) / (1.0 + vocab.df)) + 1.0) AS idf
+         |        FROM vocab CROSS JOIN nd),
+         |w AS (
+         |  SELECT doc_id, dt.tok, dt.tf * idf.idf AS weight
+         |  FROM dt JOIN idf USING (tok)),
+         |wn AS (
+         |  SELECT doc_id, tok, weight,
+         |    sqrt(CAST(sum(CAST(floor(weight * weight * 1e9 + 0.5e0) AS BIGINT))
+         |      OVER (PARTITION BY doc_id) AS BIGINT) / 1e9) AS nrm
+         |  FROM w),
+         |p AS (
+         |  SELECT doc_id, substr(text, 1, $snippetLen) AS qtext,
+         |    ${S.polyHash("'qs' || CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM documents ORDER BY pri, doc_id LIMIT $q),
+         |qs AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS q_id,
+         |    qtext FROM p),
+         |qt AS (SELECT q_id, unnest(${S.tokens("qtext")}) AS tok FROM qs),
+         |qdt AS (SELECT q_id, tok, count(*) AS tf FROM qt GROUP BY q_id, tok),
+         |qw AS (
+         |  SELECT q_id, qdt.tok, qdt.tf * idf.idf AS qweight
+         |  FROM qdt JOIN idf USING (tok)),
+         |qwn AS (
+         |  SELECT q_id, tok, qweight,
+         |    sqrt(CAST(sum(CAST(floor(qweight * qweight * 1e9 + 0.5e0) AS BIGINT))
+         |      OVER (PARTITION BY q_id) AS BIGINT) / 1e9) AS qn
+         |  FROM qw),
+         |scored AS (
+         |  SELECT q_id, doc_id,
+         |    ${S.fxSum("qweight * weight", 9)} / (any_value(qn) * any_value(nrm)) AS score
+         |  FROM wn JOIN qwn USING (tok) GROUP BY q_id, doc_id),
          |ranked AS (
          |  SELECT q_id, doc_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank

@@ -163,6 +163,25 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
       Encoders.tfIdfSearch(spark, sfDir).collect().map(_.toString).sorted
   }
 
+  test("text-query search from stored layouts is bit-identical to the in-plan forms") {
+    import org.apache.spark.sql.functions.col
+    val base = tempDir("graft-textq")
+    val hIdx = s"$base/hashing"; val tIdx = s"$base/tfidf"
+    Encoders.writeHashingIndex(spark, sfDir, hIdx)
+    Encoders.writeTfidfIndex(spark, sfDir, tIdx)
+    val qs = operators.Shaping.queryGen(spark, sfDir, qCount = 10)
+      .select(col("q_num").as("q_id"), col("query").as("text"))
+    Encoders.hashingSearchTextIndexed(spark, hIdx, qs)
+      .collect().map(_.toString).sorted shouldBe
+      Encoders.hashingSearchText(spark, sfDir, qs)
+        .collect().map(_.toString).sorted
+    val direct = Encoders.tfIdfSearchText(spark, sfDir, qs)
+      .collect().map(_.toString).sorted
+    direct should not be empty
+    Encoders.tfIdfSearchTextIndexed(spark, tIdx, qs)
+      .collect().map(_.toString).sorted shouldBe direct
+  }
+
   test("indexed chunk retrieval is bit-identical to the in-plan search") {
     import graft.operators.Chunking
     val base = tempDir("graft-cidx-spec")
