@@ -157,6 +157,14 @@ object SparkEntry {
       Encoders.tfIdfSearchText(s, d,
         Shaping.queryGen(s, d, qCount = 20)
           .select(col("q_num").as("q_id"), col("query").as("text")))),
+    "pipeline_bm25_text_search" -> ((s, d) =>
+      Encoders.bm25TopKText(s, d,
+        Shaping.queryGen(s, d, qCount = 20)
+          .select(col("q_num").as("q_id"), col("query").as("text")))),
+    "pipeline_hybrid_text_search" -> ((s, d) =>
+      Encoders.hybridSearchText(s, d,
+        Shaping.queryGen(s, d, qCount = 20)
+          .select(col("q_num").as("q_id"), col("query").as("text")))),
     "sample_reservoir" -> ((s, d) => Shaping.reservoirSample(s, d)),
     "pack_sequences" -> ((s, d) => Shaping.packSequences(s, d)),
     "pipeline_quality_filter" -> ((s, d) => Shaping.qualityFilterPipeline(s, d)),
@@ -311,6 +319,8 @@ object SparkEntry {
     "corpus_query_gen" -> Shaping.SqlOracle.queryGen(),
     "pipeline_text_query_search" -> Encoders.SqlOracle.textQuerySearch(),
     "pipeline_tfidf_text_search" -> Encoders.SqlOracle.tfIdfTextSearch(),
+    "pipeline_bm25_text_search" -> Encoders.SqlOracle.bm25TextTopK(),
+    "pipeline_hybrid_text_search" -> Encoders.SqlOracle.hybridTextSearch(),
     "sample_reservoir" -> Shaping.SqlOracle.reservoirSample(),
     "pack_sequences" -> Shaping.SqlOracle.packSequences,
     "pipeline_quality_filter" -> Shaping.SqlOracle.qualityFilterPipeline(),

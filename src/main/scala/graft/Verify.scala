@@ -28,6 +28,10 @@ object Verify {
             operators.Encoders.SqlOracle.bm25TopK(idf = Some(idfB)),
           "pipeline_hybrid_search" ->
             operators.Encoders.SqlOracle.hybridSearch(idf = Some(idfB)),
+          "pipeline_bm25_text_search" ->
+            operators.Encoders.SqlOracle.bm25TextTopK(idf = Some(idfB)),
+          "pipeline_hybrid_text_search" ->
+            operators.Encoders.SqlOracle.hybridTextSearch(idf = Some(idfB)),
           "pipeline_experiment_matrix" ->
             operators.Experiment.SqlOracle.matrix(idf = Some(idfB)),
           "report_mode_lift" ->

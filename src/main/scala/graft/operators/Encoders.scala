@@ -707,8 +707,21 @@ object Encoders {
                nq: Int = 5, dim: Int = Dim,
                maxDoc: Option[Long] = None,
                fit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
-    // `fit` lets a caller that needs the keyword arm more than once
-    // (Experiment.matrix's two hybrid legs) pay the eager fit job once
+    val cq = bm25DocScores(spark, dir, dim, maxDoc, fit)
+    val q = docTerm(spark, dir, maxDoc).filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("tok"))
+    bm25Rank(cq.filter(col("doc_id") >= nq), q, k)
+  }
+
+  /** The per-(doc, term) quantized BM25 contribution relation over the
+    * whole (capped) corpus — the ONE scoring table behind the
+    * corpus-prefix query form ([[bm25TopK]]) and the free-text form
+    * ([[bm25TopKText]]). `fit` lets a caller that needs the keyword
+    * arm more than once (Experiment.matrix's two hybrid legs) pay the
+    * eager fit job once. */
+  private def bm25DocScores(spark: SparkSession, dir: String, dim: Int,
+                            maxDoc: Option[Long] = None,
+                            fit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
     val vocab = spark.createDataFrame(fit.getOrElse(bm25IdfRows(spark, dir, dim, maxDoc)))
       .toDF("tok", "idx", "idf6").drop("idx")
     val byDoc = Window.partitionBy("doc_id")
@@ -718,20 +731,58 @@ object Encoders {
       .crossJoin(capped(Tables.documents(spark, dir), maxDoc)
         .agg(count(lit(1)).as("n_docs")))
     val avgdl = col("tot").cast("double") / col("n_docs")
-    val cq = dt.join(broadcast(vocab), "tok")
+    dt.join(broadcast(vocab), "tok")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok"),
         floor((col("idf6") / lit(1e6)) * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
           * 1e9 + 0.5).cast("long").as("cq"))
-    val q = docTerm(spark, dir, maxDoc).filter(col("doc_id") < nq)
-      .select(col("doc_id").as("q_id"), col("tok"))
-    val scored = cq.filter(col("doc_id") >= nq)
+  }
+
+  private def bm25Rank(cq: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val scored = cq
       .join(broadcast(q), "tok")
       .groupBy("q_id", "doc_id").agg(sum("cq").as("sq"))
       .select(col("q_id"), col("doc_id"), (col("sq") / lit(1e9)).as("score"))
     Knn.topKPerQuery(scored, k)
       .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Free-text BM25 top-k — keyword retrieval for arbitrary (q_id,
+    * text) queries: query terms are the DISTINCT tokens of the query
+    * text (query term frequency ignored — Lucene's convention, same
+    * as [[bm25TopK]]'s grouped query side), scored against the whole
+    * corpus. The keyword half of [[hybridSearchText]]. */
+  def bm25TopKText(spark: SparkSession, dir: String, queries: DataFrame,
+                   k: Int = 10, dim: Int = Dim,
+                   fit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
+    val q = queries
+      .select(col("q_id"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    bm25Rank(bm25DocScores(spark, dir, dim, None, fit), q, k)
+  }
+
+  /** Free-text hybrid retrieval — the reference's "hybrid" search mode
+    * for arbitrary query text: reciprocal-rank fusion (1/(60+rank),
+    * the [[hybridSearch]] semantics) of the vector arm
+    * ([[tfIdfSearchText]] or [[hashingSearchText]]) and the keyword
+    * arm ([[bm25TopKText]]). */
+  def hybridSearchText(spark: SparkSession, dir: String,
+                       queries: DataFrame, k: Int = 10, dim: Int = Dim,
+                       model: String = "hashing_tf",
+                       kwFit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
+    val vec = (if (model == "tfidf") tfIdfSearchText(spark, dir, queries, k, dim)
+               else hashingSearchText(spark, dir, queries, k, dim))
+      .select(col("q_id"), col("doc_id"), col("rank").as("rv"))
+    val kw = bm25TopKText(spark, dir, queries, k, dim, fit = kwFit)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
+    val fused = vec.join(kw, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0))).as("score"))
+    Knn.topKPerQuery(fused, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 6).as("score"))
       .orderBy("q_id", "rank")
   }
 
@@ -1142,6 +1193,87 @@ object Encoders {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
          |FROM ranked WHERE rank <= $k
          |ORDER BY q_id, rank""".stripMargin
+
+    /** Snippet-query CTEs shared by the text-search oracles: `qs`
+      * (q_id, qtext) from the deterministic hash-priority selection
+      * and `qt` (q_id, tok) exploded tokens. */
+    private def snippetQueryCtes(q: Int, snippetLen: Int): String =
+      s"""p AS (
+         |  SELECT doc_id, substr(text, 1, $snippetLen) AS qtext,
+         |    ${S.polyHash("'qs' || CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM documents ORDER BY pri, doc_id LIMIT $q),
+         |qs AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT) AS q_id,
+         |    qtext FROM p),
+         |qt AS (SELECT q_id, unnest(${S.tokens("qtext")}) AS tok FROM qs)""".stripMargin
+
+    /** Oracle for free-text BM25 (`bm25TopKText` composed with
+      * queryGen): [[bm25TopK]]'s CTEs with DISTINCT snippet tokens as
+      * the query side and the whole corpus as candidates. */
+    def bm25TextTopK(q: Int = 20, snippetLen: Int = 200, k: Int = 10,
+                     dim: Int = Dim,
+                     idf: Option[Seq[(Long, Long)]] = None): String = {
+      val idfCte = idf match {
+        case Some(rows) =>
+          val vals = rows.map { case (idx, qv) => s"($idx, $qv)" }.mkString(", ")
+          s"""idf AS (SELECT vocab.tok, l.idf6
+             |  FROM vocab JOIN (VALUES $vals) l(idx, idf6) USING (idx))""".stripMargin
+        case None =>
+          s"""idf AS (SELECT vocab.tok,
+             |  CAST(floor(ln(1e0 + (n_docs - df + 0.5e0) / (df + 0.5e0)) * 1e6 + 0.5e0) AS BIGINT) AS idf6
+             |  FROM vocab CROSS JOIN nd)""".stripMargin
+      }
+      s"""WITH t AS $toksCte,
+         |dt AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY doc_id, tok),
+         |v0 AS (SELECT tok, sum(tf) AS total, count(*) AS df FROM dt
+         |       GROUP BY tok ORDER BY total DESC, tok LIMIT $dim),
+         |vocab AS (SELECT tok, df,
+         |  row_number() OVER (ORDER BY total DESC, tok) AS idx FROM v0),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |$idfCte,
+         |dld AS (SELECT doc_id, tok, tf,
+         |  sum(tf) OVER (PARTITION BY doc_id) AS dl FROM dt),
+         |st AS (SELECT sum(tf) AS tot FROM dt),
+         |sc AS (
+         |  SELECT doc_id, tok,
+         |    CAST(floor((idf6 / 1e6) * (tf * 2.2e0) /
+         |      (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / (CAST(tot AS DOUBLE) / n_docs)))
+         |      * 1e9 + 0.5e0) AS BIGINT) AS cq
+         |  FROM dld JOIN idf USING (tok) CROSS JOIN st CROSS JOIN nd),
+         |${snippetQueryCtes(q, snippetLen)},
+         |qd AS (SELECT DISTINCT q_id, tok FROM qt),
+         |s AS (SELECT q_id, sc.doc_id, CAST(sum(cq) AS BIGINT) AS sq
+         |      FROM sc JOIN qd USING (tok)
+         |      GROUP BY q_id, sc.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, sq,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY sq DESC, doc_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("sq / 1e9", 4)} AS score
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+    }
+
+    /** Oracle for free-text hybrid RRF (`hybridSearchText` composed
+      * with queryGen, hashing_tf vector arm). */
+    def hybridTextSearch(q: Int = 20, snippetLen: Int = 200, k: Int = 10,
+                         dim: Int = Dim,
+                         idf: Option[Seq[(Long, Long)]] = None): String =
+      s"""WITH vecr AS (SELECT q_id, doc_id, rank AS rv FROM (
+         |${textQuerySearch(q, snippetLen, k, dim)}) tv),
+         |kwr AS (SELECT q_id, doc_id, rank AS rk FROM (
+         |${bm25TextTopK(q, snippetLen, k, dim, idf)}) tk),
+         |fused AS (
+         |  SELECT coalesce(v.q_id, w.q_id) AS q_id,
+         |    coalesce(v.doc_id, w.doc_id) AS doc_id,
+         |    coalesce(1e0 / (60 + v.rv), 0e0) + coalesce(1e0 / (60 + w.rk), 0e0) AS score
+         |  FROM vecr v FULL JOIN kwr w ON v.q_id = w.q_id AND v.doc_id = w.doc_id),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 6)} AS score
+         |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
     def tfIdfSearch(k: Int = 10, nq: Int = 5, dim: Int = Dim,
                     maxDoc: Option[Long] = None): String =
