@@ -131,7 +131,9 @@ object Bench {
     // times only; full precision + cold breakdown + the scale section
     // go to BENCH_DETAIL.json and an earlier (scrolled-off) stdout line.
     def r2(v: Double): String = {
-      val s = "%.2f".format(v)
+      // Locale.ROOT: this lands in machine-parsed JSON, and the JVM
+      // default locale could print a comma decimal (ADVICE r11)
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.endsWith("0")) s.dropRight(1) else s
     }
     def jsShort(m: Map[String, Double]): String =

@@ -26,8 +26,11 @@ object Plotting {
     "#9467bd", "#8c564b", "#e377c2", "#7f7f7f")
 
   private def fmt(v: Double): String = {
-    // ticks and coordinates print compactly and deterministically
-    val s = "%.2f".format(v)
+    // ticks and coordinates print compactly and deterministically;
+    // Locale.ROOT, not the JVM default — a comma-decimal locale
+    // (de_DE) would render "12,34" and corrupt polyline points and
+    // attribute values (ADVICE r11)
+    val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     if (s.endsWith(".00")) s.dropRight(3) else s
   }
 

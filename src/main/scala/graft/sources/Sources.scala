@@ -142,6 +142,7 @@ object Sources {
   // against a just-started JVM is impossible because a live pid is
   // never swept, and IO failures are ignored like Cleanup's own.
   private lazy val sweepStale: Unit = {
+    import scala.util.control.NonFatal
     val tmp = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     val self = java.lang.ProcessHandle.current().pid()
     try {
@@ -155,15 +156,19 @@ object Sources {
             val pid = name.stripPrefix("graft-roundtrip-").takeWhile(_.isDigit)
             val dead = pid.nonEmpty && pid.toLong != self &&
               !java.lang.ProcessHandle.of(pid.toLong).isPresent
-            if (dead) {
+            // per-directory try (ADVICE r11): two JVMs racing to sweep
+            // the same dead dir hit NoSuchFileException mid-walk — that
+            // must not abort the REST of the sweep; and only NonFatal
+            // is swallowed (an OOM/interrupt propagates)
+            if (dead) try {
               import java.nio.file.{Files, Path}
               Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
                 .forEach(q => Files.deleteIfExists(q))
-            }
+            } catch { case NonFatal(_) => }
           }
         }
       } finally listing.close()
-    } catch { case _: Throwable => }
+    } catch { case NonFatal(_) => }
   }
 
   private def scratch(dir: String, leaf: String): String = {

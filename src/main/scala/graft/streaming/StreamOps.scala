@@ -615,6 +615,35 @@ object StreamOps {
     * doc_ids, so at-least-once delivery becomes an exactly-once
     * index. Self-seeding: a missing layout means nothing to dedupe
     * against, and the first appended batch creates it. */
+  /** The two analysis conditions that genuinely mean "no layout yet":
+    * the path does not exist, or it exists but holds only
+    * underscore-hidden fit files (`_vocab`/`_fit`) so parquet cannot
+    * infer a schema. Anything else is a real analysis failure. */
+  private val MissingLayoutConditions =
+    Seq("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+  /** Batch-minus-stored anti-join shared by every write-time-idempotent
+    * ingest stream, with the "no layout yet" case NARROWED to
+    * [[MissingLayoutConditions]] (ADVICE r11): any other
+    * AnalysisException — schema drift, a store missing `key` —
+    * propagates and fails the stream instead of silently disabling
+    * dedup, which would append duplicates that later replays freeze in
+    * place. The stored side is not pre-distinct'd: anti-join semantics
+    * are duplicate-insensitive, so the extra pre-aggregation shuffle
+    * buys nothing. */
+  private def minusStored(unique: DataFrame, path: String,
+                          key: String = "doc_id"): DataFrame = {
+    val spark = unique.sparkSession
+    val existing =
+      try Some(spark.read.parquet(path).select(key))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(c =>
+              MissingLayoutConditions.exists(c.startsWith)) => None
+      }
+    existing.fold(unique)(ex => unique.join(ex, Seq(key), "left_anti"))
+  }
+
   def postingsIngestStream(docs: DataFrame, indexPath: String,
                            checkpointDir: String, dim: Int = graft.operators.Encoders.Dim)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -625,16 +654,7 @@ object StreamOps {
         // same doc twice in one trigger, where the index anti-join
         // can't see it): duplicated postings would double cnt/norm and
         // then be frozen forever by the anti-join on later replays
-        val unique = batch.dropDuplicates("doc_id")
-        val fresh =
-          try {
-            val existing = spark.read.parquet(indexPath)
-              .select("doc_id").distinct()
-            unique.join(existing, Seq("doc_id"), "left_anti")
-          } catch {
-            // no layout yet (first batch): nothing to dedupe against
-            case _: org.apache.spark.sql.AnalysisException => unique
-          }
+        val fresh = minusStored(batch.dropDuplicates("doc_id"), indexPath)
         if (!fresh.isEmpty)
           graft.operators.Encoders.appendToHashingIndex(spark, fresh, indexPath, dim)
       }
@@ -661,19 +681,12 @@ object StreamOps {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val unique = batch.dropDuplicates("doc_id")
-        val fresh =
-          try {
-            val existing = spark.read.parquet(indexPath)
-              .select("doc_id").distinct()
-            unique.join(existing, Seq("doc_id"), "left_anti")
-          } catch {
-            // vocab-only layout (fresh index, no postings yet):
-            // nothing to dedupe against — `_vocab` is underscore-hidden
-            // from the postings read, so this is the empty-snapshot
-            // case, not a missing index (that throws in the append)
-            case _: org.apache.spark.sql.AnalysisException => unique
-          }
+        // vocab-only layout (fresh index, no postings yet) is the
+        // UNABLE_TO_INFER_SCHEMA arm of minusStored — `_vocab` is
+        // underscore-hidden from the postings read, so that is the
+        // empty-snapshot case, not a missing index (that throws in the
+        // append); any other analysis failure propagates
+        val fresh = minusStored(batch.dropDuplicates("doc_id"), indexPath)
         if (!fresh.isEmpty)
           graft.operators.Encoders.appendToTfidfIndex(spark, fresh, indexPath)
       }
@@ -695,18 +708,10 @@ object StreamOps {
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val unique = batch.dropDuplicates("doc_id")
-        val fresh =
-          try {
-            val existing = spark.read.parquet(indexPath)
-              .select("doc_id").distinct()
-            unique.join(existing, Seq("doc_id"), "left_anti")
-          } catch {
-            // fit-only layout (fresh index, no codes yet): nothing to
-            // dedupe against — `_fit` is underscore-hidden from the
-            // codes read
-            case _: org.apache.spark.sql.AnalysisException => unique
-          }
+        // fit-only layout (fresh index, no codes yet — `_fit` is
+        // underscore-hidden from the codes read) is minusStored's
+        // UNABLE_TO_INFER_SCHEMA arm; real analysis failures propagate
+        val fresh = minusStored(batch.dropDuplicates("doc_id"), indexPath)
         if (!fresh.isEmpty)
           graft.operators.Ann.appendToSq8Index(spark, fresh, indexPath)
       }
@@ -728,15 +733,7 @@ object StreamOps {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val unique = batch.dropDuplicates("doc_id")
-        val fresh =
-          try {
-            val existing = spark.read.parquet(indexPath)
-              .select("doc_id").distinct()
-            unique.join(existing, Seq("doc_id"), "left_anti")
-          } catch {
-            case _: org.apache.spark.sql.AnalysisException => unique
-          }
+        val fresh = minusStored(batch.dropDuplicates("doc_id"), indexPath)
         if (!fresh.isEmpty)
           graft.operators.Chunking.appendToChunkIndex(spark, fresh, indexPath,
             dim, w, s)
@@ -758,17 +755,9 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
         val hashes = graft.operators.Dedup.windowHashes(
           batch.dropDuplicates("doc_id"), w)
-        val fresh =
-          try {
-            val existing = spark.read.parquet(storePath)
-            hashes.join(existing, Seq("h"), "left_anti")
-          } catch {
-            // no layout yet (first batch): nothing stored
-            case _: org.apache.spark.sql.AnalysisException => hashes
-          }
+        val fresh = minusStored(hashes, storePath, key = "h")
         if (!fresh.isEmpty)
           fresh.write.mode("append").parquet(storePath)
       }

@@ -21,8 +21,12 @@ object H2Probe {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.Encoders
     val dir = args(0)
-    val idx = s"/tmp/h2probe-idx"
-    val gat = s"/tmp/h2probe-gat"
+    // per-run scratch, swept at JVM exit (ADVICE r11: fixed /tmp paths
+    // clobber under concurrent runs and leak after exit)
+    val base = graft.Cleanup.onExit(
+      java.nio.file.Files.createTempDirectory("graft-h2probe"))
+    val idx = s"$base/idx"
+    val gat = s"$base/gat"
     def timed(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
       println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.3f")

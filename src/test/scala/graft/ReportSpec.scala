@@ -136,4 +136,25 @@ class ReportLayerSpec extends AnyFunSuite with Matchers with SharedSpark {
         java.nio.file.Files.readString(java.nio.file.Paths.get(b))
     }
   }
+
+  test("writePlots over an empty corpus produces valid empty-series SVGs") {
+    import graft.operators.Plotting
+    // a 0-row corpus with the real schemas: every chart degenerates to
+    // an empty series, which must render as a valid (axis-less) SVG,
+    // not throw NoSuchElement (VERDICT r11 item 8)
+    val empty = tempDir("graft-empty-corpus")
+    Tables.documents(spark, sfDir).limit(0)
+      .write.mode("overwrite").parquet(s"$empty/documents.parquet")
+    Tables.events(spark, sfDir).limit(0)
+      .write.mode("overwrite").parquet(s"$empty/events.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    val paths = Plotting.writePlots(spark, empty, tempDir("graft-plots-empty"))
+    paths should have size 4
+    paths.foreach { p =>
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      val doc = f.newDocumentBuilder().parse(new java.io.File(p))
+      doc.getDocumentElement.getTagName shouldBe "svg"
+    }
+  }
 }

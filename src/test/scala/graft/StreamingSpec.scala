@@ -457,6 +457,28 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.read.parquet(store).count() shouldBe n
   }
 
+  test("ingest streams: a real analysis failure propagates instead of silently disabling dedup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // a store that EXISTS but lacks the doc_id column — schema drift,
+    // not "no layout yet": the narrowed catch (ADVICE r11) must let
+    // this fail the stream rather than append duplicates forever
+    val store = tempDir("graft-driftstore") + "/idx"
+    Seq((1L, "x")).toDF("wrong_col", "other").write.parquet(store)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamOps.postingsIngestStream(
+      input.toDF().toDF("doc_id", "text"), store, tempDir("graft-driftck"))
+    try {
+      input.addData((1L, "alpha beta"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      // the underlying failure is the unresolved-column analysis error
+      ex.getMessage should include("doc_id")
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-seen content within the watermark horizon") {
     val s = spark
     import s.implicits._
