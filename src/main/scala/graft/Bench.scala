@@ -229,32 +229,48 @@ object Bench {
     val h2Json =
       if (sys.env.getOrElse("SPARK_GRAFT_H2_CHECK", "1") != "1") ""
       else {
-        val refH2 = Map( // (encode_total_s, per-query mean_s)
-          10000L -> (1.3405243158, 0.0035605311),
-          100000L -> (7.5365054607, 0.0184939782),
-          1000000L -> (63.9513572454, 0.2310411096))
+        val refH2 = tools.H2Run.Ref // (encode_total_s, per-query mean_s)
         val basePath = java.nio.file.Files.createTempDirectory("graft-h2")
         val dirs = Seq(10000L, 100000L, 1000000L).map(n => n -> s"$basePath/d$n")
         dirs.foreach { case (n, d) =>
           sources.DataGen.writeDataset(spark, d, n, 64L)
         }
-        val parsed: Map[Long, (Double, Double)] =
-          spawn("graft.tools.H2Run", dirs.map(_._2)).map(_.flatMap { l =>
+        val lines = spawn("graft.tools.H2Run", dirs.map(_._2)).getOrElse(Nil)
+        // H2Q <n> <encode_sec> <q30_sec> <perq_p50> <perq_p95>
+        val parsed: Map[Long, (Double, Double, Double, Double)] =
+          lines.flatMap { l =>
             l.trim.split("\\s+") match {
-              case Array("H2Q", n, e, q) =>
-                try Some(n.toLong -> (e.toDouble, q.toDouble))
+              case Array("H2Q", n, e, q, p50, p95) =>
+                try Some(n.toLong -> (e.toDouble, q.toDouble, p50.toDouble, p95.toDouble))
                 catch { case _: NumberFormatException => None }
               case _ => None
             }
-          }.toMap).getOrElse(Map.empty)
-        val entries = dirs.flatMap { case (n, _) =>
-          parsed.get(n).map { case (e, q) =>
-            val (re, rq) = refH2(n)
-            val perQ = q / tools.H2Run.NQ
-            s""""$n":{"encode_sec":$e,"q30_sec":$q,"per_query_sec":$perQ,""" +
-              s""""ref_encode_sec":$re,"ref_per_query_sec":$rq,""" +
-              s""""encode_ratio":${e / re},"query_ratio":${perQ / rq}}"""
+          }.toMap
+        // H2S <sentinel_p50_ms> <sentinel_max_ms> — the child's
+        // host-load sentinel (fixed spin work; inflation = host load)
+        val sentinel: Option[(Double, Double)] = lines.flatMap { l =>
+          l.trim.split("\\s+") match {
+            case Array("H2S", p50, mx) =>
+              try Some((p50.toDouble, mx.toDouble))
+              catch { case _: NumberFormatException => None }
+            case _ => None
           }
+        }.headOption
+        val entries = dirs.flatMap { case (n, _) =>
+          parsed.get(n).map { case (e, q30, p50, p95) =>
+            val (re, rq) = refH2(n)
+            val perQ = q30 / tools.H2Run.NQ
+            // headline query_ratio is computed on p50 of the per-query
+            // distribution (VERDICT r11 §next-6); the min-based batch
+            // ratio rides along as query_ratio_min
+            s""""$n":{"encode_sec":$e,"q30_sec":$q30,"per_query_sec":$perQ,""" +
+              s""""per_query_p50":$p50,"per_query_p95":$p95,""" +
+              s""""ref_encode_sec":$re,"ref_per_query_sec":$rq,""" +
+              s""""encode_ratio":${e / re},"query_ratio":${p50 / rq},""" +
+              s""""query_ratio_min":${perQ / rq}}"""
+          }
+        } ++ sentinel.map { case (p50, mx) =>
+          s""""sentinel_ms_p50":$p50,"sentinel_ms_max":$mx"""
         }
         import java.nio.file.{Files, Path}
         import java.util.Comparator
@@ -263,8 +279,17 @@ object Bench {
         if (entries.isEmpty) "" else s""","h2":{${entries.mkString(",")}}"""
       }
 
+    // Which machine/run produced this artifact (VERDICT r11 §next-7:
+    // the driver's post-HEAD bench silently overwrote the builder's
+    // committed quiet-host grid in the SAME file, forcing judges to
+    // `git show HEAD:` for the canonical numbers). Unset env = the
+    // driver's own run; the builder tags its quiet-host runs, which
+    // then land in a SEPARATE suffixed artifact the driver never
+    // touches. Both carry the host field, so any copy is
+    // self-identifying.
+    val host = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOST", "driver")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$failJson$scaleJson$h2Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","host":"$host","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$failJson$scaleJson$h2Json}"""
     // Full-precision record for the repo (and for later rounds' diffing);
     // also printed on an earlier stdout line, which scrolls out of the
     // caller's tail window but survives in a full log. The committed
@@ -273,8 +298,9 @@ object Bench {
     // sf0.1 numbers (round-4 lesson).
     val sfName = sfDir.replaceAll("/+$", "").split('/').last
     val detailPath =
-      if (sfName == "sf0.1") "/root/repo/BENCH_DETAIL.json"
-      else s"/root/repo/BENCH_DETAIL.$sfName.json"
+      if (sfName != "sf0.1") s"/root/repo/BENCH_DETAIL.$sfName.json"
+      else if (host == "driver") "/root/repo/BENCH_DETAIL.json"
+      else s"/root/repo/BENCH_DETAIL.$host.json"
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case _: Throwable => }

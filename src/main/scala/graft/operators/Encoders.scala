@@ -227,6 +227,23 @@ object Encoders {
       .orderBy("doc_id")
       .write.mode("overwrite").parquet(out)
 
+  /** Build the gathered per-doc serving layout DIRECTLY from the
+    * corpus — tokenize → postings → gather in ONE composed plan,
+    * ending with a single durable artifact. This is the exact analog
+    * of the ref's `encode_to_memmap` (auto_run_tests.py:52-108): its
+    * encode leg ends with ONE per-doc vector file on disk.
+    * [[writeHashingIndex]] + [[writeGatheredIndex]] produce the same
+    * bytes with the postings layout persisted as an extra product;
+    * when only the dense serving scan is wanted (the H2 protocol),
+    * this skips that intermediate write+read entirely. Bit-equality
+    * with the two-step build is asserted in IndexedSearchSpec. */
+  def writeGatheredDirect(spark: SparkSession, dir: String, out: String,
+                          dim: Int = Dim): Unit =
+    gatherPostings(
+      postingsOf(Tables.documents(spark, dir).select("doc_id", "text"), dim))
+      .orderBy("doc_id")
+      .write.mode("overwrite").parquet(out)
+
   /** Query side of the dense scan: the first `nq` doc rows of a
     * gathered layout expanded to dense integer vectors —
     * (q_id, qdense, qn). */

