@@ -1003,6 +1003,43 @@ object Encoders {
       .toDF("doc_id", "vec")
   }
 
+  /** The open batch-model contract for [[encodeBatchedModel]]:
+    * anything serializable that maps a text batch to dense vectors —
+    * a trained [[LinearProbe.Model]], a file-loaded
+    * [[WordVectors.WordVecModel]], or (out of container) an
+    * ONNX/transformer session wrapper whose weights ride in the
+    * object. */
+  trait BatchModel extends Serializable {
+    def encode(texts: Seq[String]): Seq[Array[Double]]
+  }
+
+  /** [[encodeBatched]] with ANY [[BatchModel]] through the same seam —
+    * the model object (weights included) ships as ONE broadcast, is
+    * fetched once per partition at the documented init point, and
+    * batches stream through it. The plan shape is identical to the
+    * stub path (asserted in WordVecSpec), so an external-weights model
+    * — word vectors loaded from a published .vec file, a transformer
+    * session — drops in with no plan change
+    * (ref: embeddings/real_encoder.py:1-74). */
+  def encodeBatchedModel(spark: SparkSession, dir: String,
+                         model: BatchModel,
+                         batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition init: one broadcast fetch, then stream batches
+        val m = bc.value
+        it.grouped(batchSize).flatMap { batch =>
+          val vecs = m.encode(batch.map(_._2))
+          batch.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
+        }
+      }
+      .toDF("doc_id", "vec")
+  }
+
   /** The stub batch "model": per-token polynomial-hash vectors,
     * mean-pooled — bit-identical to [[meanPooling]]'s per-dim folds
     * (same hash, same left-to-right accumulation). Empty (or null) docs

@@ -21,7 +21,7 @@ object LinearProbe {
     * by construction (plain arrays): ships to executors as a broadcast
     * or closure constant, exactly how real weight blobs travel. */
   final case class Model(featDim: Int, w: Array[Array[Double]],
-                         b: Array[Double]) extends Serializable {
+                         b: Array[Double]) extends Encoders.BatchModel {
     /** Batch encode — the real-model counterpart of
       * [[Encoders.stubModelEncode]]: same signature, same batch
       * geometry, learned parameters instead of hash arithmetic. */

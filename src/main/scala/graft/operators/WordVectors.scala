@@ -25,7 +25,7 @@ object WordVectors {
   /** A loaded word-vector table. Serializable plain structures: ships
     * to executors as ONE broadcast, the way real weight blobs travel. */
   final case class WordVecModel(dim: Int, vocab: Map[String, Array[Float]])
-      extends Serializable {
+      extends Encoders.BatchModel {
 
     /** Batch encode — same signature and batch geometry as
       * [[Encoders.stubModelEncode]] / [[LinearProbe.Model.encode]]:
@@ -96,17 +96,15 @@ object WordVectors {
 
   /** Write a model in the headered .vec text format — the round-trip
     * half used by specs to create fixtures and by pipelines to export
-    * a table another tool can load. Deterministic: sorted vocabulary,
-    * Locale.ROOT float formatting. */
+    * a table another tool can load. Deterministic and exact:
+    * sorted vocabulary, Float.toString (shortest decimal that
+    * round-trips the float, locale-independent by spec). */
   def save(model: WordVecModel, path: String): Unit = {
     val sb = new StringBuilder
     sb ++= s"${model.vocab.size} ${model.dim}\n"
     model.vocab.toSeq.sortBy(_._1).foreach { case (tok, v) =>
       sb ++= tok
-      v.foreach { x =>
-        sb += ' '
-        sb ++= String.format(java.util.Locale.ROOT, "%.6g", Float.box(x))
-      }
+      v.foreach { x => sb += ' '; sb ++= x.toString }
       sb += '\n'
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
