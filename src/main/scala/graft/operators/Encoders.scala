@@ -389,8 +389,8 @@ object Encoders {
   /** (doc_id, tok, weight) unrounded TF-IDF weights — shared by
     * [[tfIdf]] (verified rounded projection) and [[tfIdfSearch]]. */
   /** (doc_id, tok, tf) per-document term counts. */
-  private def docTerm(spark: SparkSession, dir: String,
-                      maxDoc: Option[Long] = None): DataFrame =
+  private[operators] def docTerm(spark: SparkSession, dir: String,
+                                 maxDoc: Option[Long] = None): DataFrame =
     toks(spark, dir, maxDoc).groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
 
@@ -480,8 +480,8 @@ object Encoders {
   }
 
   /** (tok, idx, smoothed tf-idf idf) — the TfidfVectorizer fit. */
-  private def fitVocab(spark: SparkSession, dir: String, dim: Int,
-                       maxDoc: Option[Long] = None): Seq[(String, Long, Double)] = {
+  private[operators] def fitVocab(spark: SparkSession, dir: String, dim: Int,
+                                  maxDoc: Option[Long] = None): Seq[(String, Long, Double)] = {
     val (nDocs, rows) = fitVocabRaw(spark, dir, dim, maxDoc)
     rows.map { case (tok, idx, df) =>
       (tok, idx, math.log((1.0 + nDocs) / (1.0 + df)) + 1.0)

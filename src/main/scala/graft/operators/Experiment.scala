@@ -71,10 +71,121 @@ object Experiment {
     * size. Caps are absolute id prefixes so the declared oracle SQL is
     * SF-independent; `n_docs` reports each leg's actual size (at small
     * SFs a cap can exceed the corpus and legs coincide — rows stay
-    * distinct via `corpus_cap`). Legs are independent union arms, so
-    * they parallelize across the cluster like [[matrix]]'s. */
+    * distinct via `corpus_cap`).
+    *
+    * FUSED (round 12): the whole |caps|×|models| grid runs as TWO plan
+    * families over ONE corpus pass each, instead of 6 independent
+    * union legs re-scanning and re-scoring per cap
+    * ([[sizesUnioned]] — 60 scans / 66 shuffles; this plan: ~5 scans).
+    *  - hashing: cosine of a (q, doc) pair is cap-independent (per-doc
+    *    norms, integer bucket dot), so pairs are scored ONCE at the
+    *    largest cap and each cap's leg is a filter + its own bounded-
+    *    heap top-k keyed (corpus_cap, q_id).
+    *  - tfidf: the fit moves with the cap, so the per-cap vocabularies
+    *    ride as ONE broadcast literal (corpus_cap, tok, idf) table
+    *    (each from the SAME memoized [[Encoders.fitVocab]] the unioned
+    *    legs used); weights, norms and scores are keyed by corpus_cap
+    *    throughout.
+    * Bit-identical to [[sizesUnioned]] (asserted in ExperimentSpec) and
+    * to the unchanged SQL oracle. At 100 TB this is the difference
+    * between 2 corpus scans and 2·|caps| of them. */
   def sizes(spark: SparkSession, dir: String, caps: Seq[Long] = SizeCaps,
-            k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame =
+            k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame = {
+    import spark.implicits._
+    val capsDf = broadcast(caps.toDF("corpus_cap"))
+    val maxCap = caps.max
+    val byDoc = Window.partitionBy("doc_id")
+
+    // hashing arm: score once at maxCap, fan out to caps by filter
+    val cn = Encoders.bucketCounts(spark, dir, dim, Some(maxCap))
+      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
+    val qc = cn.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("bucket"),
+        col("cnt").as("qcnt"), col("norm").as("qn"))
+    val hashScored = Encoders.sparseCosine(
+      cn.filter(col("doc_id") >= nq), qc, Seq("doc_id"))
+      .crossJoin(capsDf)
+      .filter(col("doc_id") < col("corpus_cap"))
+
+    // tfidf arm: one docTerm pass, per-cap fits as one literal table
+    val vocabAll = broadcast(spark.createDataFrame(
+      caps.flatMap(c => Encoders.fitVocab(spark, dir, dim, Some(c))
+        .map { case (tok, _, idf) => (c, tok, idf) }))
+      .toDF("corpus_cap", "tok", "idf"))
+    val byCapDoc = Window.partitionBy("corpus_cap", "doc_id")
+    val w = Encoders.docTerm(spark, dir, Some(maxCap))
+      .join(vocabAll, "tok")
+      .filter(col("doc_id") < col("corpus_cap"))
+      .select(col("corpus_cap"), col("tok"), col("doc_id"),
+        (col("tf") * col("idf")).as("weight"))
+      .withColumn("nrm", sqrt(
+        sum(floor(col("weight") * col("weight") * 1e9 + 0.5).cast("long"))
+          .over(byCapDoc) / 1e9))
+    val qw = w.filter(col("doc_id") < nq)
+      .select(col("corpus_cap"), col("tok"), col("doc_id").as("q_id"),
+        col("weight").as("qweight"), col("nrm").as("qn"))
+    val tfScored = w.filter(col("doc_id") >= nq)
+      .join(broadcast(qw), Seq("corpus_cap", "tok"))
+      .groupBy("corpus_cap", "q_id", "doc_id")
+      .agg(fxSum(col("qweight") * col("weight"), 9).as("ip"),
+        first(col("qn")).as("qn"), first(col("nrm")).as("dn"))
+      .select(col("corpus_cap"), col("q_id"), col("doc_id"),
+        (col("ip") / (col("qn") * col("dn"))).as("score"))
+
+    // per-(cap, model) retrieval: bounded-heap top-k keyed by the grid
+    def ranked(scored: DataFrame, model: String): DataFrame =
+      Knn.topKPerKey(scored, Seq("corpus_cap", "q_id"), k)
+        .select(col("corpus_cap"), lit(model).as("model"),
+          col("q_id"), col("rank"), col("doc_id"))
+    val ret = ranked(hashScored, "hashing_tf")
+      .unionByName(ranked(tfScored, "tfidf"))
+
+    // the SAME evaluation as summaryFor, keyed (corpus_cap, model):
+    // retrieved docs are < their cap by construction, so the lang join
+    // needs no cap fan-out
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxCap)
+      .select(col("doc_id"), col("lang"))
+    val qLang = broadcast(docs.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("lang").as("q_lang")))
+    val h = broadcast(ret)
+      .join(qLang, "q_id")
+      .join(docs.select(col("doc_id"), col("lang").as("d_lang")), "doc_id")
+      .withColumn("rel", (col("q_lang") === col("d_lang")).cast("long"))
+    val pq = h.groupBy("corpus_cap", "model", "q_id").agg(
+      (sum(when(col("rank") <= 5, col("rel")).otherwise(0L)) / 5.0).as("p5"),
+      (sum(when(col("rank") <= k, col("rel")).otherwise(0L)) / k.toDouble).as("p10"))
+    val cum = Window.partitionBy("corpus_cap", "model", "q_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ap = h.withColumn("cum_rel", sum("rel").over(cum))
+      .filter(col("rel") === 1)
+      .groupBy("corpus_cap", "model", "q_id")
+      .agg(fxAvg(col("cum_rel") / col("rank"), 6).as("ap"))
+    val perQ = capsDf
+      .crossJoin(broadcast(Seq("hashing_tf", "tfidf").toDF("model")))
+      .crossJoin(broadcast(docs.filter(col("doc_id") < nq)
+        .select(col("doc_id").as("q_id"))))
+      .join(pq, Seq("corpus_cap", "model", "q_id"), "left")
+      .join(ap, Seq("corpus_cap", "model", "q_id"), "left")
+    val agg = perQ.groupBy("corpus_cap", "model").agg(
+      count(lit(1)).as("n_queries"),
+      rnd(fxAvg(coalesce(col("p5"), lit(0.0)), 6), 4).as("mean_p_at_5"),
+      rnd(fxAvg(coalesce(col("p10"), lit(0.0)), 6), 4).as("mean_p_at_10"),
+      rnd(fxAvg(coalesce(col("ap"), lit(0.0)), 6), 4).as("map"))
+    val nDocs = docs.select("doc_id").crossJoin(capsDf)
+      .filter(col("doc_id") < col("corpus_cap"))
+      .groupBy("corpus_cap").agg(count(lit(1)).as("n_docs"))
+    agg.join(broadcast(nDocs), "corpus_cap")
+      .select(col("corpus_cap"), col("model"), lit(dim.toLong).as("dim"),
+        col("n_docs"), col("n_queries"),
+        col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
+      .orderBy("corpus_cap", "model")
+  }
+
+  /** The pre-round-12 one-union-arm-per-(cap, model) formulation —
+    * kept as the equivalence baseline for the fused [[sizes]]
+    * (ExperimentSpec asserts bit-identical output). */
+  def sizesUnioned(spark: SparkSession, dir: String, caps: Seq[Long] = SizeCaps,
+                   k: Int = K, nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame =
     caps.map { c =>
       summaryFor(spark, dir,
         Encoders.hashingSearch(spark, dir, k, nq, dim, Some(c)),
@@ -89,6 +200,18 @@ object Experiment {
       .orderBy("corpus_cap", "model")
 
   val SizeCaps: Seq[Long] = Seq(20L, 100L, 400L)
+
+  /** One (model, cap) leg of [[sizes]] in isolation — probe/bench
+    * decomposition surface. */
+  def summaryLeg(spark: SparkSession, dir: String, model: String,
+                 maxDoc: Option[Long], k: Int = K, nq: Int = NQ,
+                 dim: Int = Encoders.Dim): DataFrame = {
+    val ret = model match {
+      case "hashing_tf" => Encoders.hashingSearch(spark, dir, k, nq, dim, maxDoc)
+      case "tfidf" => Encoders.tfIdfSearch(spark, dir, k, nq, dim, maxDoc)
+    }
+    summaryFor(spark, dir, ret, model, k, nq, dim, maxDoc)
+  }
 
   private def summaryFor(spark: SparkSession, dir: String, retrieval: DataFrame,
                          model: String, k: Int, nq: Int, dim: Int,

@@ -46,11 +46,20 @@ object Knn {
     * before the single shuffle — no global sort, no window pass.
     * Equal to [[topKPerQueryWindow]] (asserted in KnnSpec). */
   def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("q_id")
+    topKPerKey(scored, Seq("q_id"), k)
+
+  /** [[topKPerQuery]] generalized to a composite key — e.g.
+    * (corpus_cap, q_id) for the fused experiment grid, where one scored
+    * frame carries every sub-corpus leg and each (cap, query) group
+    * keeps its own top-k. Same bounded-heap partial aggregation, same
+    * (score desc, doc_id asc) tie-break determinism. */
+  def topKPerKey(scored: DataFrame, keys: Seq[String], k: Int): DataFrame =
+    scored.groupBy(keys.map(col): _*)
       .agg(graft.functions.TopKAgg.topKBy(col("score"), col("doc_id"), k).as("tk"))
-      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(col("q_id"), col("e.id").as("doc_id"), col("e.score").as("score"),
-        (col("pos") + 1).cast("long").as("rank"))
+      .select(keys.map(col) :+ posexplode(col("tk")).as(Seq("pos", "e")): _*)
+      .select(keys.map(col) ++ Seq(col("e.id").as("doc_id"),
+        col("e.score").as("score"),
+        (col("pos") + 1).cast("long").as("rank")): _*)
 
   /** Window-based two-phase formulation (the declarative spec the
     * DuckDB oracles mirror). */

@@ -72,6 +72,14 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("fused sizes grid equals the per-leg unioned formulation bit-identically") {
+    // round 12: sizes runs the |caps|x|models| grid as two fused plan
+    // families over one corpus pass each; results must not move by a
+    // bit vs the legacy one-union-arm-per-leg form (the oracle's shape)
+    Experiment.sizes(spark, sfDir).collect().map(_.toString) shouldBe
+      Experiment.sizesUnioned(spark, sfDir).collect().map(_.toString)
+  }
+
   test("source matrix: totals tie out to the pair set, diagonal = within-source") {
     val pairs = Dedup.minhashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
