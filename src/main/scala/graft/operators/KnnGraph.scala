@@ -295,6 +295,14 @@ object KnnGraph {
     edges
   }
 
+  /** The [[AutoBeam]] resolution contract, unit-pinned in KnnGraphSpec:
+    * an explicit positive beam is taken as-is; the sentinel resolves to
+    * max([[Beam]], ⌈√N⌉) — sub-linear per-query cost that keeps recall
+    * at decade scale (0.715@200k vs 0.43 at fixed 64, SURVEY §2). */
+  def resolveBeam(beam: Int, n: Long): Int =
+    if (beam > 0) beam
+    else math.max(Beam, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   /** Batch beam search: top-k per query over the graph, all queries
     * advancing one shared frontier-expansion join per hop.
     * `queries` = (q_id, q_vec); `emb` = (id, vec); `edges` = built
@@ -321,8 +329,7 @@ object KnnGraph {
     val n = emb.count()
     // resolve the AutoBeam sentinel from the corpus size this search
     // already computes for the entry-slice split (see [[Beam]])
-    val bw = if (beam > 0) beam
-      else math.max(Beam, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val bw = resolveBeam(beam, n)
     val bucketsPerBand = 1L << Ann.BandBits
     val subCount = math.max(1L, n / (bucketsPerBand * SeedGroup))
     def bands(c: Column): Column = explode(array(

@@ -94,6 +94,68 @@ class KnnGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
     withClue(s"search recall $recall: ") { recall should be >= 0.8 }
   }
 
+  test("beam search recall at sf0.1 stays >= 0.8") {
+    // the maintained decade-trajectory pin (VERDICT r11 §next-5): the
+    // largest committed test corpus, same measured-recall contract
+    val recall = KnnGraph.searchRecall(spark, "/root/testdata/sf0.1")
+      .head.getDouble(0)
+    withClue(s"sf0.1 search recall $recall: ") { recall should be >= 0.8 }
+  }
+
+  test("AutoBeam resolves to max(Beam, ceil(sqrt N)); explicit beams pass through") {
+    KnnGraph.resolveBeam(KnnGraph.AutoBeam, 100L) shouldBe KnnGraph.Beam
+    KnnGraph.resolveBeam(KnnGraph.AutoBeam, 4096L) shouldBe KnnGraph.Beam
+    KnnGraph.resolveBeam(KnnGraph.AutoBeam, 10000L) shouldBe 100
+    KnnGraph.resolveBeam(KnnGraph.AutoBeam, 200000L) shouldBe 448
+    KnnGraph.resolveBeam(17, 200000L) shouldBe 17
+  }
+
+  test("auto-beam (√N) beats the fixed minimum beam on a clustered 10k corpus") {
+    // The regression pin for the RobustPrune + √N auto-beam recall
+    // claim (0.715@200k was measured off-CI by GraphProbe; VERDICT r11
+    // §next-5 asks for a CI-sized assertion). 400 clusters × 25 nodes,
+    // noise high enough that clusters blur — the regime where beam
+    // width buys recall. Every stage (seeded data, buildGraph,
+    // graphSearch) is deterministic, so the strict inequality is a
+    // reproducible fixed point (measured 0.9433 auto vs 0.9367 fixed,
+    // 0.85 at beam 16), not a statistical flake: a code change that
+    // degrades the auto-beam path flips it.
+    val s = spark
+    import s.implicits._
+    val nClusters = 400; val perCluster = 25; val dim = 64
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    val n = nClusters * perCluster // 10000 → auto-beam = √N = 100 > 64
+    val rows = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => (x + 0.9 * rnd.nextGaussian()).toFloat))
+    }
+    val nodes = rows.toDF("id", "vec").repartition(4).cache()
+    nodes.count()
+    val queries = (0 until 30).map { q =>
+      val c = centers(rnd.nextInt(nClusters))
+      (100000L + q, c.map(x => (x + 0.9 * rnd.nextGaussian()).toFloat))
+    }.toDF("q_id", "q_vec")
+    val g = KnnGraph.buildGraph(nodes).localCheckpoint(true)
+    val exact = Knn.topKPerQuery(
+      queries.crossJoin(nodes)
+        .select(col("q_id"), col("id").as("doc_id"),
+          graft.functions.cosine(col("q_vec"), col("vec")).as("score")),
+      Knn.K).select("q_id", "doc_id").cache()
+    val total = exact.count()
+    def recallAt(beam: Int): Double =
+      KnnGraph.graphSearch(queries, nodes, g, Knn.K, beam = beam)
+        .select(col("q_id"), col("id").as("doc_id"))
+        .join(exact, Seq("q_id", "doc_id")).count().toDouble / total
+    val fixed = recallAt(KnnGraph.Beam)
+    val auto = recallAt(KnnGraph.AutoBeam)
+    withClue(s"auto-beam recall $auto vs fixed-${KnnGraph.Beam} $fixed: ") {
+      auto should be > fixed
+      auto should be >= 0.94
+    }
+    nodes.unpersist(); exact.unpersist()
+  }
+
   test("semantic graph dedup: exact-scored pairs only, near-complete vs brute force") {
     val threshold = 0.45
     val got = operators.Dedup.semanticGraph(spark, sfDir, threshold,
