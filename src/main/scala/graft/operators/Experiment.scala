@@ -46,13 +46,62 @@ object Experiment {
     * arm. */
   def matrix(spark: SparkSession, dir: String, k: Int = K,
              nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame = {
+    import spark.implicits._
+    // the BM25 fit is an eager driver-side job and the keyword arm is
+    // model-independent — fit once, share across both hybrid legs
+    val kwFit = Some(Encoders.bm25IdfRows(spark, dir, dim))
+    // FUSED (round 12): the three arm retrievals are computed once and
+    // every (model, mode) leg derives from them — the hybrid legs are
+    // RRF row-arithmetic over the arms' ≤nq·k rank rows, not fresh
+    // corpus-scanning subplans ([[matrixUnioned]] re-ran each vector
+    // arm inside its hybrid leg). The repeated arm subtrees in the
+    // union are canonically identical, so exchange reuse executes each
+    // shuffle stage once.
+    val hr = Encoders.hashingSearch(spark, dir, k, nq, dim)
+      .select(col("q_id"), col("rank"), col("doc_id"))
+    val tr = Encoders.tfIdfSearch(spark, dir, k, nq, dim)
+      .select(col("q_id"), col("rank"), col("doc_id"))
+    val kw = Encoders.bm25TopK(spark, dir, k, nq, dim, fit = kwFit)
+      .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
+    // hybridSearch's exact RRF expression over pre-computed arm ranks
+    def rrf(vec: DataFrame): DataFrame = {
+      val fused = vec.select(col("q_id"), col("doc_id"), col("rank").as("rv"))
+        .join(kw, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0))).as("score"))
+      Knn.topKPerQuery(fused, k).select(col("q_id"), col("rank"), col("doc_id"))
+    }
+    def tag(r: DataFrame, model: String, mode: String) =
+      r.select(lit(model).as("model"), lit(mode).as("search_mode"),
+        col("q_id"), col("rank"), col("doc_id"))
+    val ret = tag(hr, "hashing_tf", "vector")
+      .unionByName(tag(tr, "tfidf", "vector"))
+      .unionByName(tag(rrf(hr), "hashing_tf", "hybrid"))
+      .unionByName(tag(rrf(tr), "tfidf", "hybrid"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val baseGrid = broadcast(
+      Seq(("hashing_tf", "vector"), ("hashing_tf", "hybrid"),
+        ("tfidf", "vector"), ("tfidf", "hybrid"))
+        .toDF("model", "search_mode"))
+    evalKeyed(ret, Seq("model", "search_mode"), baseGrid, docs, nq, k)
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("model"), col("search_mode"), lit(dim.toLong).as("dim"),
+        col("n_docs"), col("n_queries"),
+        col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
+      .orderBy("model", "search_mode")
+  }
+
+  /** The pre-round-12 one-leg-per-(model, mode) formulation — kept as
+    * the equivalence baseline for the fused [[matrix]] (spec asserts
+    * bit-identical output). */
+  def matrixUnioned(spark: SparkSession, dir: String, k: Int = K,
+                    nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame = {
     def leg(ret: DataFrame, model: String, mode: String) =
       summaryFor(spark, dir, ret, model, k, nq, dim)
         .withColumn("search_mode", lit(mode))
         .select(col("model"), col("search_mode"), col("dim"), col("n_docs"),
           col("n_queries"), col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
-    // the BM25 fit is an eager driver-side job and the keyword arm is
-    // model-independent — fit once, share across both hybrid legs
     val kwFit = Some(Encoders.bm25IdfRows(spark, dir, dim))
     leg(Encoders.hashingSearch(spark, dir, k, nq, dim), "hashing_tf", "vector")
       .unionByName(leg(Encoders.tfIdfSearch(spark, dir, k, nq, dim), "tfidf", "vector"))
@@ -61,6 +110,43 @@ object Experiment {
       .unionByName(leg(Encoders.hybridSearch(spark, dir, k, nq, dim, "tfidf", kwFit),
         "tfidf", "hybrid"))
       .orderBy("model", "search_mode")
+  }
+
+  /** The summaryFor evaluation keyed by an arbitrary grid — shared by
+    * the fused [[sizes]] and [[matrix]]: `ret` carries
+    * (keys…, q_id, rank, doc_id) for EVERY leg at once, `baseGrid` the
+    * full key grid (so legs with no hits still report zero rows), and
+    * the output is one (keys…, n_queries, mean_p_at_5, mean_p_at_10,
+    * map) row per key — the same order-free fixed-point folds as the
+    * per-leg form, so fused ≡ unioned bit-identically. */
+  private def evalKeyed(ret: DataFrame, keys: Seq[String], baseGrid: DataFrame,
+                        docs: DataFrame, nq: Int, k: Int): DataFrame = {
+    val qLang = broadcast(docs.filter(col("doc_id") < nq)
+      .select(col("doc_id").as("q_id"), col("lang").as("q_lang")))
+    val h = broadcast(ret)
+      .join(qLang, "q_id")
+      .join(docs.select(col("doc_id"), col("lang").as("d_lang")), "doc_id")
+      .withColumn("rel", (col("q_lang") === col("d_lang")).cast("long"))
+    val gk = keys :+ "q_id"
+    val pq = h.groupBy(gk.map(col): _*).agg(
+      (sum(when(col("rank") <= 5, col("rel")).otherwise(0L)) / 5.0).as("p5"),
+      (sum(when(col("rank") <= k, col("rel")).otherwise(0L)) / k.toDouble).as("p10"))
+    val cum = Window.partitionBy(gk.map(col): _*).orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ap = h.withColumn("cum_rel", sum("rel").over(cum))
+      .filter(col("rel") === 1)
+      .groupBy(gk.map(col): _*)
+      .agg(fxAvg(col("cum_rel") / col("rank"), 6).as("ap"))
+    val perQ = baseGrid
+      .crossJoin(broadcast(docs.filter(col("doc_id") < nq)
+        .select(col("doc_id").as("q_id"))))
+      .join(pq, gk, "left")
+      .join(ap, gk, "left")
+    perQ.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_queries"),
+      rnd(fxAvg(coalesce(col("p5"), lit(0.0)), 6), 4).as("mean_p_at_5"),
+      rnd(fxAvg(coalesce(col("p10"), lit(0.0)), 6), 4).as("mean_p_at_10"),
+      rnd(fxAvg(coalesce(col("ap"), lit(0.0)), 6), 4).as("map"))
   }
 
   /** The reference's by-corpus-size sweep (ref: experiments/
@@ -145,32 +231,9 @@ object Experiment {
     // needs no cap fan-out
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxCap)
       .select(col("doc_id"), col("lang"))
-    val qLang = broadcast(docs.filter(col("doc_id") < nq)
-      .select(col("doc_id").as("q_id"), col("lang").as("q_lang")))
-    val h = broadcast(ret)
-      .join(qLang, "q_id")
-      .join(docs.select(col("doc_id"), col("lang").as("d_lang")), "doc_id")
-      .withColumn("rel", (col("q_lang") === col("d_lang")).cast("long"))
-    val pq = h.groupBy("corpus_cap", "model", "q_id").agg(
-      (sum(when(col("rank") <= 5, col("rel")).otherwise(0L)) / 5.0).as("p5"),
-      (sum(when(col("rank") <= k, col("rel")).otherwise(0L)) / k.toDouble).as("p10"))
-    val cum = Window.partitionBy("corpus_cap", "model", "q_id").orderBy("rank")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ap = h.withColumn("cum_rel", sum("rel").over(cum))
-      .filter(col("rel") === 1)
-      .groupBy("corpus_cap", "model", "q_id")
-      .agg(fxAvg(col("cum_rel") / col("rank"), 6).as("ap"))
-    val perQ = capsDf
+    val baseGrid = capsDf
       .crossJoin(broadcast(Seq("hashing_tf", "tfidf").toDF("model")))
-      .crossJoin(broadcast(docs.filter(col("doc_id") < nq)
-        .select(col("doc_id").as("q_id"))))
-      .join(pq, Seq("corpus_cap", "model", "q_id"), "left")
-      .join(ap, Seq("corpus_cap", "model", "q_id"), "left")
-    val agg = perQ.groupBy("corpus_cap", "model").agg(
-      count(lit(1)).as("n_queries"),
-      rnd(fxAvg(coalesce(col("p5"), lit(0.0)), 6), 4).as("mean_p_at_5"),
-      rnd(fxAvg(coalesce(col("p10"), lit(0.0)), 6), 4).as("mean_p_at_10"),
-      rnd(fxAvg(coalesce(col("ap"), lit(0.0)), 6), 4).as("map"))
+    val agg = evalKeyed(ret, Seq("corpus_cap", "model"), baseGrid, docs, nq, k)
     val nDocs = docs.select("doc_id").crossJoin(capsDf)
       .filter(col("doc_id") < col("corpus_cap"))
       .groupBy("corpus_cap").agg(count(lit(1)).as("n_docs"))

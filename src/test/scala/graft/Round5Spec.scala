@@ -80,6 +80,11 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
       Experiment.sizesUnioned(spark, sfDir).collect().map(_.toString)
   }
 
+  test("fused experiment matrix equals the per-leg unioned formulation bit-identically") {
+    Experiment.matrix(spark, sfDir).collect().map(_.toString) shouldBe
+      Experiment.matrixUnioned(spark, sfDir).collect().map(_.toString)
+  }
+
   test("source matrix: totals tie out to the pair set, diagonal = within-source") {
     val pairs = Dedup.minhashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
