@@ -434,7 +434,10 @@ object Encoders {
     * contract: one pass, then reuse), so in-place corpus changes need
     * an explicit refit signal, exactly like re-fitting a persisted
     * vectorizer. */
-  def invalidateFits(): Unit = vocabCache.clear()
+  def invalidateFits(): Unit = {
+    vocabCache.clear()
+    corpusStatsCache.clear()
+  }
 
   /** The ONE vocabulary-fit contract (ordering, tie-break), collected
     * driver-side: (corpus doc count, rows (tok, popularity index
@@ -736,6 +739,26 @@ object Encoders {
     * ([[bm25TopKText]]). `fit` lets a caller that needs the keyword
     * arm more than once (Experiment.matrix's two hybrid legs) pay the
     * eager fit job once. */
+  // corpus stats are a FIT (Lucene keeps total token count / doc count
+  // in index stats): memoized per (app, dir, cap) exactly like
+  // fitVocabRaw, so a warm BM25 plan carries them as literals instead
+  // of re-running a second docTerm pass + a documents count per call
+  private val corpusStatsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Option[Long]), (Long, Long)]
+
+  /** (total token count, doc count) of the (capped) corpus — the BM25
+    * avgdl fit, one memoized corpus pass. */
+  private[operators] def corpusStats(spark: SparkSession, dir: String,
+                                     maxDoc: Option[Long] = None): (Long, Long) = {
+    val app = spark.sparkContext.applicationId
+    corpusStatsCache.keySet.filter(_._1 != app).foreach(corpusStatsCache.remove)
+    corpusStatsCache.getOrElseUpdate((app, dir, maxDoc), {
+      val r = capped(Tables.documents(spark, dir), maxDoc)
+        .agg(count(lit(1)), sum(size(tokens(col("text"))))).head
+      (if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(0))
+    })
+  }
+
   private def bm25DocScores(spark: SparkSession, dir: String, dim: Int,
                             maxDoc: Option[Long] = None,
                             fit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
@@ -744,12 +767,11 @@ object Encoders {
     val byDoc = Window.partitionBy("doc_id")
     val dt = docTerm(spark, dir, maxDoc)
       .withColumn("dl", sum("tf").over(byDoc))
-    val stats = docTerm(spark, dir, maxDoc).agg(sum("tf").as("tot"))
-      .crossJoin(capped(Tables.documents(spark, dir), maxDoc)
-        .agg(count(lit(1)).as("n_docs")))
-    val avgdl = col("tot").cast("double") / col("n_docs")
+    // same IEEE expression as the previous in-plan aggregate: the two
+    // exact longs divide as doubles inside the plan
+    val (tot, nDocs) = corpusStats(spark, dir, maxDoc)
+    val avgdl = lit(tot).cast("double") / lit(nDocs)
     dt.join(broadcast(vocab), "tok")
-      .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("tok"),
         floor((col("idf6") / lit(1e6)) * (col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
