@@ -93,13 +93,65 @@ object Eval {
 
   /** Recall-vs-nprobe sweep — the IVF tuning table (FAISS's standard
     * recall/latency trade-off curve): mean recall-vs-exact of the same
-    * index probed at 1, 2 and 4 lists. One branch per nprobe value
-    * unioned into a 3-row result; each branch is the [[annRecall]]
-    * plan, whose per-query recalls reduce to a fixed-point mean. This
-    * is what turns the ANN parameter choice from a guess into a
-    * measured decision before a 100 TB index build. */
+    * index probed at 1, 2 and 4 lists. This is what turns the ANN
+    * parameter choice from a guess into a measured decision before a
+    * 100 TB index build.
+    *
+    * FUSED (r12, the sizes-grid trick): a probe-np candidate set is by
+    * construction a PREFIX of the probe-max one (the top-np probed
+    * cells are the first np of the top-max list), so the sweep runs as
+    * ONE plan — doc→cell assignment once, query probes ranked once at
+    * the largest nprobe, the exact ground truth once — with each leg a
+    * probe_rank filter + bounded-heap top-k keyed (nprobe, q_id).
+    * [[annRecallIvfSweepUnioned]] (one [[annRecall]]+[[Ann.ivf]] leg
+    * per nprobe) is the equivalence baseline, bit-equality spec'd. */
   def annRecallIvfSweep(spark: SparkSession, dir: String,
-                        probes: Seq[Int] = SweepProbes): DataFrame =
+                        probes: Seq[Int] = SweepProbes): DataFrame = {
+    import spark.implicits._
+    val k = Knn.K
+    val maxProbe = probes.max
+    val probesDf = broadcast(probes.map(_.toLong).toDF("nprobe"))
+    val cent = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < Ann.NCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // Ann.ivf's exact assignment/probe shapes, computed once
+    val docs = Knn.docSet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("doc_id")
+      .agg(
+        min_by(col("c_id"),
+          struct(-dot(col("doc_vec"), col("c_vec")), col("c_id"))).as("c_id"),
+        first(col("doc_vec")).as("doc_vec"))
+    val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("q_id")
+      .agg(
+        graft.functions.TopKAgg.topKBy(
+          dot(col("q_vec"), col("c_vec")), col("c_id"), maxProbe).as("tk"),
+        first(col("q_vec")).as("q_vec"))
+      .select(col("q_id"), col("q_vec"), posexplode(col("tk")).as(Seq("p", "e")))
+      .select(col("q_id"), col("q_vec"), col("e.id").as("c_id"),
+        (col("p") + 1).as("probe_rank"))
+    val cands = docs.join(broadcast(qs), Seq("c_id"))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score"), col("probe_rank"))
+      .crossJoin(probesDf)
+      .filter(col("probe_rank") <= col("nprobe"))
+    val annAll = Knn.topKPerKey(cands, Seq("nprobe", "q_id"), k)
+    val exact = Knn.bruteForce(spark, dir, k).select(col("q_id"), col("doc_id"))
+    val hit = exact
+      .join(annAll.select("nprobe", "q_id", "doc_id"), Seq("q_id", "doc_id"))
+      .groupBy("nprobe", "q_id").agg(count(lit(1)).as("n_hit"))
+    probesDf.crossJoin(broadcast(Knn.querySet(spark, dir).select("q_id")))
+      .join(hit, Seq("nprobe", "q_id"), "left")
+      .select(col("nprobe"),
+        rnd(coalesce(col("n_hit"), lit(0L)) / k.toDouble, 4).as("recall"))
+      .groupBy("nprobe").agg(rnd(fxAvg(col("recall"), 6), 4).as("mean_recall"))
+      .orderBy("nprobe")
+  }
+
+  /** The pre-round-12 one-leg-per-nprobe formulation — kept as the
+    * equivalence baseline for the fused [[annRecallIvfSweep]]. */
+  def annRecallIvfSweepUnioned(spark: SparkSession, dir: String,
+                               probes: Seq[Int] = SweepProbes): DataFrame =
     probes.map { np =>
       annRecall(spark, dir, Ann.ivf(spark, dir, nProbe = np))
         .agg(rnd(fxAvg(col("recall"), 6), 4).as("mean_recall"))

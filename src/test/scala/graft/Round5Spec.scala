@@ -85,6 +85,11 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
       Experiment.matrixUnioned(spark, sfDir).collect().map(_.toString)
   }
 
+  test("fused nprobe recall sweep equals the per-leg unioned formulation bit-identically") {
+    graft.operators.Eval.annRecallIvfSweep(spark, sfDir).collect().map(_.toString) shouldBe
+      graft.operators.Eval.annRecallIvfSweepUnioned(spark, sfDir).collect().map(_.toString)
+  }
+
   test("source matrix: totals tie out to the pair set, diagonal = within-source") {
     val pairs = Dedup.minhashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
