@@ -14,6 +14,20 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
+  test("fused experiment grids scan the corpus far fewer times than their unioned forms") {
+    // r12 fusions: a regression back to one-corpus-pass-per-leg would
+    // multiply scan counts; results stay bit-identical (Round5Spec),
+    // so the SHAPE is what needs its own pin
+    def scans(df: DataFrame): Int =
+      "FileScan".r.findAllIn(plan(df)).size
+    scans(Experiment.sizes(spark, sfDir)) should be <
+      scans(Experiment.sizesUnioned(spark, sfDir)) / 2
+    scans(Experiment.matrix(spark, sfDir)) should be <
+      scans(Experiment.matrixUnioned(spark, sfDir))
+    scans(Eval.annRecallIvfSweep(spark, sfDir)) should be <
+      scans(Eval.annRecallIvfSweepUnioned(spark, sfDir)) / 2
+  }
+
   test("q1_agg: filter pushed to the parquet scan, unused columns pruned") {
     val p = plan(Relational.q1Agg(spark, sfDir))
     p should include("PushedFilters")
