@@ -287,7 +287,10 @@ object Bench {
     // then land in a SEPARATE suffixed artifact the driver never
     // touches. Both carry the host field, so any copy is
     // self-identifying.
+    // sanitized: the value lands inside machine-parsed JSON and the
+    // artifact file name, so quotes/slashes/spaces must not pass
     val host = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOST", "driver")
+      .replaceAll("[^A-Za-z0-9_-]", "_")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","host":"$host","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$failJson$scaleJson$h2Json}"""
     // Full-precision record for the repo (and for later rounds' diffing);

@@ -1006,24 +1006,11 @@ object Encoders {
     * matching real_encoder.py:1-74's role in the reference. */
   def encodeBatchedWith(spark: SparkSession, dir: String,
                         model: LinearProbe.Model,
-                        batchSize: Int = 64): DataFrame = {
-    import spark.implicits._
-    val bcW = spark.sparkContext.broadcast((model.featDim, model.w, model.b))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        // per-partition init: reconstruct the model from the broadcast
-        // weights once, before the iterator is consumed
-        val (fd, w, b) = bcW.value
-        val m = LinearProbe.Model(fd, w, b)
-        it.grouped(batchSize).flatMap { batch =>
-          val vecs = m.encode(batch.map(_._2))
-          batch.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
-        }
-      }
-      .toDF("doc_id", "vec")
-  }
+                        batchSize: Int = 64): DataFrame =
+    // the probe implements [[BatchModel]], so this IS the generic seam
+    // (one broadcast of the plain-array weights, per-partition fetch) —
+    // kept as the named trained-model entrypoint the specs cite
+    encodeBatchedModel(spark, dir, model, batchSize)
 
   /** The open batch-model contract for [[encodeBatchedModel]]:
     * anything serializable that maps a text batch to dense vectors —

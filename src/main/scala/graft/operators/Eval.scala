@@ -140,11 +140,15 @@ object Eval {
     val hit = exact
       .join(annAll.select("nprobe", "q_id", "doc_id"), Seq("q_id", "doc_id"))
       .groupBy("nprobe", "q_id").agg(count(lit(1)).as("n_hit"))
-    probesDf.crossJoin(broadcast(Knn.querySet(spark, dir).select("q_id")))
+    val agg = probesDf
+      .crossJoin(broadcast(Knn.querySet(spark, dir).select("q_id")))
       .join(hit, Seq("nprobe", "q_id"), "left")
       .select(col("nprobe"),
         rnd(coalesce(col("n_hit"), lit(0L)) / k.toDouble, 4).as("recall"))
       .groupBy("nprobe").agg(rnd(fxAvg(col("recall"), 6), 4).as("mean_recall"))
+    // empty query set (0-row embeddings): the unioned form's global
+    // agg still yields one (nprobe, null) row per setting — re-attach
+    probesDf.join(agg, Seq("nprobe"), "left")
       .orderBy("nprobe")
   }
 

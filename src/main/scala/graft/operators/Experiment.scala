@@ -80,14 +80,20 @@ object Experiment {
       .unionByName(tag(rrf(hr), "hashing_tf", "hybrid"))
       .unionByName(tag(rrf(tr), "tfidf", "hybrid"))
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val baseGrid = broadcast(
+    val keysGrid = broadcast(
       Seq(("hashing_tf", "vector"), ("hashing_tf", "hybrid"),
         ("tfidf", "vector"), ("tfidf", "hybrid"))
         .toDF("model", "search_mode"))
-    evalKeyed(ret, Seq("model", "search_mode"), baseGrid, docs, nq, k)
+    val perQBase = keysGrid.crossJoin(broadcast(
+      docs.filter(col("doc_id") < nq).select(col("doc_id").as("q_id"))))
+    // empty legs (0-doc corpus) re-attach from the key grid, matching
+    // the unioned form's one global-agg row per leg
+    keysGrid
+      .join(evalKeyed(ret, Seq("model", "search_mode"), perQBase, docs, nq, k),
+        Seq("model", "search_mode"), "left")
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .select(col("model"), col("search_mode"), lit(dim.toLong).as("dim"),
-        col("n_docs"), col("n_queries"),
+        col("n_docs"), coalesce(col("n_queries"), lit(0L)).as("n_queries"),
         col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
       .orderBy("model", "search_mode")
   }
@@ -114,12 +120,16 @@ object Experiment {
 
   /** The summaryFor evaluation keyed by an arbitrary grid — shared by
     * the fused [[sizes]] and [[matrix]]: `ret` carries
-    * (keys…, q_id, rank, doc_id) for EVERY leg at once, `baseGrid` the
-    * full key grid (so legs with no hits still report zero rows), and
-    * the output is one (keys…, n_queries, mean_p_at_5, mean_p_at_10,
-    * map) row per key — the same order-free fixed-point folds as the
-    * per-leg form, so fused ≡ unioned bit-identically. */
-  private def evalKeyed(ret: DataFrame, keys: Seq[String], baseGrid: DataFrame,
+    * (keys…, q_id, rank, doc_id) for EVERY leg at once, `perQBase` the
+    * full (keys…, q_id) grid — one row per (leg, query) so legs with
+    * no hits still report zero rows, and a leg whose sub-corpus caps
+    * away some queries (cap < nq) lists only its own. Output is one
+    * (keys…, n_queries, mean_p_at_5, mean_p_at_10, map) row per key
+    * PRESENT IN perQBase — callers re-attach empty legs from their key
+    * grid (the unioned form's global-agg-over-empty row) — with the
+    * same order-free fixed-point folds as the per-leg form, so
+    * fused ≡ unioned bit-identically. */
+  private def evalKeyed(ret: DataFrame, keys: Seq[String], perQBase: DataFrame,
                         docs: DataFrame, nq: Int, k: Int): DataFrame = {
     val qLang = broadcast(docs.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("lang").as("q_lang")))
@@ -137,9 +147,7 @@ object Experiment {
       .filter(col("rel") === 1)
       .groupBy(gk.map(col): _*)
       .agg(fxAvg(col("cum_rel") / col("rank"), 6).as("ap"))
-    val perQ = baseGrid
-      .crossJoin(broadcast(docs.filter(col("doc_id") < nq)
-        .select(col("doc_id").as("q_id"))))
+    val perQ = perQBase
       .join(pq, gk, "left")
       .join(ap, gk, "left")
     perQ.groupBy(keys.map(col): _*).agg(
@@ -188,10 +196,13 @@ object Experiment {
     val qc = cn.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("bucket"),
         col("cnt").as("qcnt"), col("norm").as("qn"))
+    // BOTH endpoints respect the leg's cap: a cap below nq (legal, if
+    // unusual) also caps its query set in the unioned form
     val hashScored = Encoders.sparseCosine(
       cn.filter(col("doc_id") >= nq), qc, Seq("doc_id"))
       .crossJoin(capsDf)
-      .filter(col("doc_id") < col("corpus_cap"))
+      .filter(col("doc_id") < col("corpus_cap") &&
+        col("q_id") < col("corpus_cap"))
 
     // tfidf arm: one docTerm pass, per-cap fits as one literal table
     val vocabAll = broadcast(spark.createDataFrame(
@@ -228,18 +239,28 @@ object Experiment {
 
     // the SAME evaluation as summaryFor, keyed (corpus_cap, model):
     // retrieved docs are < their cap by construction, so the lang join
-    // needs no cap fan-out
+    // needs no cap fan-out. The per-leg query set is cap-bounded too,
+    // and empty legs (empty corpus / a cap with no docs) are
+    // re-attached from the key grid so every (cap, model) reports a
+    // row exactly as the unioned form's global agg over nothing does.
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxCap)
       .select(col("doc_id"), col("lang"))
-    val baseGrid = capsDf
+    val keysGrid = capsDf
       .crossJoin(broadcast(Seq("hashing_tf", "tfidf").toDF("model")))
-    val agg = evalKeyed(ret, Seq("corpus_cap", "model"), baseGrid, docs, nq, k)
+    val perQBase = keysGrid
+      .crossJoin(broadcast(docs.filter(col("doc_id") < nq)
+        .select(col("doc_id").as("q_id"))))
+      .filter(col("q_id") < col("corpus_cap"))
+    val agg = evalKeyed(ret, Seq("corpus_cap", "model"), perQBase, docs, nq, k)
     val nDocs = docs.select("doc_id").crossJoin(capsDf)
       .filter(col("doc_id") < col("corpus_cap"))
       .groupBy("corpus_cap").agg(count(lit(1)).as("n_docs"))
-    agg.join(broadcast(nDocs), "corpus_cap")
+    keysGrid
+      .join(agg, Seq("corpus_cap", "model"), "left")
+      .join(broadcast(nDocs), Seq("corpus_cap"), "left")
       .select(col("corpus_cap"), col("model"), lit(dim.toLong).as("dim"),
-        col("n_docs"), col("n_queries"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"),
         col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
       .orderBy("corpus_cap", "model")
   }
@@ -272,6 +293,8 @@ object Experiment {
     val ret = model match {
       case "hashing_tf" => Encoders.hashingSearch(spark, dir, k, nq, dim, maxDoc)
       case "tfidf" => Encoders.tfIdfSearch(spark, dir, k, nq, dim, maxDoc)
+      case other => throw new IllegalArgumentException(
+        s"unknown model '$other' (expected hashing_tf or tfidf)")
     }
     summaryFor(spark, dir, ret, model, k, nq, dim, maxDoc)
   }

@@ -143,16 +143,20 @@ object H2Run {
     // q_emb prep); one untimed collect per batch performs planning,
     // codegen, and the query-side broadcast — serving-start cost, paid
     // once, exactly like the ref's memmap open + first numpy dispatch.
-    val plans: Seq[(Long, IndexedSeq[DataFrame])] = dirs.map { case (n, d) =>
+    // each batch Dataset rides with its ACTUAL query count: a corpus
+    // yielding fewer than NQ query rows produces fewer/ragged batches,
+    // which must divide by their real size, and a size with no batches
+    // is skipped rather than crashing the whole child post-bench
+    val plans: Seq[(Long, IndexedSeq[(DataFrame, Int)])] = dirs.map { case (n, d) =>
       val gat = spark.read.parquet(gatPath(d))
       val q = Encoders.denseQueries(gat, NQ, Dim)
       val rows = q.collect().sortBy(_.getLong(0))
       val batches = rows.grouped(BatchQ).map { rs =>
         val qb = spark.createDataFrame(
           java.util.Arrays.asList(rs: _*), q.schema)
-        Encoders.hashingSearchDenseOver(gat, qb, K, NQ)
+        (Encoders.hashingSearchDenseOver(gat, qb, K, NQ), rs.length)
       }.toIndexedSeq
-      batches.foreach(_.collect())
+      batches.foreach(_._1.collect())
       n -> batches
     }
     // timed passes, interleaved across sizes; per-(size, batch) walls
@@ -161,7 +165,7 @@ object H2Run {
     val sentinels = scala.collection.mutable.ListBuffer[Double]()
     for (_ <- 0 until QueryPasses) {
       sentinels += sentinelMs()
-      for ((n, batches) <- plans; (ds, b) <- batches.zipWithIndex)
+      for ((n, batches) <- plans; ((ds, _), b) <- batches.zipWithIndex)
         walls((n, b)) = timed(ds.collect()) :: walls((n, b))
     }
     // Locale.ROOT, and where possible raw Double.toString: these lines
@@ -170,17 +174,20 @@ object H2Run {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val sSorted = sentinels.toSeq.sorted
     println(s"H2S ${r4(percentile(sSorted, 0.5))} ${r4(sSorted.max)}")
-    dirs.foreach { case (n, _) =>
-      val bw = (0 until NBatches).map(b => walls((n, b)))
-      val q30 = bw.map(_.min).sum
-      val perq = bw.flatten.map(_ / BatchQ).sorted
-      val p50 = percentile(perq, 0.5)
-      val p95 = percentile(perq, 0.95)
-      val e = encMin(n)
-      println(s"H2Q $n $e $q30 $p50 $p95")
-      val (re, rq) = Ref(n)
-      println(s"H2R $n ${r4(e / re)} ${r4(p50 / rq)} ${r4(q30 / NQ / rq)}")
-      System.out.flush()
+    plans.foreach { case (n, batches) =>
+      if (batches.nonEmpty) {
+        val nQ = batches.map(_._2).sum
+        val q30 = batches.indices.map(b => walls((n, b)).min).sum
+        val perq = batches.indices
+          .flatMap(b => walls((n, b)).map(_ / batches(b)._2)).sorted
+        val p50 = percentile(perq, 0.5)
+        val p95 = percentile(perq, 0.95)
+        val e = encMin(n)
+        println(s"H2Q $n $e $q30 $p50 $p95")
+        val (re, rq) = Ref(n)
+        println(s"H2R $n ${r4(e / re)} ${r4(p50 / rq)} ${r4(q30 / nQ / rq)}")
+        System.out.flush()
+      }
     }
     spark.stop()
   }

@@ -90,6 +90,32 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
       graft.operators.Eval.annRecallIvfSweepUnioned(spark, sfDir).collect().map(_.toString)
   }
 
+  test("fused sizes matches unioned on edge inputs: a cap below nq, an empty corpus") {
+    // cap 3 < nq 5: the leg's QUERY set is cap-bounded too (review r12)
+    Experiment.sizes(spark, sfDir, caps = Seq(3L, 100L)).collect().map(_.toString) shouldBe
+      Experiment.sizesUnioned(spark, sfDir, caps = Seq(3L, 100L)).collect().map(_.toString)
+    // 0-doc corpus: one row per (cap, model) with zero counts and null
+    // means — the unioned form's global-agg-over-empty rows must not
+    // vanish through the fused form's joins
+    val empty = tempDir("graft-sizes-empty")
+    graft.Tables.documents(spark, sfDir).limit(0)
+      .write.parquet(s"$empty/documents.parquet")
+    Experiment.sizes(spark, empty).collect().map(_.toString) shouldBe
+      Experiment.sizesUnioned(spark, empty).collect().map(_.toString)
+  }
+
+  test("fused matrix and nprobe sweep match their unioned forms on an empty corpus") {
+    val empty = tempDir("graft-grid-empty")
+    graft.Tables.documents(spark, sfDir).limit(0)
+      .write.parquet(s"$empty/documents.parquet")
+    spark.read.parquet(s"$sfDir/embeddings.parquet").limit(0)
+      .write.parquet(s"$empty/embeddings.parquet")
+    Experiment.matrix(spark, empty).collect().map(_.toString) shouldBe
+      Experiment.matrixUnioned(spark, empty).collect().map(_.toString)
+    graft.operators.Eval.annRecallIvfSweep(spark, empty).collect().map(_.toString) shouldBe
+      graft.operators.Eval.annRecallIvfSweepUnioned(spark, empty).collect().map(_.toString)
+  }
+
   test("source matrix: totals tie out to the pair set, diagonal = within-source") {
     val pairs = Dedup.minhashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -65,6 +65,23 @@ class WordVecSpec extends AnyFunSuite with Matchers with SharedSpark {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(short),
       "3 2\nalpha 0.5 1.0\nbeta 0.25 0.75\n")
     an[IllegalArgumentException] should be thrownBy WordVectors.load(short)
+    // a headerless dim-1 file is DATA (a header needs two integers)
+    val dim1 = s"$tmp/dim1.vec"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dim1),
+      "hello 0.5\nworld -1.0\n")
+    val d1 = WordVectors.load(dim1)
+    d1.dim shouldBe 1
+    d1.vocab("hello") shouldBe Array(0.5f)
+    // whitespace-only lines are blank, not dim-poisoning ragged rows
+    val blanky = s"$tmp/blanky.vec"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(blanky),
+      "   \nalpha 0.5 1.0\n\nbeta 0.25 0.75\n")
+    WordVectors.load(blanky).vocab.keySet shouldBe Set("alpha", "beta")
+    // duplicate tokens fail loudly instead of silently shadowing rows
+    val dup = s"$tmp/dup.vec"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dup),
+      "2 2\nalpha 0.5 1.0\nalpha 0.25 0.75\n")
+    an[IllegalArgumentException] should be thrownBy WordVectors.load(dup)
   }
 
   test("file-loaded weights encode distributed == driver, plan shape unchanged, own-query rank-1") {
