@@ -45,6 +45,10 @@ object ScaleRun {
     // round-6 retrieval additions: BM25's windowed doc-length +
     // broadcast-postings shape, and the two-arm RRF fusion plan
     "text_bm25_topk", "pipeline_hybrid_search",
+    // round-12: the fused multi-cap grid (two corpus passes for the
+    // whole |caps|x|models| sweep) — the probe that keeps the fusion's
+    // one-scan-per-family property honest as corpora grow
+    "pipeline_experiment_sizes",
     // round-6: the quality-filter pipeline — normalization is the
     // codegen'd byte loop now; this keeps the regex from creeping back
     "pipeline_quality_filter",
