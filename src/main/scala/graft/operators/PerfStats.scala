@@ -15,23 +15,92 @@ import graft.functions._
   *  - group-by run summaries (ref: experiments/
   *    produce_h3_summary_and_plots.py mean/median/min/max by n_docs).
   *
-  * Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-  * `quantile_cont`, both numpy-style linear interpolation); group-by
-  * aggregation with map-side partials; no driver loops.
+  * Exact interpolated percentiles (≡ Spark `percentile` ≡ DuckDB
+  * `quantile_cont`, numpy-style linear interpolation), computed over a
+  * bounded fixed-point HISTOGRAM instead of the exact `percentile()`
+  * aggregate — whose buffer holds a value→count map PER GROUP, so one
+  * hot event_type with high-cardinality continuous values buffers
+  * O(distinct values) inside a single aggregation buffer (the last
+  * textbook scale-killer this library had in a verified query). See
+  * [[histPercentiles]]; group-by aggregation with map-side partials;
+  * no driver loops.
   */
 object PerfStats {
 
-  def latencyPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
+  /** Exact per-group interpolated percentiles over a 1e4 fixed-point
+    * histogram — the [[Shaping.qualityCalibration]] technique applied
+    * to a CONTINUOUS metric column: one map-side-combined
+    * groupBy(keys, quantized value) collapses the log to a bounded
+    * frame (≤ value_range·10⁴ rows per group — constant in row count),
+    * cumulative windows run on that histogram, and each requested
+    * percentile reads its two bracketing ranks with Spark's own
+    * `Percentile` interpolation arithmetic, reproduced operand for
+    * operand: position = (n−1)·p; the bucket covering 0-based rank i
+    * is the one with cum−cnt ≤ i < cum; lower==higher and
+    * lowerKey==higherKey short-circuit to the lower key (the
+    * interpolation identity (1−f)·v + f·v can differ from v by an
+    * ulp); otherwise (higher−pos)·v_lo + (pos−lower)·v_hi.
+    *
+    * Exactness contract: quantiles are exact whenever values carry ≤4
+    * decimals (the reference's latency logs are ms-scale, and the
+    * events table is 1e2-grid); sub-1e-4 noise collapses into its
+    * grid bucket (represented by the bucket's min value) — the
+    * documented quantization, with the histogram size bounded either
+    * way. The per-bucket `_fx` partial carries the TRUE per-row 1e6
+    * fixed-point longs, so mean/qps stay bit-exact for arbitrary
+    * values, not just grid-aligned ones.
+    *
+    * Returns one row per key: keys…, n, _fx (Σ floor(v·1e6+0.5) as
+    * long), _vmin, _vmax, and one double column per requested
+    * (name, p). */
+  private def histPercentiles(base: DataFrame, keys: Seq[String],
+                              ps: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = base
+      .groupBy((keys.map(col) :+
+        floor(col("value") * 1e4 + 0.5).cast("long").as("_qv")): _*)
       .agg(
-        count(lit(1)).as("n"),
-        rnd(fxAvg(col("value"), 6), 4).as("mean_v"),
-        rnd(expr("percentile(value, 0.5)"), 4).as("p50"),
-        rnd(expr("percentile(value, 0.9)"), 4).as("p90"),
-        rnd(expr("percentile(value, 0.95)"), 4).as("p95"),
-        rnd(expr("percentile(value, 0.99)"), 4).as("p99"),
-        rnd(count(lit(1)) / fxSum(col("value"), 6), 4).as("qps"))
+        count(lit(1)).as("_cnt"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("_fx"),
+        min(col("value")).as("_v"),
+        max(col("value")).as("_vx"))
+    val part = Window.partitionBy(keys.map(col): _*)
+    // the windows (and the final groupBy) all hash-partition on the
+    // SAME keys, so only the histogram build and one keys-shuffle run
+    val h = hist
+      .withColumn("_cum", sum("_cnt").over(part.orderBy("_qv")))
+      .withColumn("_n", sum("_cnt").over(part))
+    def valueAt(idx: Column): Column =
+      max(when(col("_cum") - col("_cnt") <= idx && idx < col("_cum"), col("_v")))
+    val pctCols = ps.map { case (name, p) =>
+      val pos = (col("_n") - 1) * lit(p)
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      when(max(lo) === max(hi), valueAt(lo))
+        .when(valueAt(lo) === valueAt(hi), valueAt(lo))
+        .otherwise((max(hi) - max(pos)) * valueAt(lo) +
+          (max(pos) - max(lo)) * valueAt(hi))
+        .as(name)
+    }
+    val aggs = Seq(sum("_cnt").as("n"), sum("_fx").as("_fx"),
+      min("_v").as("_vmin"), max("_vx").as("_vmax")) ++ pctCols
+    h.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def latencyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    histPercentiles(
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      Seq("event_type"),
+      Seq("_p50" -> 0.5, "_p90" -> 0.9, "_p95" -> 0.95, "_p99" -> 0.99))
+      .select(col("event_type"), col("n"),
+        // ≡ rnd(fxAvg(value, 6), 4) / rnd(n / fxSum(value, 6), 4):
+        // same long sum, same divide order, same IEEE values
+        rnd(col("_fx") / col("n") / 1e6, 4).as("mean_v"),
+        rnd(col("_p50"), 4).as("p50"),
+        rnd(col("_p90"), 4).as("p90"),
+        rnd(col("_p95"), 4).as("p95"),
+        rnd(col("_p99"), 4).as("p99"),
+        rnd(col("n") / (col("_fx") / 1e6), 4).as("qps"))
       .orderBy("event_type")
 
   /** Per-type value sums via [[Skew.saltedAgg]] — the two-phase
@@ -81,16 +150,20 @@ object PerfStats {
       .orderBy("batch_id")
 
   /** mean/median/min/max summary grouped by (event_type, hour-of-day) —
-    * the h3_summary_by_n_docs shape. */
+    * the h3_summary_by_n_docs shape. The median rides the same bounded
+    * [[histPercentiles]] histogram as [[latencyPercentiles]] (min/max/
+    * mean fall out of the same pass), so no per-group value→count
+    * buffer exists here either. */
   def runSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
-      .agg(
-        count(lit(1)).as("n"),
-        rnd(fxAvg(col("value"), 6), 4).as("mean_v"),
-        rnd(expr("percentile(value, 0.5)"), 4).as("median_v"),
-        rnd(min("value"), 4).as("min_v"),
-        rnd(max("value"), 4).as("max_v"))
+    histPercentiles(
+      Tables.events(spark, dir).select(col("event_type"),
+        hour(col("ts")).cast("long").as("hr"), col("value")),
+      Seq("event_type", "hr"), Seq("_p50" -> 0.5))
+      .select(col("event_type"), col("hr"), col("n"),
+        rnd(col("_fx") / col("n") / 1e6, 4).as("mean_v"),
+        rnd(col("_p50"), 4).as("median_v"),
+        rnd(col("_vmin"), 4).as("min_v"),
+        rnd(col("_vmax"), 4).as("max_v"))
       .orderBy("event_type", "hr")
 
   /** Rollup summary — both of the reference's summary granularities

@@ -422,4 +422,19 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
     p.toLowerCase should include("partial_count")
     p should not include "CartesianProduct"
   }
+
+  test("latency percentiles: no exact percentile() buffer — bounded histogram instead") {
+    // the exact Percentile aggregate buffers a value→count map PER
+    // GROUP (O(distinct values) in one buffer — the scale-killer class);
+    // the rewrite collapses the log to a 1e4 fixed-point histogram with
+    // map-side partial aggregation, then interpolates on the bounded
+    // frame (VERDICT r12 §next-1)
+    for (df <- Seq(PerfStats.latencyPercentiles(spark, sfDir),
+        PerfStats.runSummary(spark, sfDir))) {
+      val p = plan(df)
+      p should not include "percentile"
+      p should not include "Percentile"
+      p.toLowerCase should include("partial_count")
+    }
+  }
 }
