@@ -309,7 +309,7 @@ object KnnGraph {
     * graph. Returns (q_id, rank, id, score). */
   def graphSearch(queries: DataFrame, emb0: DataFrame, edges: DataFrame,
                   k: Int = Knn.K, beam: Int = AutoBeam, hops: Int = Hops,
-                  nSeeds: Int = NSeeds): DataFrame = {
+                  nSeeds: Int = NSeeds, nHint: Long = -1L): DataFrame = {
     val emb = emb0.select(col("id"), col("vec"))
     // fixed entry points (index metadata): the nSeeds smallest node
     // ids. DISTINCT ids, not rows — an at-least-once ingest can leave
@@ -326,7 +326,12 @@ object KnnGraph {
     // linear-init graph measured 0.43 recall@10 at 2k nodes; LSH entry
     // + the same walk restores the high-recall regime while every per-
     // query cost stays constant in N.
-    val n = emb.count()
+    // N is INDEX METADATA, not something a serving search should scan
+    // for: a persisted index carries it in its _meta table
+    // ([[writeGraphIndex]]/[[readGraphMeta]]) and passes it as `nHint`,
+    // so the serving path runs no job over the node table beyond its
+    // hop joins; the ad-hoc (un-persisted) path counts once here.
+    val n = if (nHint > 0) nHint else emb.count()
     // resolve the AutoBeam sentinel from the corpus size this search
     // already computes for the entry-slice split (see [[Beam]])
     val bw = resolveBeam(beam, n)
@@ -443,18 +448,48 @@ object KnnGraph {
       .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
     Bucketing.writeBucketed(buildGraph(nodes), s"${name}_edges", "src", nBuckets)
     Bucketing.writeBucketed(nodes, s"${name}_nodes", "id", nBuckets)
+    writeGraphMeta(spark, name, nodes.count(), overwrite = true)
   }
+
+  /** Node-count metadata row(s) for a [[writeGraphIndex]] layout — the
+    * `_fit`/`_vocab` convention applied to the one scalar the serving
+    * search needs (√N auto-beam + entry-slice split): the build writes
+    * one row, every [[appendToGraphIndex]] batch appends its own, and
+    * the reader sums. Keeping N in the index means [[searchIndexed]]
+    * never runs a counting job over the node table (VERDICT r12
+    * §next-2) — at bench sizes a parquet count is a metadata read, but
+    * at 100 TB a per-search corpus scan is a serving-path defect. */
+  private def writeGraphMeta(spark: SparkSession, name: String, n: Long,
+                             overwrite: Boolean): Unit = {
+    import spark.implicits._
+    Seq(n).toDF("n").write
+      .mode(if (overwrite) "overwrite" else "append")
+      .format("parquet").saveAsTable(s"${name}_meta")
+  }
+
+  /** Total node count recorded in the index's `_meta` table, or -1 for
+    * a pre-meta layout (the search then falls back to counting — the
+    * old behavior, never a wrong answer). Appends are summed, so after
+    * an at-least-once replay the figure can over-count; it only sizes
+    * the √N beam and the entry-slice split, where drift is benign. */
+  def readGraphMeta(spark: SparkSession, name: String = "graft_graph"): Long =
+    if (!spark.catalog.tableExists(s"${name}_meta")) -1L
+    else spark.table(s"${name}_meta")
+      .agg(coalesce(sum("n"), lit(-1L))).head.getLong(0)
 
   /** Batch beam search over a [[writeGraphIndex]] layout. Identical
     * results to [[search]] over the same corpus (asserted in
     * KnnGraphSpec); the difference is the plan — the edge and node
-    * sides are read pre-bucketed, so no index-side shuffle runs. */
+    * sides are read pre-bucketed, so no index-side shuffle runs, and
+    * N comes from the index's `_meta` (one tiny-table read), so the
+    * only jobs touching the node table are its hop joins. */
   def searchIndexed(spark: SparkSession, dir: String,
                     name: String = "graft_graph", k: Int = Knn.K): DataFrame =
     graphSearch(
       Knn.querySet(spark, dir).select(col("q_id"), col("q_vec")),
       spark.table(s"${name}_nodes"),
-      spark.table(s"${name}_edges"), k)
+      spark.table(s"${name}_edges"), k,
+      nHint = readGraphMeta(spark, name))
 
   /** Incremental maintenance — the serving-side insert path, HNSW's
     * insertion rule expressed batch-wise: the WHOLE new batch
@@ -474,7 +509,8 @@ object KnnGraph {
     val nn = newNodes.select(col("id"), col("vec"))
     val res = graphSearch(
       nn.select(col("id").as("q_id"), col("vec").as("q_vec")),
-      spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"), k)
+      spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"), k,
+      nHint = readGraphMeta(spark, name))
       // if a node id is already in the index (an at-least-once replay),
       // its best match is itself — never append self-loops
       .filter(col("q_id") =!= col("id"))
@@ -484,6 +520,9 @@ object KnnGraph {
       .bucketBy(nBuckets, "src").sortBy("src").saveAsTable(s"${name}_edges")
     nn.write.mode("append").format("parquet")
       .bucketBy(nBuckets, "id").sortBy("id").saveAsTable(s"${name}_nodes")
+    // maintain the index's node count alongside the nodes themselves
+    // (the batch scan here is over the BATCH, not the index)
+    writeGraphMeta(spark, name, nn.count(), overwrite = false)
   }
 
   /** Mean overlap@k of graph search vs the exact cosine top-k — the

@@ -141,6 +141,7 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS gidx_plan_edges")
       spark.sql("DROP TABLE IF EXISTS gidx_plan_nodes")
+      spark.sql("DROP TABLE IF EXISTS gidx_plan_meta")
     }
   }
 

@@ -230,6 +230,7 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     } finally {
       spark.sql("DROP TABLE IF EXISTS gstream_edges")
       spark.sql("DROP TABLE IF EXISTS gstream_nodes")
+      spark.sql("DROP TABLE IF EXISTS gstream_meta")
     }
   }
 
