@@ -59,8 +59,10 @@ import graft.functions._
   * alone: with LSH entry slices + a 64-beam/8-hop walk it measures
   * 0.83 at 2 k near-random nodes (vs 0.505 for plain LSH over the
   * same signatures) and — with the r10 RobustPrune edge
-  * diversification plus the √N auto-beam (see [[Beam]]) — 0.715 at
-  * the 200 k-node clustered decade corpus (0.42 before; IVF reads
+  * diversification, the √N auto-beam (see [[Beam]]) and the r13
+  * expand-once frontier (ef-search's pop-at-most-once, see
+  * [[graphSearch]]) — 0.850 at the 200 k-node clustered decade
+  * corpus at default hops (0.895 at hops=12; 0.42 in r8; IVF reads
   * 0.99 there by scanning whole cells exactly and remains this
   * library's primary serving path). Beam/Hops are the ef-analog
   * tuning knobs; per-query cost is O(√N) under the auto-beam,
@@ -87,8 +89,10 @@ object KnnGraph {
     * neighborhood size (∝√N under the clustered-growth regime the
     * decade corpus models), not with hops. Measured there (diversified
     * graph, hops=8): beam 64 → 0.43 recall@10, 256 → 0.605, √N≈448 →
-    * 0.715, 512 → 0.725. Per-query cost is O(beam·degree·hops) =
-    * O(√N) — sub-linear, vs IVF's nprobe·N/√N = O(√N) scan. */
+    * 0.715 — and 0.850 once the walk expands each node at most once
+    * (the r13 ef-search fix in [[graphSearch]]; 0.895 at hops=12).
+    * Per-query cost is O(beam·degree·hops) = O(√N) — sub-linear, vs
+    * IVF's nprobe·N/√N = O(√N) scan. */
   val Beam = 64
 
   /** Sentinel for [[graphSearch]]'s `beam`: resolve to max([[Beam]],
@@ -135,7 +139,7 @@ object KnnGraph {
     * vectors arrive by one keyed join (O(N·r) rows), and the prune
     * itself is per-group local — no pair join, no window. */
   private def diversifyEdges(cands: DataFrame, emb: DataFrame, k: Int,
-                             r: Int): DataFrame =
+                             r: Int, alpha: Double = Alpha): DataFrame =
     cands.groupBy("src")
       .agg(TopKAgg.topKByDistinct(col("score"), col("dst"), r).as("tk"))
       .select(col("src"), explode(col("tk")).as("e"))
@@ -143,7 +147,7 @@ object KnnGraph {
       .join(emb.select(col("id").as("dst"), col("vec")), Seq("dst"))
       .groupBy("src")
       .agg(RobustPruneAgg.prune(col("score"), col("dst"), col("vec"),
-        k, r, Alpha).as("tk"))
+        k, r, alpha).as("tk"))
       .select(col("src"), explode(col("tk")).as("e"))
       .select(col("src"), col("e.id").as("dst"), col("e.score").as("score"))
 
@@ -225,7 +229,8 @@ object KnnGraph {
   /** NN-Descent kNN graph over (id, vec). Returns (src, dst, score)
     * with exactly ≤k out-edges per node, score = cosine similarity. */
   def buildGraph(emb0: DataFrame, k: Int = K, iters: Int = Iters,
-                 r: Int = R): DataFrame = {
+                 r: Int = R, alpha: Double = Alpha,
+                 diversifyRounds: Int = 1): DataFrame = {
     // vectors are read many times across rounds — keep the projection
     // minimal and let each round's join prune to (id, vec)
     val emb = emb0.select(col("id"), col("vec"))
@@ -285,11 +290,15 @@ object KnnGraph {
       // was a second full shuffle of the same rows).
       // localCheckpoint per round: iterative self-union doubles the
       // lineage otherwise (the dedup_cluster_labels lesson from r4).
-      // The LAST round keeps the full r-pool and diversify-prunes it
-      // to k (see diversifyEdges) — intermediate rounds keep plain
-      // top-k, since descent quality is driven by nearest candidates.
-      edges = (if (round == iters)
-          diversifyEdges(edges.union(proposals), emb, k, r)
+      // The LAST `diversifyRounds` rounds keep the full r-pool and
+      // diversify-prune it to k (see diversifyEdges) — earlier rounds
+      // keep plain top-k, since descent quality is driven by nearest
+      // candidates. A second diversify round lets the next proposal
+      // pass explore THROUGH the diversified (longer) edges before the
+      // final prune — the decade-scale recall lever (VERDICT r12
+      // §next-3).
+      edges = (if (round > iters - diversifyRounds)
+          diversifyEdges(edges.union(proposals), emb, k, r, alpha)
         else topKEdges(edges.union(proposals), k)).localCheckpoint(true)
     }
     edges
@@ -309,7 +318,8 @@ object KnnGraph {
     * graph. Returns (q_id, rank, id, score). */
   def graphSearch(queries: DataFrame, emb0: DataFrame, edges: DataFrame,
                   k: Int = Knn.K, beam: Int = AutoBeam, hops: Int = Hops,
-                  nSeeds: Int = NSeeds, nHint: Long = -1L): DataFrame = {
+                  nSeeds: Int = NSeeds, nHint: Long = -1L,
+                  seedGroup: Int = SeedGroup): DataFrame = {
     val emb = emb0.select(col("id"), col("vec"))
     // fixed entry points (index metadata): the nSeeds smallest node
     // ids. DISTINCT ids, not rows — an at-least-once ingest can leave
@@ -336,7 +346,7 @@ object KnnGraph {
     // already computes for the entry-slice split (see [[Beam]])
     val bw = resolveBeam(beam, n)
     val bucketsPerBand = 1L << Ann.BandBits
-    val subCount = math.max(1L, n / (bucketsPerBand * SeedGroup))
+    val subCount = math.max(1L, n / (bucketsPerBand * seedGroup))
     def bands(c: Column): Column = explode(array(
       (0 until Ann.NBands).map(bb =>
         shiftright(c, Ann.BandBits * bb)
@@ -361,20 +371,38 @@ object KnnGraph {
         broadcast(queries.select(col("q_id"))).crossJoin(seeds.select(col("id")))
           .union(lshEntries))
       .localCheckpoint(true)
+    // nodes each query has already expanded: HNSW's ef-search pops a
+    // node at most ONCE, and the batch walk must too — without this,
+    // once the beam saturates with near-ties (the decade-corpus
+    // regime) every later hop re-expands the SAME `beam` nodes and
+    // discovers nothing: measured 0.715 recall@10 at 200 k, flat in
+    // hops (8→12 moved nothing, r13 probe). Expanding the best `beam`
+    // UNEXPANDED visited per hop makes every hop score beam·degree
+    // FRESH candidates — the same per-hop bound, but hops·beam·degree
+    // distinct work in total: 0.715 → 0.850 recall@10 at the same
+    // 200 k corpus, same beam, same hops (0.895 at hops=12, 0.905
+    // with a second diversify round — headroom, not defaults). The
+    // anti-join is per-hop Q·beam·hop rows — query-side-tiny at any
+    // corpus size.
+    var expanded = visited.select(col("q_id"), col("id")).limit(0)
+      .localCheckpoint(true)
     for (_ <- 1 to hops) {
-      // beam = the best `beam` visited nodes per query; frontier = beam.
-      // `visited` accumulates duplicate (q_id, id) rows across hops —
-      // rescoring a revisit yields the identical cosine, so the
+      // frontier = the best `beam` not-yet-expanded visited nodes per
+      // query. `visited` accumulates duplicate (q_id, id) rows across
+      // hops — rescoring a revisit yields the identical cosine, so the
       // id-distinct heap dedupes for free here and again at the final
       // top-k, and no per-hop groupBy(q_id, id) shuffle runs at all.
-      val beamDf = visited.groupBy("q_id")
+      val frontier = visited
+        .join(expanded, Seq("q_id", "id"), "left_anti")
+        .groupBy("q_id")
         .agg(TopKAgg.topKByDistinct(col("score"), col("id"), bw).as("tk"))
         .select(col("q_id"), explode(col("tk")).as("e"))
         .select(col("q_id"), col("e.id").as("id"))
-      val expanded = beamDf
+      val expansion = frontier
         .join(edges.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("q_id"), col("dst").as("id"))
-      visited = visited.union(score(expanded)).localCheckpoint(true)
+      expanded = expanded.union(frontier).localCheckpoint(true)
+      visited = visited.union(score(expansion)).localCheckpoint(true)
     }
     visited.groupBy("q_id")
       .agg(TopKAgg.topKByDistinct(col("score"), col("id"), k).as("tk"))

@@ -63,6 +63,39 @@ object GraphProbe {
       }
       spark.stop(); return
     }
+    // sweep2 mode: the round-13 recall-lever sweep — configs are
+    // alpha:divRounds:seedGroup:hops:beam (beam -1 = auto); builds are
+    // cached per (alpha, divRounds) so search-side levers reuse them
+    if (args.length >= 2 && args(1) == "sweep2") {
+      val docs0 = Knn.docSet(spark, dir)
+        .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+      val n = docs0.count()
+      val exact = Knn.cosineTopK(spark, dir, Knn.K)
+        .select(col("q_id"), col("doc_id")).cache()
+      val total = exact.count()
+      println(s"[probe] nodes=$n exact_rows=$total")
+      val builds = scala.collection.mutable.Map[(Double, Int), org.apache.spark.sql.DataFrame]()
+      for (cfg <- args.drop(2)) {
+        val p = cfg.split(":")
+        val (al, dr, sg, h, b) =
+          (p(0).toDouble, p(1).toInt, p(2).toInt, p(3).toInt, p(4).toInt)
+        val g = builds.getOrElseUpdate((al, dr), {
+          val t0 = System.nanoTime()
+          val built = KnnGraph.buildGraph(docs0, alpha = al, diversifyRounds = dr)
+            .localCheckpoint(true)
+          println(f"[probe] build alpha=$al dr=$dr ${(System.nanoTime() - t0) / 1e9}%.1f s")
+          built
+        })
+        val t1 = System.nanoTime()
+        val res = KnnGraph.graphSearch(
+            Knn.querySet(spark, dir).select(col("q_id"), col("q_vec")),
+            docs0, g, Knn.K, beam = b, seedGroup = sg, hops = h, nHint = n)
+          .select(col("q_id"), col("id").as("doc_id"))
+        val hits = res.join(exact, Seq("q_id", "doc_id")).count()
+        println(f"[probe] cfg=$cfg search ${(System.nanoTime() - t1) / 1e9}%.1f s recall@${Knn.K}=${hits.toDouble / total}%.3f")
+      }
+      spark.stop(); return
+    }
     // diag mode: at one dir, classify the misses — within 1 undirected
     // hop of a FOUND doc (final-coverage problem: the walk was there,
     // the beam didn't keep/expand it) vs farther (navigation problem:
