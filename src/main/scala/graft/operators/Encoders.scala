@@ -437,6 +437,8 @@ object Encoders {
   def invalidateFits(): Unit = {
     vocabCache.clear()
     corpusStatsCache.clear()
+    // retrieval arms memoized over these fits must refresh with them
+    Experiment.invalidateArms()
   }
 
   /** The ONE vocabulary-fit contract (ordering, tie-break), collected

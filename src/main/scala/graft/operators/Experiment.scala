@@ -26,11 +26,72 @@ object Experiment {
   val K = 10
   val NQ = 5
 
+  /** Arm retrievals memoized per session — the experiment grid's
+    * shared intermediates (VERDICT r12 §next-7): [[summary]],
+    * [[matrix]] and [[Report.modeLift]] all consume the SAME ≤nq·k
+    * rank rows per arm, and without memoization every report query
+    * re-scans and re-scores the corpus for arms another query already
+    * computed. Each arm is localCheckpoint'ed (materialized blocks,
+    * tiny by construction) — the in-session mirror of a persisted
+    * retrieval-run artifact, same contract as [[KnnGraph.docGraph]]
+    * and the memoized vocabulary fits. Stopped sessions are evicted;
+    * [[invalidateArms]] is the re-run signal (wired into
+    * [[Encoders.invalidateFits]]). */
+  private val armCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String, Int, Int, Int), DataFrame]
+
+  def invalidateArms(): Unit = armCache.clear()
+
+  private def arm(spark: SparkSession, dir: String, which: String,
+                  k: Int, nq: Int, dim: Int): DataFrame = {
+    armCache.keySet.filter(_._1.sparkContext.isStopped)
+      .foreach(armCache.remove)
+    armCache.getOrElseUpdate((spark, dir, which, k, nq, dim), (which match {
+      case "hashing" => Encoders.hashingSearch(spark, dir, k, nq, dim)
+        .select(col("q_id"), col("rank"), col("doc_id"))
+      case "tfidf" => Encoders.tfIdfSearch(spark, dir, k, nq, dim)
+        .select(col("q_id"), col("rank"), col("doc_id"))
+      // the BM25 fit is an eager memoized driver-side job shared with
+      // every other consumer of the same corpus fit
+      case "bm25" => Encoders.bm25TopK(spark, dir, k, nq, dim,
+          fit = Some(Encoders.bm25IdfRows(spark, dir, dim)))
+        .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
+    }).localCheckpoint(true))
+  }
+
   /** One verified summary row: model, dim, corpus/query counts, mean
     * p@5 / p@10 / MAP of hashing-TF retrieval (the auto_test summary
-    * shape). All means are order-free fixed-point folds. */
+    * shape). All means are order-free fixed-point folds.
+    *
+    * FUSED (round 13): derives from the SAME memoized hashing arm and
+    * [[evalKeyed]] path as [[matrix]]'s (hashing_tf, vector) leg, so a
+    * report build running summary + matrix + mode_lift scores the
+    * hashing retrieval once instead of three times. Bit-identical to
+    * the direct [[summaryUnfused]] form (Round5Spec). */
   def summary(spark: SparkSession, dir: String, k: Int = K,
-              nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame =
+              nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame = {
+    import spark.implicits._
+    val ret = arm(spark, dir, "hashing", k, nq, dim)
+      .select(lit("hashing_tf").as("model"), col("q_id"), col("rank"),
+        col("doc_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val keysGrid = broadcast(Seq("hashing_tf").toDF("model"))
+    val perQBase = keysGrid.crossJoin(broadcast(
+      docs.filter(col("doc_id") < nq).select(col("doc_id").as("q_id"))))
+    keysGrid
+      .join(evalKeyed(ret, Seq("model"), perQBase, docs, nq, k),
+        Seq("model"), "left")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("model"), lit(dim.toLong).as("dim"), col("n_docs"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"),
+        col("mean_p_at_5"), col("mean_p_at_10"), col("map"))
+  }
+
+  /** The pre-round-13 direct formulation — kept as the equivalence
+    * baseline for the fused [[summary]] (Round5Spec asserts
+    * bit-identical output). */
+  def summaryUnfused(spark: SparkSession, dir: String, k: Int = K,
+                     nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame =
     summaryFor(spark, dir,
       Encoders.hashingSearch(spark, dir, k, nq, dim), "hashing_tf", k, nq, dim)
 
@@ -47,22 +108,15 @@ object Experiment {
   def matrix(spark: SparkSession, dir: String, k: Int = K,
              nq: Int = NQ, dim: Int = Encoders.Dim): DataFrame = {
     import spark.implicits._
-    // the BM25 fit is an eager driver-side job and the keyword arm is
-    // model-independent — fit once, share across both hybrid legs
-    val kwFit = Some(Encoders.bm25IdfRows(spark, dir, dim))
     // FUSED (round 12): the three arm retrievals are computed once and
     // every (model, mode) leg derives from them — the hybrid legs are
     // RRF row-arithmetic over the arms' ≤nq·k rank rows, not fresh
     // corpus-scanning subplans ([[matrixUnioned]] re-ran each vector
-    // arm inside its hybrid leg). The repeated arm subtrees in the
-    // union are canonically identical, so exchange reuse executes each
-    // shuffle stage once.
-    val hr = Encoders.hashingSearch(spark, dir, k, nq, dim)
-      .select(col("q_id"), col("rank"), col("doc_id"))
-    val tr = Encoders.tfIdfSearch(spark, dir, k, nq, dim)
-      .select(col("q_id"), col("rank"), col("doc_id"))
-    val kw = Encoders.bm25TopK(spark, dir, k, nq, dim, fit = kwFit)
-      .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
+    // arm inside its hybrid leg). Round 13: the arms are the memoized
+    // [[arm]] artifacts, shared with [[summary]] across the session.
+    val hr = arm(spark, dir, "hashing", k, nq, dim)
+    val tr = arm(spark, dir, "tfidf", k, nq, dim)
+    val kw = arm(spark, dir, "bm25", k, nq, dim)
     // hybridSearch's exact RRF expression over pre-computed arm ranks
     def rrf(vec: DataFrame): DataFrame = {
       val fused = vec.select(col("q_id"), col("doc_id"), col("rank").as("rv"))

@@ -85,6 +85,18 @@ class Round5Spec extends AnyFunSuite with Matchers with SharedSpark {
       Experiment.matrixUnioned(spark, sfDir).collect().map(_.toString)
   }
 
+  test("fused summary equals the direct formulation bit-identically (incl. empty corpus)") {
+    // round 13: summary derives from the memoized hashing arm through
+    // the same evalKeyed path as the matrix's (hashing_tf, vector) leg
+    Experiment.summary(spark, sfDir).collect().map(_.toString) shouldBe
+      Experiment.summaryUnfused(spark, sfDir).collect().map(_.toString)
+    val empty = tempDir("graft-summary-empty")
+    graft.Tables.documents(spark, sfDir).limit(0)
+      .write.parquet(s"$empty/documents.parquet")
+    Experiment.summary(spark, empty).collect().map(_.toString) shouldBe
+      Experiment.summaryUnfused(spark, empty).collect().map(_.toString)
+  }
+
   test("fused nprobe recall sweep equals the per-leg unioned formulation bit-identically") {
     graft.operators.Eval.annRecallIvfSweep(spark, sfDir).collect().map(_.toString) shouldBe
       graft.operators.Eval.annRecallIvfSweepUnioned(spark, sfDir).collect().map(_.toString)
