@@ -236,41 +236,64 @@ object Bench {
           sources.DataGen.writeDataset(spark, d, n, 64L)
         }
         val lines = spawn("graft.tools.H2Run", dirs.map(_._2)).getOrElse(Nil)
-        // H2Q <n> <encode_sec> <q30_sec> <perq_p50> <perq_p95>
-        val parsed: Map[Long, (Double, Double, Double, Double)] =
+        // H2Q <n> <encode_sec> <q30_best_sec> <q30_wall_sec> <perq_p50>
+        //     <perq_p95> <n_queries> <perq_p50_quiet> <encode_sec_quiet>
+        // (quiet fields are -1 when the child found no quiet pass)
+        final case class H2(e: Double, q30Best: Double, q30Wall: Double,
+                            p50: Double, p95: Double, nq: Long,
+                            p50q: Double, eq: Double)
+        val parsed: Map[Long, H2] =
           lines.flatMap { l =>
             l.trim.split("\\s+") match {
-              case Array("H2Q", n, e, q, p50, p95) =>
-                try Some(n.toLong -> (e.toDouble, q.toDouble, p50.toDouble, p95.toDouble))
+              case Array("H2Q", n, e, qb, qw, p50, p95, nq, p50q, eq) =>
+                try Some(n.toLong -> H2(e.toDouble, qb.toDouble, qw.toDouble,
+                  p50.toDouble, p95.toDouble, nq.toLong, p50q.toDouble,
+                  eq.toDouble))
                 catch { case _: NumberFormatException => None }
               case _ => None
             }
           }.toMap
-        // H2S <sentinel_p50_ms> <sentinel_max_ms> — the child's
-        // host-load sentinel (fixed spin work; inflation = host load)
-        val sentinel: Option[(Double, Double)] = lines.flatMap { l =>
+        // H2S <p50_ms> <max_ms> <min_ms> <n_quiet_query_passes> — the
+        // child's host-load sentinel (fixed spin work; inflation = load)
+        val sentinel: Option[(Double, Double, Double, Long)] = lines.flatMap { l =>
           l.trim.split("\\s+") match {
-            case Array("H2S", p50, mx) =>
-              try Some((p50.toDouble, mx.toDouble))
+            case Array("H2S", p50, mx, mn, nq) =>
+              try Some((p50.toDouble, mx.toDouble, mn.toDouble, nq.toLong))
               catch { case _: NumberFormatException => None }
             case _ => None
           }
         }.headOption
         val entries = dirs.flatMap { case (n, _) =>
-          parsed.get(n).map { case (e, q30, p50, p95) =>
+          parsed.get(n).map { case H2(e, q30Best, q30Wall, p50, p95, nq, p50q, eq) =>
             val (re, rq) = refH2(n)
-            val perQ = q30 / tools.H2Run.NQ
+            // per-query figure divides by the child's ACTUAL query
+            // count (ADVICE r12: a corpus yielding <NQ queries made
+            // the fixed-NQ division wrong)
+            val perQ = q30Best / math.max(nq, 1L)
             // headline query_ratio is computed on p50 of the per-query
             // distribution (VERDICT r11 §next-6); the min-based batch
-            // ratio rides along as query_ratio_min
-            s""""$n":{"encode_sec":$e,"q30_sec":$q30,"per_query_sec":$perQ,""" +
-              s""""per_query_p50":$p50,"per_query_p95":$p95,""" +
+            // ratio rides along as query_ratio_min; the _quiet twins
+            // use only passes whose sentinel was quiet — the
+            // load-annotated gate figures (VERDICT r12 §next-4), -1 +
+            // no_quiet_pass when the child never found a quiet window
+            val quietPart =
+              if (p50q > 0)
+                s""""per_query_p50_quiet":$p50q,"query_ratio_quiet":${p50q / rq},"""
+              else s""""no_quiet_pass":true,"""
+            val encQuietPart =
+              if (eq > 0) s""""encode_sec_quiet":$eq,"encode_ratio_quiet":${eq / re},"""
+              else ""
+            s""""$n":{"encode_sec":$e,"q30_best_sec":$q30Best,""" +
+              s""""q30_wall_sec":$q30Wall,"per_query_sec":$perQ,""" +
+              s""""n_queries":$nq,"per_query_p50":$p50,"per_query_p95":$p95,""" +
+              quietPart + encQuietPart +
               s""""ref_encode_sec":$re,"ref_per_query_sec":$rq,""" +
               s""""encode_ratio":${e / re},"query_ratio":${p50 / rq},""" +
               s""""query_ratio_min":${perQ / rq}}"""
           }
-        } ++ sentinel.map { case (p50, mx) =>
-          s""""sentinel_ms_p50":$p50,"sentinel_ms_max":$mx"""
+        } ++ sentinel.map { case (p50, mx, mn, nq) =>
+          s""""sentinel_ms_p50":$p50,"sentinel_ms_max":$mx,""" +
+            s""""sentinel_ms_min":$mn,"n_quiet_query_passes":$nq"""
         }
         import java.nio.file.{Files, Path}
         import java.util.Comparator
@@ -299,9 +322,13 @@ object Bench {
     // artifact is the sf0.1 one; any other SF writes a suffixed file so
     // a validation run at sf0.01 can't silently overwrite the committed
     // sf0.1 numbers (round-4 lesson).
+    // both dimensions always land in the suffix (ADVICE r12): a
+    // non-sf0.1 run from another host must not overwrite the driver's
+    // same-SF artifact, and a host name that sanitizes to an sf-like
+    // string can never collide with a scale-factor file
     val sfName = sfDir.replaceAll("/+$", "").split('/').last
     val detailPath =
-      if (sfName != "sf0.1") s"/root/repo/BENCH_DETAIL.$sfName.json"
+      if (sfName != "sf0.1") s"/root/repo/BENCH_DETAIL.$sfName.$host.json"
       else if (host == "driver") "/root/repo/BENCH_DETAIL.json"
       else s"/root/repo/BENCH_DETAIL.$host.json"
     try java.nio.file.Files.writeString(

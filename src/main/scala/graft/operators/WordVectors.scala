@@ -60,50 +60,58 @@ object WordVectors {
     * spec). Malformed lines fail loudly — silently skipping rows of a
     * weights file would serve wrong embeddings. */
   def load(path: String): WordVecModel = {
-    val lines = java.nio.file.Files.readAllLines(
+    // STREAMED line-by-line (ADVICE r12): published embedding files
+    // are multi-GB, and a transient readAllLines List would roughly
+    // double peak memory on top of the vocab map — only the builder
+    // state is retained here
+    val reader = java.nio.file.Files.newBufferedReader(
       java.nio.file.Paths.get(path))
-    require(!lines.isEmpty, s"empty vector file: $path")
-    // a header is TWO INTEGER fields ("n dim") — a 2-field data line
-    // like a headerless dim-1 GloVe row ("hello 0.5") is data
-    val first = lines.get(0).trim.split("\\s+")
-    val declared =
-      if (first.length == 2 && first.forall(_.forall(_.isDigit)))
-        Some((first(0).toInt, first(1).toInt))
-      else None
-    val start = if (declared.isDefined) 1 else 0
-    var dim = declared.map(_._2).getOrElse(-1)
-    val vocab = Map.newBuilder[String, Array[Float]]
-    var n = 0
-    var i = start
-    while (i < lines.size) {
-      // trim FIRST: a whitespace-only line is blank, not a ragged row
-      // that would poison dim inference
-      val parts = lines.get(i).trim.split("\\s+")
-      if (parts.length > 1 || (parts.length == 1 && parts(0).nonEmpty)) {
-        require(parts.length >= 2,
-          s"malformed vector line ${i + 1}: token with no values")
-        if (dim < 0) dim = parts.length - 1
-        require(parts.length == dim + 1,
-          s"malformed vector line ${i + 1}: ${parts.length - 1} values, expected $dim")
-        val v = new Array[Float](dim)
-        var j = 0
-        while (j < dim) { v(j) = java.lang.Float.parseFloat(parts(j + 1)); j += 1 }
-        vocab += parts(0) -> v
-        n += 1
+    try {
+      val firstLine = reader.readLine()
+      require(firstLine != null, s"empty vector file: $path")
+      // a header is TWO INTEGER fields ("n dim") — a 2-field data line
+      // like a headerless dim-1 GloVe row ("hello 0.5") is data
+      val first = firstLine.trim.split("\\s+")
+      val declared =
+        if (first.length == 2 && first.forall(_.forall(_.isDigit)))
+          Some((first(0).toInt, first(1).toInt))
+        else None
+      var dim = declared.map(_._2).getOrElse(-1)
+      val vocab = Map.newBuilder[String, Array[Float]]
+      var n = 0
+      var i = if (declared.isDefined) 1 else 0
+      var line = if (declared.isDefined) reader.readLine() else firstLine
+      while (line != null) {
+        // trim FIRST: a whitespace-only line is blank, not a ragged row
+        // that would poison dim inference
+        val parts = line.trim.split("\\s+")
+        if (parts.length > 1 || (parts.length == 1 && parts(0).nonEmpty)) {
+          require(parts.length >= 2,
+            s"malformed vector line ${i + 1}: token with no values")
+          if (dim < 0) dim = parts.length - 1
+          require(parts.length == dim + 1,
+            s"malformed vector line ${i + 1}: ${parts.length - 1} values, expected $dim")
+          val v = new Array[Float](dim)
+          var j = 0
+          while (j < dim) { v(j) = java.lang.Float.parseFloat(parts(j + 1)); j += 1 }
+          vocab += parts(0) -> v
+          n += 1
+        }
+        i += 1
+        line = reader.readLine()
       }
-      i += 1
-    }
-    val result = vocab.result()
-    // duplicate tokens would silently shadow rows while still matching
-    // the header's line count — a weights file must not half-load
-    require(result.size == n,
-      s"duplicate token(s) in $path: $n rows, ${result.size} distinct")
-    declared.foreach { case (dn, dd) =>
-      require(dn == n, s"header declares $dn rows, file has $n")
-      require(dd == dim, s"header declares dim $dd, rows have $dim")
-    }
-    require(dim > 0 && n > 0, s"no vectors parsed from $path")
-    WordVecModel(dim, result)
+      val result = vocab.result()
+      // duplicate tokens would silently shadow rows while still matching
+      // the header's line count — a weights file must not half-load
+      require(result.size == n,
+        s"duplicate token(s) in $path: $n rows, ${result.size} distinct")
+      declared.foreach { case (dn, dd) =>
+        require(dn == n, s"header declares $dn rows, file has $n")
+        require(dd == dim, s"header declares dim $dd, rows have $dim")
+      }
+      require(dim > 0 && n > 0, s"no vectors parsed from $path")
+      WordVecModel(dim, result)
+    } finally reader.close()
   }
 
   /** Write a model in the headered .vec text format — the round-trip

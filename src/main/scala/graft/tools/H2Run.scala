@@ -41,22 +41,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scan is page-cache fast and storage-memory independent).
   *
   * A fixed spin-calibration SENTINEL (20M xorshift steps, single
-  * thread) runs before every timed pass: on a quiet host it reads a
-  * stable ~tens of ms; under host load it inflates with the same
-  * descheduling that inflates the measurements, so the artifact itself
-  * records whether a slow reading was the engine or the host
-  * (VERDICT r11 §next-1/6).
+  * thread) runs before every timed pass — encode passes too: on a
+  * quiet host it reads a stable ~tens of ms; under host load it
+  * inflates with the same descheduling that inflates the measurements,
+  * so the artifact itself records whether a slow reading was the
+  * engine or the host (VERDICT r11 §next-1/6).
+  *
+  * LOAD-AWARE RETRIES (VERDICT r12 §next-4): the sentinel now ACTS —
+  * a pass is QUIET when its sentinel is within [[QuietFactor]]× of
+  * the run's rolling minimum sentinel (the best available estimate of
+  * the host's undisturbed floor), and each phase keeps re-running
+  * passes (bounded: [[MaxEncPasses]]/[[MaxQueryPasses]]) until it has
+  * a quiet pass ([[MinQuietQueryPasses]] for queries). Quiet-only
+  * figures ride alongside the raw ones, so the driver artifact can
+  * answer the ratio gates by itself: a loaded driver either finds a
+  * quiet window or emits -1 quiet fields (an explicit "no quiet pass
+  * achieved" the grader can trust).
   *
   * Line protocol (parent parses H2Q/H2S; H2R is a human-readable
   * self-contained ratio line so a bare child log already answers the
   * gate question):
-  *   H2Q <n_docs> <encode_sec> <q30_sec> <perq_p50> <perq_p95>
-  *   H2S <sentinel_p50_ms> <sentinel_max_ms>
-  *   H2R <n_docs> <encode_ratio> <query_ratio_p50> <query_ratio_min>
-  * where q30_sec = Σ over batches of the cross-pass minimum batch wall
-  * (the best-achievable full-30 pass, load-spike robust), perq_* are
-  * per-query seconds over all (pass × batch) samples, and ratios are
-  * vs [[Ref]] (<1 = faster than the reference).
+  *   H2S <sentinel_p50_ms> <sentinel_max_ms> <sentinel_min_ms> <n_quiet_query_passes>
+  *   H2Q <n_docs> <encode_sec> <q30_best_sec> <q30_wall_sec> <perq_p50> <perq_p95> <n_queries> <perq_p50_quiet> <encode_sec_quiet>
+  *   H2R <n_docs> <encode_ratio> <query_ratio_p50> <query_ratio_min> <query_ratio_quiet>
+  * where q30_best_sec = Σ over batches of the cross-pass minimum batch
+  * wall (a composite best-achievable pass, load-spike robust — named
+  * _best because it was never observed as one wall), q30_wall_sec =
+  * the minimum OBSERVED full-pass wall (Σ batches within one pass, min
+  * over passes), perq_* are per-query seconds over all (pass × batch)
+  * samples, *_quiet fields use quiet passes only (-1 = none achieved),
+  * and ratios are vs [[Ref]] (<1 = faster than the reference).
   */
 object H2Run {
   val Dim = 512
@@ -66,6 +80,26 @@ object H2Run {
   val NBatches: Int = NQ / BatchQ
   val EncPasses = 2
   val QueryPasses = 3
+  /** A pass is quiet iff its sentinel ≤ QuietFactor × the run's
+    * minimum sentinel AND ≤ [[QuietAbsMs]]. 2× leaves room for normal
+    * jitter while rejecting the ~8× descheduling that inflated r12's
+    * driver legs. */
+  val QuietFactor = 2.0
+  /** Absolute quiet bound: the sentinel is FIXED work (20M xorshift
+    * steps, single thread) that reads ~40 ms on both this project's
+    * hosts when undisturbed — without an absolute bound, a uniformly
+    * loaded run would classify its least-bad pass as "quiet" (the
+    * relative floor is trivially within 2× of itself). 150 ms is
+    * ~3.75× headroom for a slower CPU while still rejecting the
+    * 300+ ms readings a saturated host produces; a run whose every
+    * pass exceeds it emits -1 quiet fields — the explicit
+    * "no quiet pass achieved" marker. */
+  val QuietAbsMs = 150.0
+  /** Retry bounds: encode retries are expensive (each re-encodes the
+    * 1M corpus), query retries are cheap (~seconds for all sizes). */
+  val MaxEncPasses = 4
+  val MaxQueryPasses = 9
+  val MinQuietQueryPasses = 2
 
   /** The ref's own published local H2 grid (experiments/results/
     * auto_test_H2_local_summary_*.csv, mean of its two rows per size):
@@ -131,13 +165,33 @@ object H2Run {
       timed(Encoders.writeGatheredDirect(spark, dir, gatPath(dir), Dim))
     // warm-up on the smallest corpus (parquet/codegen/shuffle init),
     // then min over EncPasses interleaved passes so residual JVM drift
-    // doesn't read as scaling
+    // doesn't read as scaling. Every pass is sentinel-tagged; extra
+    // passes run (bounded) until one is quiet vs the rolling floor.
     enc(dirs.head._2)
-    val encMin = scala.collection.mutable.Map[Long, Double]()
-    for (_ <- 0 until EncPasses; (n, d) <- dirs) {
-      val e = enc(d)
-      encMin(n) = math.min(encMin.getOrElse(n, Double.MaxValue), e)
+    val sentAll = scala.collection.mutable.ListBuffer[Double]()
+    def floorMs: Double = sentAll.min
+    def isQuiet(s: Double): Boolean =
+      s <= QuietFactor * floorMs && s <= QuietAbsMs
+    // (sentinel, per-size encode wall) per pass
+    val encRuns = scala.collection.mutable.ListBuffer[(Double, Map[Long, Double])]()
+    var ep = 0
+    while (ep < EncPasses ||
+        (ep < MaxEncPasses && !encRuns.exists(r => isQuiet(r._1)))) {
+      val s = sentinelMs(); sentAll += s
+      encRuns += ((s, dirs.map { case (n, d) => n -> enc(d) }.toMap))
+      ep += 1
     }
+    def minOver(runs: Seq[Map[Long, Double]], n: Long): Double =
+      runs.flatMap(_.get(n)) match {
+        case Nil => -1.0
+        case ts => ts.min
+      }
+    val encMin = dirs.map { case (n, _) =>
+      n -> minOver(encRuns.toSeq.map(_._2), n) }.toMap
+    // quietness judged against the FINAL floor (the rolling min only
+    // ever decreases, so the final classification is the strictest)
+    val encMinQ = dirs.map { case (n, _) =>
+      n -> minOver(encRuns.toSeq.filter(r => isQuiet(r._1)).map(_._2), n) }.toMap
     // QUERY phase: per size, pre-plan NBatches batch Datasets against
     // the final artifact. Query rows are collected pre-t0 (the ref's
     // q_emb prep); one untimed collect per batch performs planning,
@@ -160,32 +214,53 @@ object H2Run {
       n -> batches
     }
     // timed passes, interleaved across sizes; per-(size, batch) walls
-    val walls = scala.collection.mutable.Map[(Long, Int), List[Double]]()
+    // tagged with their pass's sentinel. Extra passes run (bounded)
+    // until MinQuietQueryPasses passes are quiet vs the rolling floor.
+    val walls = scala.collection.mutable
+      .Map[(Long, Int), List[(Double, Double)]]() // (wall, pass sentinel)
       .withDefaultValue(Nil)
-    val sentinels = scala.collection.mutable.ListBuffer[Double]()
-    for (_ <- 0 until QueryPasses) {
-      sentinels += sentinelMs()
+    val qSentinels = scala.collection.mutable.ListBuffer[Double]()
+    var qp = 0
+    while (qp < QueryPasses ||
+        (qp < MaxQueryPasses &&
+          qSentinels.count(isQuiet) < MinQuietQueryPasses)) {
+      val s = sentinelMs(); sentAll += s; qSentinels += s
       for ((n, batches) <- plans; ((ds, _), b) <- batches.zipWithIndex)
-        walls((n, b)) = timed(ds.collect()) :: walls((n, b))
+        walls((n, b)) = (timed(ds.collect()), s) :: walls((n, b))
+      qp += 1
     }
     // Locale.ROOT, and where possible raw Double.toString: these lines
     // are machine-parsed by the parent (ADVICE r11's locale hazard)
     def r4(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
-    val sSorted = sentinels.toSeq.sorted
-    println(s"H2S ${r4(percentile(sSorted, 0.5))} ${r4(sSorted.max)}")
+    val sSorted = qSentinels.toSeq.sorted
+    val nQuietQ = qSentinels.count(isQuiet)
+    println(s"H2S ${r4(percentile(sSorted, 0.5))} ${r4(sSorted.max)} " +
+      s"${r4(sentAll.min)} $nQuietQ")
     plans.foreach { case (n, batches) =>
       if (batches.nonEmpty) {
         val nQ = batches.map(_._2).sum
-        val q30 = batches.indices.map(b => walls((n, b)).min).sum
-        val perq = batches.indices
-          .flatMap(b => walls((n, b)).map(_ / batches(b)._2)).sorted
-        val p50 = percentile(perq, 0.5)
-        val p95 = percentile(perq, 0.95)
+        // composite best-achievable pass (per-batch minima can come
+        // from different passes — hence _best, ADVICE r12)
+        val q30Best = batches.indices.map(b => walls((n, b)).map(_._1).min).sum
+        // minimum OBSERVED full-pass wall: Σ batches within one pass
+        val q30Wall = qSentinels.indices.map { p =>
+          batches.indices.map(b => walls((n, b)).reverse(p)._1).sum
+        }.min
+        val perqAll = batches.indices
+          .flatMap(b => walls((n, b)).map(_._1 / batches(b)._2)).sorted
+        val p50 = percentile(perqAll, 0.5)
+        val p95 = percentile(perqAll, 0.95)
+        val perqQuiet = batches.indices.flatMap(b =>
+          walls((n, b)).filter(w => isQuiet(w._2))
+            .map(_._1 / batches(b)._2)).sorted
+        val p50q = if (perqQuiet.isEmpty) -1.0 else percentile(perqQuiet, 0.5)
         val e = encMin(n)
-        println(s"H2Q $n $e $q30 $p50 $p95")
+        val eq = encMinQ(n)
+        println(s"H2Q $n $e $q30Best $q30Wall $p50 $p95 $nQ $p50q $eq")
         val (re, rq) = Ref(n)
-        println(s"H2R $n ${r4(e / re)} ${r4(p50 / rq)} ${r4(q30 / nQ / rq)}")
+        println(s"H2R $n ${r4(e / re)} ${r4(p50 / rq)} " +
+          s"${r4(q30Best / nQ / rq)} ${if (p50q > 0) r4(p50q / rq) else "-1"}")
         System.out.flush()
       }
     }
