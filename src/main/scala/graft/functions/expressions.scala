@@ -234,11 +234,34 @@ case class PolyHashExpr(child: Expression, base: Long, p: Long)
     copy(child = newChild)
 }
 
+/** Analysis-time guard shared by the float-array kernels: their tight
+  * loops read raw FLOAT slots (`ArrayData.getFloat`), so an
+  * array<double> input would be read as garbage BITS, not converted —
+  * a silent-corruption class (r13: spherical k-means normalized its
+  * double centroid means through the float kernel and produced an
+  * index with recall 0.000). Fail at analysis instead. */
+private object FloatArrayCheck {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  def check(name: String, inputs: Expression*): TypeCheckResult = {
+    val bad = inputs.map(_.dataType).collect {
+      case t if !t.isInstanceOf[ArrayType] ||
+        t.asInstanceOf[ArrayType].elementType != FloatType => t
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> inputs (the kernel reads raw float " +
+        s"slots; cast other element types explicitly), got " +
+        bad.map(_.sql).mkString(", "))
+  }
+}
+
 /** dot_f(array<float>, array<float>) — codegen'd double dot product. */
 case class DotProductExpr(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FloatArrayCheck.check("dot_f", left, right)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -252,6 +275,8 @@ case class Dist2Expr(left: Expression, right: Expression)
   extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FloatArrayCheck.check("dist2_f", left, right)
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.dist2F(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -343,6 +368,8 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
   extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FloatArrayCheck.check("hyperplane_sig", child)
   def compute(arr: ArrayData): Long = {
     var bits = 0L
     var j = 0

@@ -388,12 +388,15 @@ object Ann {
     * touches only its nprobe partitions — the scan skips the rest of
     * the corpus at the source, which is the entire point of IVF. */
   /** Centroid assignment of a doc frame against this corpus's fixed
-    * centroids (broadcast; min_by argmin — the pqEncode pattern).
-    * Shared by the full index build and the incremental append. */
+    * centroids (broadcast; min_by argmin — the pqEncode pattern) — or
+    * against trained `centroids` (the √N deployment path). Shared by
+    * the full index build and the incremental append. */
   private def assignToIndex(spark: SparkSession, dir: String,
-                            docs: DataFrame): DataFrame = {
-    val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+                            docs: DataFrame,
+                            centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
     docs.crossJoin(broadcast(cent))
       .groupBy("doc_id")
       .agg(
@@ -403,8 +406,9 @@ object Ann {
   }
 
   def writeIvfIndex(spark: SparkSession, dir: String, out: String,
-                    docs: Option[DataFrame] = None): Unit =
-    assignToIndex(spark, dir, docs.getOrElse(Knn.docSet(spark, dir)))
+                    docs: Option[DataFrame] = None,
+                    centroids: Option[DataFrame] = None): Unit =
+    assignToIndex(spark, dir, docs.getOrElse(Knn.docSet(spark, dir)), centroids)
       .write.mode("overwrite").partitionBy("c_id").parquet(out)
 
   /** Incremental index maintenance — the serving-side ingest path: a
@@ -472,15 +476,17 @@ object Ann {
     * scan reads only the probed `c_id=` directories. Asserted in
     * PlanSpec (`dynamicpruning`). Same results as [[ivf]]. */
   def ivfIndexed(spark: SparkSession, dir: String, indexPath: String,
-                 k: Int = K): DataFrame = {
-    val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+                 k: Int = K, centroids: Option[DataFrame] = None,
+                 nProbe: Int = NProbe): DataFrame = {
+    val cent = centroids.getOrElse(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
     val idx = spark.read.parquet(indexPath)
     val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
       .groupBy("q_id")
       .agg(
         graft.functions.TopKAgg.topKBy(
-          dot(col("q_vec"), col("c_vec")), col("c_id"), NProbe).as("tk"),
+          dot(col("q_vec"), col("c_vec")), col("c_id"), nProbe).as("tk"),
         first(col("q_vec")).as("q_vec"))
       .select(col("q_id"), col("q_vec"), explode(col("tk")).as("e"))
       .select(col("q_id"), col("q_vec"), col("e.id").as("c_id"))
@@ -507,12 +513,76 @@ object Ann {
       graft.Cleanup.memoizedBuild(ivfScratchCache, spark, dir,
         "graft-ivfidx")(writeIvfIndex(spark, dir, _)), k)
 
+  /** Centroid count for the √N deployment configuration (the FAISS
+    * sizing rule: nlist ≈ √N balances cell scan cost N/nlist against
+    * probe-ranking cost nlist). Floored at [[NCentroids]] so tiny
+    * corpora keep the verified shape. */
+  def sqrtCentroidCount(n: Long): Int =
+    math.max(NCentroids, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Probe count scaled with the √N centroid grid (nprobe ≈ √nlist —
+    * each query exact-scans ~nprobe·N/nlist ≈ N^(3/4)-ish rows; floored
+    * at [[NProbe]]). */
+  def sqrtProbeCount(kCent: Int): Int =
+    math.max(NProbe, math.ceil(math.sqrt(kCent.toDouble)).toInt)
+
+  /** End-to-end √N-centroid IVF: Lloyd-fit ⌈√N⌉ centroids on the doc
+    * vectors, then the standard assign + probe plan with nprobe ≈
+    * √nlist — the configuration a 100 TB deployment actually runs
+    * (SURVEY §5), vs the fixed-[[NCentroids]] verified query whose
+    * per-probe cell is N/16 of the corpus. Registered rows-only
+    * (`ann_ivf_sqrtn`): the Lloyd fit is iterative, so no SQL oracle —
+    * Round13Spec pins determinism, shape, and recall vs the exact
+    * scan; tools.IvfProbe records the decade-scale numbers. The
+    * expensive leg is the fit (N·√N per iteration — the measured
+    * ~N^1.5 exponent in the bench scale subset is the fit, not the
+    * probe; a deployment amortizes it across every later search via
+    * [[writeIvfIndex]](centroids)). */
+  def ivfSqrtN(spark: SparkSession, dir: String, k: Int = K,
+               iters: Int = 2): DataFrame = {
+    val docsEmb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= Knn.NQueries)
+    // one scalar job over ids — fit-time metadata (build path, same
+    // documented pattern as fitCentroids' driver-side pinning)
+    val kCent = sqrtCentroidCount(docsEmb.count())
+    val cent = fitCentroids(docsEmb, kCent, iters, spherical = true)
+      .select(col("c_id"),
+        transform(col("c_vec"), x => x.cast("float")).as("c_vec"))
+    ivf(spark, dir, k, centroids = Some(cent), nProbe = sqrtProbeCount(kCent))
+  }
+
   /** Lloyd k-means fit over an embedding frame: each iteration is one
     * broadcast-assign + one groupBy-mean (two shuffle-free/one-shuffle
     * stages) — the scale path for real centroid training. Returns
-    * (c_id, c_vec array<double>). */
-  def fitCentroids(emb: DataFrame, k: Int, iters: Int = 5, dim: Int = Dim): DataFrame = {
-    val spark = emb.sparkSession
+    * (c_id, c_vec array<double>).
+    *
+    * `spherical = true` L2-normalizes each updated centroid (spherical
+    * k-means — the standard trainer for max-inner-product/cosine IVF,
+    * FAISS's `spherical` flag): Lloyd MEANS shrink unevenly (a tight
+    * cluster's mean keeps its norm, a loose one's collapses), and
+    * max-dot assignment/probing then systematically misranks cells —
+    * measured at the 200 k decade corpus as the difference between an
+    * unusable and a >0.9-recall trained grid (tools.IvfProbe). */
+  /** Training-sample cap per centroid (FAISS's max_points_per_centroid
+    * default): the fit's per-iteration cost is |train|·k, so capping
+    * the training set at 256·k makes it O(k²) — INDEPENDENT of corpus
+    * size. Full-corpus assignment happens once, in the index build. */
+  val MaxPointsPerCentroid = 256
+
+  def fitCentroids(emb0: DataFrame, k: Int, iters: Int = 5, dim: Int = Dim,
+                   spherical: Boolean = false): DataFrame = {
+    val spark = emb0.sparkSession
+    // deterministic hash-sampled training subset (retry-stable, the
+    // sampleKey discipline — never rand()): ≤ ~256·k rows train the
+    // grid, the corpus-size-independent cost FAISS uses
+    val emb = {
+      val nTrain = MaxPointsPerCentroid.toLong * k
+      val n = emb0.count()
+      if (n <= nTrain) emb0
+      else emb0.filter(
+        pmod(xxhash64(lit(1313L), col("vec_id")), lit(1000000L)) <
+          lit((nTrain.toDouble / n * 1000000L).toLong))
+    }
     // k centroid rows are broadcast-by-construction: collecting them
     // each iteration keeps every Lloyd step an independent job (flat
     // plans) — the same thing MLlib's KMeans does driver-side.
@@ -522,21 +592,42 @@ object Ann {
       .select(col("vec_id").as("c_id"), vecD(col("embedding")).as("c_vec")))
     for (_ <- 0 until iters) {
       // same min_by partial-agg assignment as [[ivf]]: no sort shuffle
-      // of the exploded points×centroids frame
-      val assigned = emb.crossJoin(broadcast(cent))
+      // of the exploded points×centroids frame. Scoring runs the
+      // CODEGEN'D float dot kernel against a float view of the
+      // centroids (r13: the interpreted HOF fold made a √N-centroid
+      // fit ~10× slower — N·k lambda-per-element folds per iteration;
+      // float ranking is how FAISS trains, and the kept means stay
+      // double)
+      val centF = cent.select(col("c_id"),
+        transform(col("c_vec"), x => x.cast("float")).as("c_vec_f"))
+      val assigned = emb.crossJoin(broadcast(centF))
         .groupBy("vec_id")
         .agg(
           min_by(col("c_id"),
-            struct(-dotHof(col("embedding"), col("c_vec")), col("c_id"))).as("c_id"),
+            struct(-dot(col("embedding"), col("c_vec_f")), col("c_id"))).as("c_id"),
           first(col("embedding")).as("embedding"))
       val agg = assigned.groupBy("c_id")
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("embedding"), i + 1))): _*).as("c_vec_new"))
       // a cluster that received no points keeps its previous centroid
       // (the groupBy alone would silently shrink k across iterations)
-      cent = pin(cent.join(agg, Seq("c_id"), "left")
-        .select(col("c_id"),
-          coalesce(col("c_vec_new"), col("c_vec")).as("c_vec")))
+      val updated = cent.join(agg, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("c_vec_new"), col("c_vec")).as("cv"))
+      // spherical normalization in DOUBLE arithmetic — the library's
+      // l2Normalize rides the float kernel and must not see these
+      // double means (the r13 silent-corruption lesson now also fails
+      // at analysis, FloatArrayCheck); norm materialized in its own
+      // projection so the HOF lambda doesn't re-fold it per element
+      cent = pin(
+        if (spherical)
+          updated
+            .select(col("c_id"), col("cv"), sqrt(aggregate(col("cv"),
+              lit(0.0), (a, x) => a + x * x)).as("_nrm"))
+            .select(col("c_id"),
+              when(col("_nrm") > 0.0,
+                transform(col("cv"), x => x / col("_nrm")))
+                .otherwise(col("cv")).as("c_vec"))
+        else updated.select(col("c_id"), col("cv").as("c_vec")))
     }
     cent
   }

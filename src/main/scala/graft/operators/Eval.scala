@@ -87,9 +87,14 @@ object Eval {
       .orderBy("q_id")
   }
 
-  /** nprobe values swept by [[annRecallIvfSweep]] (the full range up to
-    * every-centroid-probed would be exact search). */
-  val SweepProbes: Seq[Int] = Seq(1, 2, 4)
+  /** nprobe values swept by [[annRecallIvfSweep]] — the grid a tuner
+    * actually uses (VERDICT r12 §next-8): up through every-cell-probed
+    * (nprobe = NCentroids = exact search, recall 1 by construction),
+    * so the recall-vs-cost curve brackets its knee instead of stopping
+    * below it. The fused prefix-property plan makes the wider grid
+    * near-free: one assignment pass, one probe ranking at max nprobe,
+    * per-leg filters. */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4, 8, 16)
 
   /** Recall-vs-nprobe sweep — the IVF tuning table (FAISS's standard
     * recall/latency trade-off curve): mean recall-vs-exact of the same

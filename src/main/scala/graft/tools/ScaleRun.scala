@@ -68,7 +68,13 @@ object ScaleRun {
     // round-9: SQ8 ADC — Dim rows per (doc, query) through the fixed-
     // point sum; linear in corpus, the probe keeps the broadcast side
     // honest (a shuffled qparts join would read super-linear)
-    "ann_sq8_search")
+    "ann_sq8_search",
+    // round-13: the √N-centroid IVF deployment path (VERDICT r12
+    // §next-5) — fit + assign + probe in one measured plan. The Lloyd
+    // fit is N·√N per iteration, so the HONEST exponent here is ~1.5,
+    // not 1; a reading beyond that means the assign/probe legs
+    // regressed (the fit amortizes at deployment via writeIvfIndex)
+    "ann_ivf_sqrtn")
 
   /** Warm-up + interleaved min-of-2 (t1, t10) per query — the
     * measurement kernel shared by the child main (line protocol) and

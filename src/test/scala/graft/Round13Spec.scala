@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Round-13 additions: the √N-centroid IVF deployment path
+  * (`ann_ivf_sqrtn` — Lloyd fit is iterative, so coverage is
+  * spec-level, same contract as the graph family) and the widened
+  * nprobe sweep grid. */
+class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
+  import operators.{Ann, Knn}
+
+  test("sqrt sizing rules: floors at the verified shape, sqrt above it") {
+    Ann.sqrtCentroidCount(100L) shouldBe Ann.NCentroids
+    Ann.sqrtCentroidCount(200000L) shouldBe 448
+    Ann.sqrtProbeCount(16) shouldBe Ann.NProbe
+    Ann.sqrtProbeCount(448) shouldBe 22
+  }
+
+  test("sqrt-centroid IVF: k rows per query, deterministic end-to-end") {
+    val res = Ann.ivfSqrtN(spark, sfDir).cache()
+    val nq = Knn.querySet(spark, sfDir).count()
+    res.count() shouldBe nq * Knn.K
+    res.groupBy("q_id").count().agg(max("count")).head.getLong(0) shouldBe Knn.K
+    // deterministic end-to-end: hash-sampled train set + seeded Lloyd
+    // + tie-broken argmax/top-k
+    Ann.ivfSqrtN(spark, sfDir).collect().map(_.toString).toSet shouldBe
+      res.collect().map(_.toString).toSet
+  }
+
+  test("sqrt-centroid IVF recall on a clustered corpus (the grid's actual regime)") {
+    // the committed sf* embeddings are near-random 64-dim, where any
+    // BALANCED fine grid reads low recall at a low scan fraction (the
+    // fixed-16 seed grid only reads high there because its raw-vector
+    // seed cells are so unbalanced that probes cover most of the
+    // corpus) — the deployment regime for a √N grid is clustered
+    // embedding data, so the pin runs on the deterministic DataGen
+    // clustered corpus (10 label clusters, the decade-corpus generator)
+    val dir = tempDir("graft-sqrtn")
+    sources.DataGen.embeddings(spark, 10000L).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val res = Ann.ivfSqrtN(spark, dir).cache() // kCent=100, nprobe=10
+    def recallOf(ann: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Knn.bruteForce(spark, dir, Knn.K)
+        .select(col("q_id"), col("doc_id"))
+      ann.select(col("q_id"), col("doc_id"))
+        .join(exact, Seq("q_id", "doc_id")).count().toDouble / exact.count()
+    }
+    val sqrtRecall = recallOf(res)
+    withClue(s"sqrt-grid recall $sqrtRecall (10% scan fraction): ") {
+      sqrtRecall should be >= 0.85
+    }
+  }
+
+  test("widened nprobe sweep brackets the knee: recall 1.0 at nprobe = NCentroids") {
+    val rows = operators.Eval.annRecallIvfSweep(spark, sfDir).collect()
+    rows.map(_.getLong(0)) shouldBe operators.Eval.SweepProbes.map(_.toLong).toArray
+    // probing every cell IS the exact search — the curve's right edge
+    rows.last.getDouble(1) shouldBe 1.0
+    // recall is monotone non-decreasing in nprobe (prefix property)
+    rows.map(_.getDouble(1)).sliding(2).foreach {
+      case Array(a, b) => b should be >= a
+      case _ =>
+    }
+  }
+}
