@@ -384,16 +384,19 @@ object KnnGraph {
     // with a second diversify round — headroom, not defaults). The
     // anti-join is per-hop Q·beam·hop rows — query-side-tiny at any
     // corpus size.
-    var expanded = visited.select(col("q_id"), col("id")).limit(0)
-      .localCheckpoint(true)
-    for (_ <- 1 to hops) {
+    // None until the first hop runs (hop 1's anti-join against an
+    // empty set is a no-op — skipped); not maintained after the last
+    // hop (never read again) — each saving one per-hop job at the
+    // toy-scale job floor without touching semantics
+    var expanded: Option[DataFrame] = None
+    for (hop <- 1 to hops) {
       // frontier = the best `beam` not-yet-expanded visited nodes per
       // query. `visited` accumulates duplicate (q_id, id) rows across
       // hops — rescoring a revisit yields the identical cosine, so the
       // id-distinct heap dedupes for free here and again at the final
       // top-k, and no per-hop groupBy(q_id, id) shuffle runs at all.
-      val frontier = visited
-        .join(expanded, Seq("q_id", "id"), "left_anti")
+      val frontier = expanded
+        .fold(visited)(e => visited.join(e, Seq("q_id", "id"), "left_anti"))
         .groupBy("q_id")
         .agg(TopKAgg.topKByDistinct(col("score"), col("id"), bw).as("tk"))
         .select(col("q_id"), explode(col("tk")).as("e"))
@@ -401,7 +404,9 @@ object KnnGraph {
       val expansion = frontier
         .join(edges.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("q_id"), col("dst").as("id"))
-      expanded = expanded.union(frontier).localCheckpoint(true)
+      if (hop < hops)
+        expanded = Some(expanded.fold(frontier)(_ union frontier)
+          .localCheckpoint(true))
       visited = visited.union(score(expansion)).localCheckpoint(true)
     }
     visited.groupBy("q_id")
