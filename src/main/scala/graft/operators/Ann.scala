@@ -570,14 +570,16 @@ object Ann {
   val MaxPointsPerCentroid = 256
 
   def fitCentroids(emb0: DataFrame, k: Int, iters: Int = 5, dim: Int = Dim,
-                   spherical: Boolean = false): DataFrame = {
+                   spherical: Boolean = false, nRows: Long = -1L): DataFrame = {
     val spark = emb0.sparkSession
     // deterministic hash-sampled training subset (retry-stable, the
     // sampleKey discipline — never rand()): ≤ ~256·k rows train the
-    // grid, the corpus-size-independent cost FAISS uses
+    // grid, the corpus-size-independent cost FAISS uses. `nRows` lets
+    // a caller that already knows the row count skip the scan
+    // (fitPqCodebook fits 8 subspaces of the SAME frame).
     val emb = {
       val nTrain = MaxPointsPerCentroid.toLong * k
-      val n = emb0.count()
+      val n = if (nRows >= 0) nRows else emb0.count()
       if (n <= nTrain) emb0
       else emb0.filter(
         pmod(xxhash64(lit(1313L), col("vec_id")), lit(1000000L)) <
@@ -636,14 +638,17 @@ object Ann {
     * path ([[pqCodebook]]'s fixed seeds keep the *verified* query
     * oracle-mirrorable). Returns (c_id, j, cvec array<float>), same
     * shape as [[pqCodebook]]. */
-  def fitPqCodebook(emb: DataFrame, iters: Int = 3): DataFrame =
+  def fitPqCodebook(emb: DataFrame, iters: Int = 3): DataFrame = {
+    // one count shared by all 8 subspace fits' sampling gates
+    val n = emb.count()
     (0 until PqM).map { j =>
       val sub = emb.select(col("vec_id"),
         slice(col("embedding"), j * PqSub + 1, PqSub).as("embedding"))
-      fitCentroids(sub, PqCodes, iters, PqSub)
+      fitCentroids(sub, PqCodes, iters, PqSub, nRows = n)
         .select(col("c_id"), lit(j).as("j"),
           transform(col("c_vec"), x => x.cast("float")).as("cvec"))
     }.reduce(_.unionByName(_))
+  }
 
   private implicit class SeqAsJava[T](s: Seq[T]) {
     def asJava: java.util.List[T] = {

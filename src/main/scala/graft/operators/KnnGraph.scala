@@ -367,36 +367,44 @@ object KnnGraph {
       cand.join(emb, Seq("id"))
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("id"), cosine(col("q_vec"), col("vec")).as("score"))
-    var visited = score(
+    // The walk's per-hop state is ONE frame: visited (q_id, id, score,
+    // x=false) rows plus expanded-marker (q_id, id, null, x=true) rows
+    // — checkpointed once per hop (two separate frames cost two eager
+    // checkpoint jobs per hop, ~2× the toy-scale job floor for the
+    // same work).
+    //
+    // The markers implement HNSW ef-search's pop-at-most-once rule in
+    // batch form (r13): without them, once the beam saturates with
+    // near-ties (the decade-corpus regime) every later hop re-expands
+    // the SAME `beam` nodes and discovers nothing — measured 0.715
+    // recall@10 at 200 k, flat in hops (8→12 moved nothing, r13
+    // probe). Expanding the best `beam` UNEXPANDED visited per hop
+    // makes every hop score beam·degree FRESH candidates — the same
+    // per-hop bound, but hops·beam·degree distinct work in total:
+    // 0.715 → 0.850 recall@10 at the same 200 k corpus, same beam,
+    // same hops (0.895 at hops=12, 0.905 with a second diversify
+    // round — headroom, not defaults). The marker anti-join is
+    // per-hop Q·beam·hop rows — query-side-tiny at any corpus size;
+    // hop 1 (no markers yet) and the last hop's marker maintenance
+    // (never read) are skipped.
+    var state = score(
         broadcast(queries.select(col("q_id"))).crossJoin(seeds.select(col("id")))
           .union(lshEntries))
+      .withColumn("x", lit(false))
       .localCheckpoint(true)
-    // nodes each query has already expanded: HNSW's ef-search pops a
-    // node at most ONCE, and the batch walk must too — without this,
-    // once the beam saturates with near-ties (the decade-corpus
-    // regime) every later hop re-expands the SAME `beam` nodes and
-    // discovers nothing: measured 0.715 recall@10 at 200 k, flat in
-    // hops (8→12 moved nothing, r13 probe). Expanding the best `beam`
-    // UNEXPANDED visited per hop makes every hop score beam·degree
-    // FRESH candidates — the same per-hop bound, but hops·beam·degree
-    // distinct work in total: 0.715 → 0.850 recall@10 at the same
-    // 200 k corpus, same beam, same hops (0.895 at hops=12, 0.905
-    // with a second diversify round — headroom, not defaults). The
-    // anti-join is per-hop Q·beam·hop rows — query-side-tiny at any
-    // corpus size.
-    // None until the first hop runs (hop 1's anti-join against an
-    // empty set is a no-op — skipped); not maintained after the last
-    // hop (never read again) — each saving one per-hop job at the
-    // toy-scale job floor without touching semantics
-    var expanded: Option[DataFrame] = None
     for (hop <- 1 to hops) {
       // frontier = the best `beam` not-yet-expanded visited nodes per
       // query. `visited` accumulates duplicate (q_id, id) rows across
       // hops — rescoring a revisit yields the identical cosine, so the
       // id-distinct heap dedupes for free here and again at the final
       // top-k, and no per-hop groupBy(q_id, id) shuffle runs at all.
-      val frontier = expanded
-        .fold(visited)(e => visited.join(e, Seq("q_id", "id"), "left_anti"))
+      val visited = state.filter(!col("x")).select("q_id", "id", "score")
+      val pool =
+        if (hop == 1) visited
+        else visited.join(
+          state.filter(col("x")).select("q_id", "id"),
+          Seq("q_id", "id"), "left_anti")
+      val frontier = pool
         .groupBy("q_id")
         .agg(TopKAgg.topKByDistinct(col("score"), col("id"), bw).as("tk"))
         .select(col("q_id"), explode(col("tk")).as("e"))
@@ -404,12 +412,14 @@ object KnnGraph {
       val expansion = frontier
         .join(edges.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("q_id"), col("dst").as("id"))
-      if (hop < hops)
-        expanded = Some(expanded.fold(frontier)(_ union frontier)
-          .localCheckpoint(true))
-      visited = visited.union(score(expansion)).localCheckpoint(true)
+      val scored = score(expansion).withColumn("x", lit(false))
+      val markers = frontier
+        .select(col("q_id"), col("id"), lit(null).cast("double").as("score"),
+          lit(true).as("x"))
+      state = (if (hop < hops) state.union(scored).union(markers)
+        else state.union(scored)).localCheckpoint(true)
     }
-    visited.groupBy("q_id")
+    state.filter(!col("x")).groupBy("q_id")
       .agg(TopKAgg.topKByDistinct(col("score"), col("id"), k).as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),

@@ -36,8 +36,13 @@ final class OnnxEncoder(
     vocabSize: Long = 30522L,
     maxSeq: Int = 128,
     withAttentionMask: Boolean = true,
-    tokenize: String => Array[Long] = OnnxEncoder.hashTokenizer(30522L))
+    tokenizeOpt: Option[String => Array[Long]] = None)
   extends Encoders.BatchModel {
+
+  // the default tokenizer follows the CONSTRUCTOR's vocabSize (a
+  // plain default-arg expression would not)
+  private val tokenize: String => Array[Long] =
+    tokenizeOpt.getOrElse(OnnxEncoder.hashTokenizer(vocabSize))
 
   // one session per JVM (executor), constructed lazily on first batch —
   // the per-partition init point of the seam; never serialized
