@@ -407,9 +407,33 @@ object Ann {
 
   def writeIvfIndex(spark: SparkSession, dir: String, out: String,
                     docs: Option[DataFrame] = None,
-                    centroids: Option[DataFrame] = None): Unit =
-    assignToIndex(spark, dir, docs.getOrElse(Knn.docSet(spark, dir)), centroids)
+                    centroids: Option[DataFrame] = None): Unit = {
+    val cent = centroids.getOrElse(
+      Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+    assignToIndex(spark, dir, docs.getOrElse(Knn.docSet(spark, dir)),
+      Some(cent))
       .write.mode("overwrite").partitionBy("c_id").parquet(out)
+    // the centroids travel WITH the index (r13; `_cent`, the `_fit`/
+    // `_vocab` underscore convention — invisible to the partitioned
+    // scan): a trained-grid index whose searches or appends derive or
+    // receive DIFFERENT centroids mis-probes/mis-assigns SILENTLY
+    // (the lists still exist, the results just degrade), so the
+    // layout is self-contained and later calls need neither the
+    // corpus's fixed seeds nor a caller-threaded frame.
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$out/_cent")
+  }
+
+  /** The index's own stored centroids ([[writeIvfIndex]] `_cent`), or
+    * the corpus-fixed seeds for a pre-`_cent` layout. */
+  private def indexCentroids(spark: SparkSession, dir: String,
+                             indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_cent")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+  }
 
   /** Incremental index maintenance — the serving-side ingest path: a
     * batch of NEW vectors is assigned to the EXISTING centroids and
@@ -422,7 +446,11 @@ object Ann {
     * re-train + rebuild when drift accumulates. */
   def appendToIvfIndex(spark: SparkSession, dir: String,
                        newDocs: DataFrame, out: String): Unit =
-    assignToIndex(spark, dir, newDocs)
+    // frozen-fit contract done right: the batch is assigned under the
+    // INDEX'S OWN stored centroids (r13) — a trained-grid layout used
+    // to be silently mis-assigned here with the corpus-fixed seeds
+    assignToIndex(spark, dir, newDocs,
+      Some(indexCentroids(spark, dir, out)))
       .write.mode("append").partitionBy("c_id").parquet(out)
 
   /** Small-file compaction for a [[writeIvfIndex]] layout — the
@@ -478,9 +506,9 @@ object Ann {
   def ivfIndexed(spark: SparkSession, dir: String, indexPath: String,
                  k: Int = K, centroids: Option[DataFrame] = None,
                  nProbe: Int = NProbe): DataFrame = {
-    val cent = centroids.getOrElse(
-      Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+    // default: the index's own stored `_cent` (self-contained serving;
+    // a pre-_cent layout falls back to the corpus-fixed seeds)
+    val cent = centroids.getOrElse(indexCentroids(spark, dir, indexPath))
     val idx = spark.read.parquet(indexPath)
     val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
       .groupBy("q_id")

@@ -53,6 +53,47 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("IVF index is self-contained: stored _cent drives searches and appends") {
+    // a trained-grid layout must not depend on callers re-supplying
+    // the same centroids — searches and appends read the index's own
+    // stored _cent (r13); mismatched centroids would mis-probe and
+    // mis-assign SILENTLY (lists still exist, results just degrade)
+    val idx = s"${tempDir("graft-ivfcent")}/idx"
+    val trained = Ann.fitCentroids(
+        Tables.embeddings(spark, sfDir), k = 8, iters = 2, spherical = true)
+      .select(col("c_id"),
+        org.apache.spark.sql.functions.transform(col("c_vec"),
+          x => x.cast("float")).as("c_vec"))
+    Ann.writeIvfIndex(spark, sfDir, idx, centroids = Some(trained))
+    // search WITHOUT passing centroids == search passing the trained
+    // frame (the stored _cent is what drives the probe)
+    val stored = Ann.ivfIndexed(spark, sfDir, idx).collect().map(_.toString).toSet
+    val passed = Ann.ivfIndexed(spark, sfDir, idx, centroids = Some(trained))
+      .collect().map(_.toString).toSet
+    stored shouldBe passed
+    // append assigns under the stored trained centroids, not the
+    // corpus-fixed seeds: every appended row's c_id is its argmax-dot
+    // cell under _cent
+    val newDocs = Knn.querySet(spark, sfDir)
+      .select((col("q_id") + 100000L).as("doc_id"), col("q_vec").as("doc_vec"))
+    Ann.appendToIvfIndex(spark, sfDir, newDocs, idx)
+    val cent = spark.read.parquet(s"$idx/_cent").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def argmax(v: Array[Float]): Long =
+      cent.map { case (cid, cv) =>
+        (cv.zip(v).map { case (a, b) => a.toDouble * b }.sum, cid)
+      }.maxBy { case (s, cid) => (s, -cid) }._2
+    val appended = spark.read.parquet(idx)
+      .filter(col("doc_id") >= 100000L)
+      // partition-column discovery may infer c_id narrower — pin it
+      .select(col("doc_id"), col("c_id").cast("long"), col("doc_vec"))
+      .collect()
+    appended.length shouldBe newDocs.count()
+    appended.foreach { r =>
+      r.getLong(1) shouldBe argmax(r.getSeq[Float](2).toArray)
+    }
+  }
+
   test("widened nprobe sweep brackets the knee: recall 1.0 at nprobe = NCentroids") {
     val rows = operators.Eval.annRecallIvfSweep(spark, sfDir).collect()
     rows.map(_.getLong(0)) shouldBe operators.Eval.SweepProbes.map(_.toLong).toArray
