@@ -503,18 +503,26 @@ object Ann {
     * plans a pruning subquery from the broadcast side and the fact
     * scan reads only the probed `c_id=` directories. Asserted in
     * PlanSpec (`dynamicpruning`). Same results as [[ivf]]. */
+  /** Sentinel for [[ivfIndexed]]'s nProbe: resolve to
+    * [[sqrtProbeCount]] of the index's own centroid count — the
+    * tuned default for a [[writeTrainedIvfIndex]] √N layout (the
+    * centroid frame is ≤ nlist rows, so the resolving count is a
+    * metadata-scale job, the AutoBeam pattern). */
+  val AutoProbe: Int = -1
+
   def ivfIndexed(spark: SparkSession, dir: String, indexPath: String,
                  k: Int = K, centroids: Option[DataFrame] = None,
                  nProbe: Int = NProbe): DataFrame = {
     // default: the index's own stored `_cent` (self-contained serving;
     // a pre-_cent layout falls back to the corpus-fixed seeds)
     val cent = centroids.getOrElse(indexCentroids(spark, dir, indexPath))
+    val np = if (nProbe > 0) nProbe else sqrtProbeCount(cent.count().toInt)
     val idx = spark.read.parquet(indexPath)
     val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
       .groupBy("q_id")
       .agg(
         graft.functions.TopKAgg.topKBy(
-          dot(col("q_vec"), col("c_vec")), col("c_id"), nProbe).as("tk"),
+          dot(col("q_vec"), col("c_vec")), col("c_id"), np).as("tk"),
         first(col("q_vec")).as("q_vec"))
       .select(col("q_id"), col("q_vec"), explode(col("tk")).as("e"))
       .select(col("q_id"), col("q_vec"), col("e.id").as("c_id"))
@@ -577,6 +585,25 @@ object Ann {
       .select(col("c_id"),
         transform(col("c_vec"), x => x.cast("float")).as("c_vec"))
     ivf(spark, dir, k, centroids = Some(cent), nProbe = sqrtProbeCount(kCent))
+  }
+
+  /** The √N configuration as a PERSISTED serving layout (the
+    * [[ivfSqrtN]] plan's deployment twin): fit ⌈√N⌉ spherical
+    * centroids once, build the partitioned [[writeIvfIndex]] (which
+    * stores them as `_cent`), and every later [[ivfIndexed]] call
+    * with `nProbe = AutoProbe` probes √nlist cells of the stored
+    * grid — fit and full-corpus assignment paid once, measured at
+    * 200 k as recall 1.000 at a 4.9% per-query scan fraction
+    * (tools.IvfProbe). */
+  def writeTrainedIvfIndex(spark: SparkSession, dir: String, out: String,
+                           iters: Int = 2): Unit = {
+    val docsEmb = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") >= Knn.NQueries)
+    val kCent = sqrtCentroidCount(docsEmb.count())
+    val cent = fitCentroids(docsEmb, kCent, iters, spherical = true)
+      .select(col("c_id"),
+        transform(col("c_vec"), x => x.cast("float")).as("c_vec"))
+    writeIvfIndex(spark, dir, out, centroids = Some(cent))
   }
 
   /** Lloyd k-means fit over an embedding frame: each iteration is one

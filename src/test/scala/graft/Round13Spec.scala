@@ -94,6 +94,23 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("trained sqrt-N index: AutoProbe resolves from the stored grid") {
+    val dir = tempDir("graft-trainedivf")
+    sources.DataGen.embeddings(spark, 4000L).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val idx = s"$dir/idx"
+    Ann.writeTrainedIvfIndex(spark, dir, idx) // kCent=64, auto nprobe=8
+    val nCent = spark.read.parquet(s"$idx/_cent").count().toInt
+    nCent shouldBe Ann.sqrtCentroidCount(4000L - Knn.NQueries)
+    val auto = Ann.ivfIndexed(spark, dir, idx, nProbe = Ann.AutoProbe)
+      .collect().map(_.toString).toSet
+    val explicit = Ann.ivfIndexed(spark, dir, idx,
+        nProbe = Ann.sqrtProbeCount(nCent))
+      .collect().map(_.toString).toSet
+    auto shouldBe explicit
+    auto should not be empty
+  }
+
   test("widened nprobe sweep brackets the knee: recall 1.0 at nprobe = NCentroids") {
     val rows = operators.Eval.annRecallIvfSweep(spark, sfDir).collect()
     rows.map(_.getLong(0)) shouldBe operators.Eval.SweepProbes.map(_.toLong).toArray
