@@ -436,6 +436,9 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
       p should not include "percentile"
       p should not include "Percentile"
       p.toLowerCase should include("partial_count")
+      // histogram shuffle + one keys shuffle (windows and the final
+      // groupBy share it) + the presentation sort's range exchange
+      "Exchange".r.findAllIn(p).size should be <= 3
     }
   }
 }
