@@ -66,11 +66,13 @@ object SparkEntry {
     "ann_sq8_search" -> ((s, d) => Ann.sq8Search(s, d)),
     "ann_sq8_indexed" -> ((s, d) => Ann.sq8ViaIndex(s, d)),
     // √N-centroid IVF (Lloyd-trained nlist ≈ √N, nprobe ≈ √nlist) —
-    // the deployment sizing rule as a runnable query. The fit is
-    // iterative, so no SQL oracle (rows-only driver check);
-    // Round13Spec pins determinism/shape/recall, IvfProbe the
-    // decade-scale recall + pruning numbers.
-    "ann_ivf_sqrtn" -> ((s, d) => Ann.ivfSqrtN(s, d)),
+    // the deployment sizing rule as a runnable query, in its SERVING
+    // split: memoized trained-layout build, stored-grid AutoProbe
+    // search (bit-identical to the in-plan Ann.ivfSqrtN, spec'd). The
+    // fit is iterative, so no SQL oracle (rows-only driver check);
+    // Round13Spec pins determinism/shape/recall/equality, IvfProbe
+    // the decade-scale recall + pruning numbers.
+    "ann_ivf_sqrtn" -> ((s, d) => Ann.ivfSqrtNViaIndex(s, d)),
     // NN-Descent graph ANN: iterative build — not SQL-expressible, so
     // no oracleSql entry; the driver records the weaker rows-only
     // check (per the contract) and KnnGraphSpec carries the recall/

@@ -606,6 +606,24 @@ object Ann {
     writeIvfIndex(spark, dir, out, centroids = Some(cent))
   }
 
+  // trained √N layouts memoized per (app, dir) — the
+  // graft.Cleanup.memoizedBuild contract shared by all scratch indexes
+  private val trainedIvfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  /** [[ivfIndexed]] with [[AutoProbe]] over a memoized
+    * [[writeTrainedIvfIndex]] layout — the registered `ann_ivf_sqrtn`
+    * query shape (rows-only; the iterative fit has no SQL oracle):
+    * first call fits + builds, every later call is the stored-grid
+    * probe alone — the serving split every other *_indexed query
+    * follows, and bit-identical to the in-plan [[ivfSqrtN]]
+    * (Round13Spec: same sampled fit, same grid, same probe count). */
+  def ivfSqrtNViaIndex(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    ivfIndexed(spark, dir,
+      graft.Cleanup.memoizedBuild(trainedIvfCache, spark, dir,
+        "graft-trainedivf")(writeTrainedIvfIndex(spark, dir, _)),
+      k, nProbe = AutoProbe)
+
   /** Lloyd k-means fit over an embedding frame: each iteration is one
     * broadcast-assign + one groupBy-mean (two shuffle-free/one-shuffle
     * stages) — the scale path for real centroid training. Returns

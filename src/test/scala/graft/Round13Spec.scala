@@ -94,6 +94,13 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("registered sqrt-N query (stored layout) equals the in-plan form bit-identically") {
+    // the serving split must change the PLAN, never the answer: same
+    // sampled fit, same spherical grid, same auto probe count
+    Ann.ivfSqrtNViaIndex(spark, sfDir).collect().map(_.toString).toSet shouldBe
+      Ann.ivfSqrtN(spark, sfDir).collect().map(_.toString).toSet
+  }
+
   test("trained sqrt-N index: AutoProbe resolves from the stored grid") {
     val dir = tempDir("graft-trainedivf")
     sources.DataGen.embeddings(spark, 4000L).write.mode("overwrite")
