@@ -185,6 +185,124 @@ case class TopKByScore(
     copy(score = newChildren(0), id = newChildren(1))
 }
 
+/** Per-group state for [[FrontierTopK]]: the id→score map of every
+  * UNEXPANDED visited node plus the set of already-expanded ids. The
+  * map mirrors [[TopKBuffer.addDistinct]]'s keep-first-unless-strictly-
+  * better rule (revisits rescore identically, so this is a dedupe, not
+  * a choice); an expansion marker removes its id for good — a later
+  * re-discovery of an expanded node must NOT re-enter the frontier
+  * (ef-search's pop-at-most-once), regardless of the order rows reach
+  * the aggregate. Size is the per-group distinct visited set — exactly
+  * the rows the anti-join formulation shuffled anyway. */
+final class FrontierBuffer {
+  import scala.collection.mutable
+  val cand = mutable.LongMap.empty[Double]
+  val expanded = mutable.LongMap.empty[Unit]
+
+  def visit(id: Long, score: Double): Unit =
+    if (!expanded.contains(id) &&
+        (!cand.contains(id) || score > cand(id)))
+      cand.update(id, score)
+
+  def expand(id: Long): Unit = {
+    expanded.update(id, ())
+    cand.subtractOne(id)
+  }
+}
+
+/** frontier_topk(score, id, x, k): the beam-search frontier in ONE
+  * aggregation — the k best visited-but-not-yet-expanded nodes per
+  * group, fed directly by the walk's tagged state frame (visited rows
+  * x=false carry scores, expansion markers x=true carry null). Replaces
+  * the anti-join formulation
+  * `visited.join(markers, Seq(q_id,id), "left_anti").groupBy(q_id).agg(topKByDistinct)`
+  * — which shuffled BOTH state splits on (q_id,id) and then shuffled
+  * the survivors again on q_id — with one partial-aggregated pass over
+  * the state (no pre-join, one exchange). Output type and ordering are
+  * identical to [[TopKAgg.topKByDistinct]] over the anti-joined pool
+  * (asserted bit-equal in KnnGraphSpec).
+  */
+case class FrontierTopK(
+    score: Expression,
+    id: Expression,
+    x: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[FrontierBuffer] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(score, id, x)
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(DoubleType, LongType, BooleanType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (k < 1) TypeCheckResult.TypeCheckFailure(s"k must be >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): FrontierBuffer = new FrontierBuffer
+
+  override def update(buf: FrontierBuffer, input: InternalRow): FrontierBuffer = {
+    val xi = x.eval(input)
+    val ii = id.eval(input)
+    if (xi != null && ii != null) {
+      if (xi.asInstanceOf[Boolean]) buf.expand(ii.asInstanceOf[Long])
+      else {
+        val s = score.eval(input)
+        if (s != null) buf.visit(ii.asInstanceOf[Long], s.asInstanceOf[Double])
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: FrontierBuffer, other: FrontierBuffer): FrontierBuffer = {
+    other.expanded.foreachKey(buf.expand)
+    other.cand.foreachEntry((i, s) => buf.visit(i, s))
+    buf
+  }
+
+  override def eval(buf: FrontierBuffer): Any = {
+    val heap = new TopKBuffer(k)
+    buf.cand.foreachEntry((i, s) => heap.add(s, i))
+    new GenericArrayData(heap.sorted.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: FrontierBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.expanded.size)
+    buf.expanded.foreachKey(out.writeLong)
+    out.writeInt(buf.cand.size)
+    buf.cand.foreachEntry { (i, s) => out.writeLong(i); out.writeDouble(s) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): FrontierBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new FrontierBuffer
+    var n = in.readInt()
+    while (n > 0) { buf.expand(in.readLong()); n -= 1 }
+    n = in.readInt()
+    while (n > 0) { buf.visit(in.readLong(), in.readDouble()); n -= 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FrontierTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FrontierTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): FrontierTopK =
+    copy(score = newChildren(0), id = newChildren(1), x = newChildren(2))
+}
+
 object TopKAgg {
   /** Column form: array<struct<score,id>> of the k best rows per group. */
   def topKBy(score: Column, id: Column, k: Int): Column =
@@ -202,5 +320,15 @@ object TopKAgg {
     Bridge.column(
       TopKByScore(Bridge.expression(score), Bridge.expression(id), k,
         distinct = true)
+        .toAggregateExpression())
+
+  /** Column form of [[FrontierTopK]]: the k best (score desc, id asc)
+    * visited-and-not-expanded ids per group, straight off the walk's
+    * tagged state frame — the anti-join + distinct-top-k pair fused
+    * into one aggregation pass. */
+  def frontierTopK(score: Column, id: Column, x: Column, k: Int): Column =
+    Bridge.column(
+      FrontierTopK(Bridge.expression(score), Bridge.expression(id),
+        Bridge.expression(x), k)
         .toAggregateExpression())
 }

@@ -394,19 +394,17 @@ object KnnGraph {
       .localCheckpoint(true)
     for (hop <- 1 to hops) {
       // frontier = the best `beam` not-yet-expanded visited nodes per
-      // query. `visited` accumulates duplicate (q_id, id) rows across
-      // hops — rescoring a revisit yields the identical cosine, so the
-      // id-distinct heap dedupes for free here and again at the final
-      // top-k, and no per-hop groupBy(q_id, id) shuffle runs at all.
-      val visited = state.filter(!col("x")).select("q_id", "id", "score")
-      val pool =
-        if (hop == 1) visited
-        else visited.join(
-          state.filter(col("x")).select("q_id", "id"),
-          Seq("q_id", "id"), "left_anti")
-      val frontier = pool
+      // query, in ONE aggregation pass over the tagged state
+      // ([[TopKAgg.frontierTopK]]): visited rows feed the id-distinct
+      // heap (rescoring a revisit yields the identical cosine, so the
+      // buffer's map dedupes for free), expansion markers delete their
+      // id order-independently. The anti-join formulation this fuses
+      // shuffled both state splits on (q_id, id) and the survivors
+      // again on q_id — two exchanges and a sort-merge join per hop
+      // that the aggregate's partial pass doesn't need.
+      val frontier = state
         .groupBy("q_id")
-        .agg(TopKAgg.topKByDistinct(col("score"), col("id"), bw).as("tk"))
+        .agg(TopKAgg.frontierTopK(col("score"), col("id"), col("x"), bw).as("tk"))
         .select(col("q_id"), explode(col("tk")).as("e"))
         .select(col("q_id"), col("e.id").as("id"))
       val expansion = frontier

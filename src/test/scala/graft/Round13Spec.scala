@@ -118,6 +118,54 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
     auto should not be empty
   }
 
+  test("frontierTopK ≡ anti-join + distinct top-k over the tagged state") {
+    // the fused frontier aggregate must be BIT-equal to the two-shuffle
+    // reference formulation it replaced (visited \ markers → top-k),
+    // including: duplicate visited rows, a marker arriving for an id
+    // with and without visited rows, a marker-then-revisit (the
+    // expanded id must never re-enter), and score ties broken by id
+    val s = spark
+    import s.implicits._
+    val state = Seq(
+      // (q_id, id, score, x)
+      (1L, 10L, Some(0.9), false),
+      (1L, 10L, Some(0.9), false),          // duplicate revisit
+      (1L, 11L, Some(0.8), false),
+      (1L, 12L, Some(0.8), false),          // tie with 11 → id asc
+      (1L, 13L, Some(0.7), false),
+      (1L, 10L, None, true),                // marker: 10 expanded
+      (1L, 99L, None, true),                // marker with no visited row
+      (1L, 10L, Some(0.9), false),          // revisit AFTER marker
+      (2L, 20L, Some(0.5), false),
+      (2L, 21L, Some(0.6), false)
+    ).map { case (q, i, sc, x) => (q, i, sc.getOrElse(Double.NaN), sc.isDefined, x) }
+      .toDF("q_id", "id", "_s", "_def", "x")
+      .select(col("q_id"), col("id"),
+        when(col("_def"), col("_s")).as("score"), col("x"))
+      .repartition(4) // force partial/merge paths
+    val k = 3
+    val fused = state.groupBy("q_id")
+      .agg(functions.TopKAgg.frontierTopK(col("score"), col("id"), col("x"), k).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.score").as("score"), col("e.id").as("id"))
+      .collect().map(_.toString).sorted
+    val visited = state.filter(!col("x")).select("q_id", "id", "score")
+    val reference = visited.join(
+        state.filter(col("x")).select("q_id", "id"),
+        Seq("q_id", "id"), "left_anti")
+      .groupBy("q_id")
+      .agg(functions.TopKAgg.topKByDistinct(col("score"), col("id"), k).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.score").as("score"), col("e.id").as("id"))
+      .collect().map(_.toString).sorted
+    fused shouldBe reference
+    // and the walk that rides it still returns exactly k ranked rows
+    // per query with ranks 1..k (the searchOrdered contract)
+    val res = operators.KnnGraph.searchOrdered(spark, sfDir)
+    val nq = Knn.querySet(spark, sfDir).count()
+    res.count() shouldBe nq * Knn.K
+  }
+
   test("widened nprobe sweep brackets the knee: recall 1.0 at nprobe = NCentroids") {
     val rows = operators.Eval.annRecallIvfSweep(spark, sfDir).collect()
     rows.map(_.getLong(0)) shouldBe operators.Eval.SweepProbes.map(_.toLong).toArray
