@@ -16,10 +16,28 @@ object Bucketing {
     * Bucket counts must match across join sides (Spark can coalesce
     * differing counts only when one divides the other). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    nBuckets: Int): Unit =
+                    nBuckets: Int): Unit = {
+    reclaimOrphanedLocation(df.sparkSession, table)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
+  }
+
+  /** Crash recovery for managed-table (re)builds: a run that died
+    * between CREATE's directory write and its catalog commit — or a
+    * catalog lost with its JVM while the warehouse persisted — leaves
+    * an orphaned location that makes every later CREATE fail with
+    * LOCATION_ALREADY_EXISTS. A rebuild is an overwrite by intent, so
+    * when the catalog has NO table but its default location exists,
+    * delete the leftover. Never touches the location of a live
+    * catalog table. */
+  def reclaimOrphanedLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
 
   /** In-place compaction of a bucketed table — the maintenance twin of
     * [[graft.operators.Ann.compactIvfIndex]] for the OTHER serving

@@ -308,6 +308,32 @@ object KnnGraph {
     * an explicit positive beam is taken as-is; the sentinel resolves to
     * max([[Beam]], ⌈√N⌉) — sub-linear per-query cost that keeps recall
     * at decade scale (0.715@200k vs 0.43 at fixed 64, SURVEY §2). */
+  /** One row per (node, band): the node's LSH band bucket ids plus the
+    * skew-capping sub-slice — the query-adaptive ENTRY TABLE of the
+    * walk. Derivable from the node vectors, but at serving scale it is
+    * index content: [[writeGraphIndex]] persists it partitioned by bkt
+    * so a search scans only its own queries' band directories (DPP),
+    * instead of re-scanning + re-hashing the corpus per batch. */
+  def nodeBands(nodes: DataFrame, subCount: Long): DataFrame =
+    nodes.withColumn("_sig", Ann.signature(col("vec")))
+      .select(col("id"), bandsOf(col("_sig")).as("bkt"))
+      .withColumn("sub", pmod(xxhash64(lit(424242L), col("bkt"), col("id")),
+        lit(subCount)))
+
+  /** The (bucket·100 + band) ids of a signature — same banding as the
+    * build init. */
+  private def bandsOf(c: Column): Column = explode(array(
+    (0 until Ann.NBands).map(bb =>
+      shiftright(c, Ann.BandBits * bb)
+        .bitwiseAND((1 << Ann.BandBits) - 1) * 100 + bb): _*))
+
+  /** Sub-slices per band bucket at corpus size n: keeps each entry
+    * slice ≈ seedGroup nodes, so per-query entry volume is constant
+    * in N. Frozen at build time for a persisted index (stored in
+    * `_meta`). */
+  def subCountOf(n: Long, seedGroup: Int = SeedGroup): Long =
+    math.max(1L, n / ((1L << Ann.BandBits) * seedGroup))
+
   def resolveBeam(beam: Int, n: Long): Int =
     if (beam > 0) beam
     else math.max(Beam, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -319,14 +345,20 @@ object KnnGraph {
   def graphSearch(queries: DataFrame, emb0: DataFrame, edges: DataFrame,
                   k: Int = Knn.K, beam: Int = AutoBeam, hops: Int = Hops,
                   nSeeds: Int = NSeeds, nHint: Long = -1L,
-                  seedGroup: Int = SeedGroup): DataFrame = {
+                  seedGroup: Int = SeedGroup,
+                  entriesHint: Option[DataFrame] = None,
+                  seedsHint: Option[DataFrame] = None,
+                  subCountHint: Long = -1L): DataFrame = {
     val emb = emb0.select(col("id"), col("vec"))
     // fixed entry points (index metadata): the nSeeds smallest node
     // ids. DISTINCT ids, not rows — an at-least-once ingest can leave
     // duplicate node rows (see annIngestStream), and a plain
     // orderBy+limit over duplicates would silently shrink the distinct
-    // entry-point set and change exploration
-    val seeds = emb.select(col("id")).distinct().orderBy("id").limit(nSeeds)
+    // entry-point set and change exploration. A persisted index
+    // carries the seed set in `_meta` (seedsHint) — the ad-hoc path
+    // derives it here, once.
+    val seeds = seedsHint.getOrElse(
+      emb.select(col("id")).distinct().orderBy("id").limit(nSeeds))
     // query-ADAPTIVE entry points (the HNSW descend-to-the-right-
     // region analog, batch form): each query also enters the graph at
     // a bounded LSH slice of each of its band buckets — the same
@@ -345,23 +377,26 @@ object KnnGraph {
     // resolve the AutoBeam sentinel from the corpus size this search
     // already computes for the entry-slice split (see [[Beam]])
     val bw = resolveBeam(beam, n)
-    val bucketsPerBand = 1L << Ann.BandBits
-    val subCount = math.max(1L, n / (bucketsPerBand * seedGroup))
-    def bands(c: Column): Column = explode(array(
-      (0 until Ann.NBands).map(bb =>
-        shiftright(c, Ann.BandBits * bb)
-          .bitwiseAND((1 << Ann.BandBits) - 1) * 100 + bb): _*))
-    val dBand = emb
-      .withColumn("_sig", Ann.signature(col("vec")))
-      .select(col("id"), bands(col("_sig")).as("bkt"))
-      .withColumn("sub", pmod(xxhash64(lit(424242L), col("bkt"), col("id")),
-        lit(subCount)))
+    // the sub-slice split is FROZEN at index-build time for a
+    // persisted layout (subCountHint): queries must split the same
+    // way the stored band table was split, across appends — the same
+    // frozen-fit contract as the IVF `_cent` grid
+    val subCount =
+      if (subCountHint > 0) subCountHint else subCountOf(n, seedGroup)
+    // the banded node table is INDEX CONTENT, not per-search work: a
+    // persisted layout stores it partitioned by bkt (entriesHint —
+    // the query side then prunes to its own band directories via DPP,
+    // the writeIvfIndex pattern); the ad-hoc path computes it here,
+    // one corpus scan per call.
+    val dBand = entriesHint.getOrElse(nodeBands(emb, subCount))
     val qBand = queries
       .withColumn("_sig", Ann.signature(col("q_vec")))
-      .select(col("q_id"), bands(col("_sig")).as("bkt"))
+      .select(col("q_id"), bandsOf(col("_sig")).as("bkt"))
       .withColumn("sub", pmod(xxhash64(lit(515151L), col("bkt"), col("q_id")),
         lit(subCount)))
-    val lshEntries = dBand.join(broadcast(qBand), Seq("bkt", "sub"))
+    val lshEntries = dBand
+      .select(col("id"), col("bkt").cast("long").as("bkt"), col("sub"))
+      .join(broadcast(qBand), Seq("bkt", "sub"))
       .select(col("q_id"), col("id"))
     def score(cand: DataFrame): DataFrame =
       cand.join(emb, Seq("id"))
@@ -489,48 +524,100 @@ object KnnGraph {
       .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
     Bucketing.writeBucketed(buildGraph(nodes), s"${name}_edges", "src", nBuckets)
     Bucketing.writeBucketed(nodes, s"${name}_nodes", "id", nBuckets)
-    writeGraphMeta(spark, name, nodes.count(), overwrite = true)
+    val n = nodes.count()
+    val subCount = subCountOf(n)
+    // the walk's ENTRY TABLE is index content too (r13): persisted
+    // partitioned by bkt (≤ 2^BandBits·NBands directories), so a
+    // serving search's broadcast query-band side prunes the scan to
+    // its own band directories (DPP — the writeIvfIndex pattern)
+    // instead of re-scanning and re-hashing the whole node table on
+    // EVERY batch
+    Bucketing.reclaimOrphanedLocation(spark, s"${name}_bands")
+    nodeBands(nodes, subCount).write.mode("overwrite").format("parquet")
+      .partitionBy("bkt").saveAsTable(s"${name}_bands")
+    val seedIds = nodes.select(col("id")).distinct().orderBy("id")
+      .limit(NSeeds).collect().map(_.getLong(0)).toSeq
+    writeGraphMeta(spark, name, n, subCount, seedIds, overwrite = true)
   }
 
-  /** Node-count metadata row(s) for a [[writeGraphIndex]] layout — the
-    * `_fit`/`_vocab` convention applied to the one scalar the serving
-    * search needs (√N auto-beam + entry-slice split): the build writes
-    * one row, every [[appendToGraphIndex]] batch appends its own, and
-    * the reader sums. Keeping N in the index means [[searchIndexed]]
-    * never runs a counting job over the node table (VERDICT r12
-    * §next-2) — at bench sizes a parquet count is a metadata read, but
-    * at 100 TB a per-search corpus scan is a serving-path defect. */
+  /** Metadata row(s) for a [[writeGraphIndex]] layout — the
+    * `_fit`/`_vocab` convention applied to everything the serving
+    * search would otherwise scan the corpus for: node count (√N
+    * auto-beam), the FROZEN sub-slice split, and the fixed seed ids.
+    * The build writes the one full row; every [[appendToGraphIndex]]
+    * batch appends a count-only row and the reader sums counts. At
+    * bench sizes these are metadata reads; at 100 TB a per-search
+    * corpus scan is a serving-path defect (VERDICT r12 §next-2). */
   private def writeGraphMeta(spark: SparkSession, name: String, n: Long,
+                             subCount: Long, seeds: Seq[Long],
                              overwrite: Boolean): Unit = {
     import spark.implicits._
-    Seq(n).toDF("n").write
-      .mode(if (overwrite) "overwrite" else "append")
+    val df = Seq((n, Option(subCount).filter(_ > 0), Option(seeds)))
+      .toDF("n", "sub_count", "seeds")
+    // appends into a pre-bands single-column layout keep its schema
+    val out =
+      if (!overwrite && spark.catalog.tableExists(s"${name}_meta") &&
+          !spark.table(s"${name}_meta").columns.contains("sub_count"))
+        df.select("n")
+      else df
+    if (overwrite) Bucketing.reclaimOrphanedLocation(spark, s"${name}_meta")
+    out.write.mode(if (overwrite) "overwrite" else "append")
       .format("parquet").saveAsTable(s"${name}_meta")
   }
 
+  /** Everything [[searchIndexed]] needs from `_meta`: summed node
+    * count, the build-time sub-slice split, and the seed ids — old
+    * layouts (or a missing table) degrade field-by-field to the
+    * derive-it-from-the-corpus fallbacks. Appended counts can
+    * over-count after an at-least-once replay; they only size the √N
+    * beam, where drift is benign. */
+  final case class GraphMeta(n: Long, subCount: Long, seeds: Option[Seq[Long]])
+
+  def readGraphMetaFull(spark: SparkSession,
+                        name: String = "graft_graph"): GraphMeta =
+    if (!spark.catalog.tableExists(s"${name}_meta")) GraphMeta(-1L, -1L, None)
+    else {
+      val t = spark.table(s"${name}_meta")
+      val n = t.agg(coalesce(sum("n"), lit(-1L))).head.getLong(0)
+      if (!t.columns.contains("sub_count")) GraphMeta(n, -1L, None)
+      else {
+        val build = t.filter(col("sub_count").isNotNull)
+          .select("sub_count", "seeds").collect()
+        if (build.isEmpty) GraphMeta(n, -1L, None)
+        else GraphMeta(n, build.head.getLong(0),
+          Option(build.head.getSeq[Long](1)))
+      }
+    }
+
   /** Total node count recorded in the index's `_meta` table, or -1 for
     * a pre-meta layout (the search then falls back to counting — the
-    * old behavior, never a wrong answer). Appends are summed, so after
-    * an at-least-once replay the figure can over-count; it only sizes
-    * the √N beam and the entry-slice split, where drift is benign. */
+    * old behavior, never a wrong answer). */
   def readGraphMeta(spark: SparkSession, name: String = "graft_graph"): Long =
-    if (!spark.catalog.tableExists(s"${name}_meta")) -1L
-    else spark.table(s"${name}_meta")
-      .agg(coalesce(sum("n"), lit(-1L))).head.getLong(0)
+    readGraphMetaFull(spark, name).n
 
   /** Batch beam search over a [[writeGraphIndex]] layout. Identical
     * results to [[search]] over the same corpus (asserted in
     * KnnGraphSpec); the difference is the plan — the edge and node
-    * sides are read pre-bucketed, so no index-side shuffle runs, and
-    * N comes from the index's `_meta` (one tiny-table read), so the
-    * only jobs touching the node table are its hop joins. */
+    * sides are read pre-bucketed (no index-side shuffle), N, the
+    * sub-split and the seeds come from `_meta` (tiny-table reads),
+    * and the LSH entry join reads the persisted band table pruned to
+    * the queries' own band directories — so the only per-batch jobs
+    * touching corpus-sized data are the hop joins themselves. */
   def searchIndexed(spark: SparkSession, dir: String,
-                    name: String = "graft_graph", k: Int = Knn.K): DataFrame =
+                    name: String = "graft_graph", k: Int = Knn.K): DataFrame = {
+    import spark.implicits._
+    val meta = readGraphMetaFull(spark, name)
     graphSearch(
       Knn.querySet(spark, dir).select(col("q_id"), col("q_vec")),
       spark.table(s"${name}_nodes"),
       spark.table(s"${name}_edges"), k,
-      nHint = readGraphMeta(spark, name))
+      nHint = meta.n,
+      entriesHint =
+        if (spark.catalog.tableExists(s"${name}_bands"))
+          Some(spark.table(s"${name}_bands")) else None,
+      seedsHint = meta.seeds.map(_.toDF("id")),
+      subCountHint = meta.subCount)
+  }
 
   /** Incremental maintenance — the serving-side insert path, HNSW's
     * insertion rule expressed batch-wise: the WHOLE new batch
@@ -547,11 +634,18 @@ object KnnGraph {
   def appendToGraphIndex(spark: SparkSession, newNodes: DataFrame,
                          name: String = "graft_graph",
                          nBuckets: Int = IndexBuckets, k: Int = K): Unit = {
+    import spark.implicits._
     val nn = newNodes.select(col("id"), col("vec"))
+    val meta = readGraphMetaFull(spark, name)
     val res = graphSearch(
       nn.select(col("id").as("q_id"), col("vec").as("q_vec")),
       spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"), k,
-      nHint = readGraphMeta(spark, name))
+      nHint = meta.n,
+      entriesHint =
+        if (spark.catalog.tableExists(s"${name}_bands"))
+          Some(spark.table(s"${name}_bands")) else None,
+      seedsHint = meta.seeds.map(_.toDF("id")),
+      subCountHint = meta.subCount)
       // if a node id is already in the index (an at-least-once replay),
       // its best match is itself — never append self-loops
       .filter(col("q_id") =!= col("id"))
@@ -561,9 +655,19 @@ object KnnGraph {
       .bucketBy(nBuckets, "src").sortBy("src").saveAsTable(s"${name}_edges")
     nn.write.mode("append").format("parquet")
       .bucketBy(nBuckets, "id").sortBy("id").saveAsTable(s"${name}_nodes")
+    // the batch enters the entry table too, banded under the FROZEN
+    // build-time sub-split — without this, a later search could never
+    // ENTER at an appended node, only walk to it
+    if (spark.catalog.tableExists(s"${name}_bands")) {
+      val subCount =
+        if (meta.subCount > 0) meta.subCount else subCountOf(meta.n)
+      nodeBands(nn, subCount).write.mode("append").format("parquet")
+        .partitionBy("bkt").saveAsTable(s"${name}_bands")
+    }
     // maintain the index's node count alongside the nodes themselves
     // (the batch scan here is over the BATCH, not the index)
-    writeGraphMeta(spark, name, nn.count(), overwrite = false)
+    writeGraphMeta(spark, name, nn.count(), subCount = -1L, seeds = null,
+      overwrite = false)
   }
 
   /** Mean overlap@k of graph search vs the exact cosine top-k — the

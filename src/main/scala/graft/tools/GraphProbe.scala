@@ -13,6 +13,8 @@ object GraphProbe {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_PROBE_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.operators.{Knn, KnnGraph}
@@ -38,6 +40,58 @@ object GraphProbe {
         val hits = res.join(exact, Seq("q_id", "doc_id")).count()
         println(f"[probe] pass$pass search $searchSec%.2f s recall@${Knn.K}=${hits.toDouble / exact.count()}%.3f")
       }
+      spark.stop(); return
+    }
+    // jobs mode: count Spark jobs/stages/tasks and their wall during
+    // ONE warm search — separates scheduling floor from real work
+    if (args.length >= 2 && args(1) == "jobs") {
+      val docs0 = Knn.docSet(spark, dir)
+        .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+      val g = KnnGraph.buildGraph(docs0).localCheckpoint(true)
+      g.count()
+      val q = Knn.querySet(spark, dir).select(col("q_id"), col("q_vec"))
+      def runOnce(): Unit =
+        KnnGraph.graphSearch(q, docs0, g, Knn.K).count()
+      runOnce() // warm codegen
+      import org.apache.spark.scheduler._
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val stages = new java.util.concurrent.atomic.AtomicInteger
+      val tasks = new java.util.concurrent.atomic.AtomicInteger
+      val jobNanos = new java.util.concurrent.atomic.AtomicLong
+      val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+      val l = new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); starts(e.jobId) = System.nanoTime()
+        }
+        override def onJobEnd(e: SparkListenerJobEnd): Unit =
+          starts.remove(e.jobId).foreach(t0 =>
+            jobNanos.addAndGet(System.nanoTime() - t0))
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(e.stageInfo.numTasks)
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      runOnce()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000) // let the listener bus drain
+      println(f"[probe] warm search wall $wall%.2f s: jobs=${jobs.get} " +
+        f"stages=${stages.get} tasks=${tasks.get} jobWall=${jobNanos.get / 1e9}%.2f s")
+      // same counters for the persisted serving path (searchIndexed)
+      Seq("edges", "nodes", "meta", "bands").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS gprobe_$s"))
+      KnnGraph.writeGraphIndex(spark, dir, name = "gprobe")
+      KnnGraph.searchIndexed(spark, dir, "gprobe").count() // warm
+      jobs.set(0); stages.set(0); tasks.set(0); jobNanos.set(0)
+      val t1 = System.nanoTime()
+      KnnGraph.searchIndexed(spark, dir, "gprobe").count()
+      val wallI = (System.nanoTime() - t1) / 1e9
+      Thread.sleep(1000)
+      println(f"[probe] warm INDEXED search wall $wallI%.2f s: jobs=${jobs.get} " +
+        f"stages=${stages.get} tasks=${tasks.get} jobWall=${jobNanos.get / 1e9}%.2f s")
+      Seq("edges", "nodes", "meta", "bands").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS gprobe_$s"))
       spark.stop(); return
     }
     // sweep mode: build ONCE, then measure recall for a list of

@@ -217,6 +217,7 @@ class KnnGraphSpec extends AnyFunSuite with Matchers with SharedSpark {
       spark.sql("DROP TABLE IF EXISTS gidx_edges")
       spark.sql("DROP TABLE IF EXISTS gidx_nodes")
       spark.sql("DROP TABLE IF EXISTS gidx_meta")
+      spark.sql("DROP TABLE IF EXISTS gidx_bands")
     }
   }
 

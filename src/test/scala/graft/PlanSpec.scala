@@ -139,9 +139,27 @@ class PlanSpec extends AnyFunSuite with Matchers with SharedSpark {
       "Exchange".r.findAllIn(p).length shouldBe 1
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    // the persisted ENTRY table: the lshEntries-shaped join against
+    // the bkt-partitioned band table must carry a runtime pruning
+    // subquery — a serving batch reads only its own queries' band
+    // directories, never the full entry table (the ivfIndexed DPP
+    // contract, applied to the graph index)
+    try {
+      val bands = spark.table("gidx_plan_bands")
+        .select(col("id"), col("bkt").cast("long").as("bkt"), col("sub"))
+      val qb = graft.operators.Knn.querySet(spark, sfDir)
+        .select(col("q_id"),
+          explode(array(lit(3L), lit(104L))).as("bkt"),
+          lit(0L).as("sub"))
+      val pe = plan(bands.join(broadcast(qb), Seq("bkt", "sub"))
+        .select(col("q_id"), col("id")))
+      pe.toLowerCase should include("dynamicpruning")
+    } finally {
       spark.sql("DROP TABLE IF EXISTS gidx_plan_edges")
       spark.sql("DROP TABLE IF EXISTS gidx_plan_nodes")
       spark.sql("DROP TABLE IF EXISTS gidx_plan_meta")
+      spark.sql("DROP TABLE IF EXISTS gidx_plan_bands")
     }
   }
 
