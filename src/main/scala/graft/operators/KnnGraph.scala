@@ -61,9 +61,10 @@ import graft.functions._
   * same signatures) and — with the r10 RobustPrune edge
   * diversification, the √N auto-beam (see [[Beam]]) and the r13
   * expand-once frontier (ef-search's pop-at-most-once, see
-  * [[graphSearch]]) — 0.850 at the 200 k-node clustered decade
-  * corpus at default hops (0.895 at hops=12; 0.42 in r8; IVF reads
-  * 0.99 there by scanning whole cells exactly and remains this
+  * [[graphSearch]]) and every-round diversification
+  * ([[DiversifyRounds]], r13) — 0.910 at the 200 k-node clustered
+  * decade corpus at default hops (0.935 at hops=12; 0.42 in r8; IVF
+  * reads 0.99 there by scanning whole cells exactly and remains this
   * library's primary serving path). Beam/Hops are the ef-analog
   * tuning knobs; per-query cost is O(√N) under the auto-beam,
   * constant in N at any fixed beam.
@@ -89,8 +90,9 @@ object KnnGraph {
     * neighborhood size (∝√N under the clustered-growth regime the
     * decade corpus models), not with hops. Measured there (diversified
     * graph, hops=8): beam 64 → 0.43 recall@10, 256 → 0.605, √N≈448 →
-    * 0.715 — and 0.850 once the walk expands each node at most once
-    * (the r13 ef-search fix in [[graphSearch]]; 0.895 at hops=12).
+    * 0.715 — 0.850 once the walk expands each node at most once (the
+    * r13 ef-search fix in [[graphSearch]]) and 0.910 with every build
+    * round diversified ([[DiversifyRounds]]; 0.935 at hops=12).
     * Per-query cost is O(beam·degree·hops) = O(√N) — sub-linear, vs
     * IVF's nprobe·N/√N = O(√N) scan. */
   val Beam = 64
@@ -226,11 +228,25 @@ object KnnGraph {
     topKEdges(lshProposals.union(randProposals), k)
   }
 
+  /** Refinement rounds that RobustPrune-diversify their keep (the
+    * rest keep a plain nearest top-k). Default: every round — the
+    * DiskANN shape, where each pass prunes with the α rule. Measured
+    * at the 200 k clustered decade corpus (GraphProbe sweep2, r13):
+    * search recall@10 at unchanged walk defaults is 0.850 (dr=1) →
+    * 0.870 (2) → 0.890 (3) → **0.910 (4)** with build wall and
+    * per-search cost UNCHANGED (the prune replaces the top-k
+    * aggregate, same shuffle count) and small-corpus search recall
+    * flat (1.000 / 0.985 at 480 / 2 k nodes under both settings) —
+    * diversifying only the last round left navigability on the
+    * table: earlier rounds' plain top-k re-fills slots with near-dup
+    * clique members, so proposals never explore ACROSS sub-regions. */
+  val DiversifyRounds: Int = Iters
+
   /** NN-Descent kNN graph over (id, vec). Returns (src, dst, score)
     * with exactly ≤k out-edges per node, score = cosine similarity. */
   def buildGraph(emb0: DataFrame, k: Int = K, iters: Int = Iters,
                  r: Int = R, alpha: Double = Alpha,
-                 diversifyRounds: Int = 1): DataFrame = {
+                 diversifyRounds: Int = DiversifyRounds): DataFrame = {
     // vectors are read many times across rounds — keep the projection
     // minimal and let each round's join prune to (id, vec)
     val emb = emb0.select(col("id"), col("vec"))
@@ -291,12 +307,12 @@ object KnnGraph {
       // localCheckpoint per round: iterative self-union doubles the
       // lineage otherwise (the dedup_cluster_labels lesson from r4).
       // The LAST `diversifyRounds` rounds keep the full r-pool and
-      // diversify-prune it to k (see diversifyEdges) — earlier rounds
-      // keep plain top-k, since descent quality is driven by nearest
-      // candidates. A second diversify round lets the next proposal
-      // pass explore THROUGH the diversified (longer) edges before the
-      // final prune — the decade-scale recall lever (VERDICT r12
-      // §next-3).
+      // diversify-prune it to k (see diversifyEdges); by default that
+      // is EVERY round (see [[DiversifyRounds]]) — each proposal pass
+      // then explores THROUGH the previous round's diversified
+      // (longer) edges, the decade-scale recall lever (VERDICT r12
+      // §next-3, extended r13: 0.850 → 0.910 recall@10 at 200 k for
+      // free in build wall and search cost).
       edges = (if (round > iters - diversifyRounds)
           diversifyEdges(edges.union(proposals), emb, k, r, alpha)
         else topKEdges(edges.union(proposals), k)).localCheckpoint(true)
@@ -417,11 +433,11 @@ object KnnGraph {
     // makes every hop score beam·degree FRESH candidates — the same
     // per-hop bound, but hops·beam·degree distinct work in total:
     // 0.715 → 0.850 recall@10 at the same 200 k corpus, same beam,
-    // same hops (0.895 at hops=12, 0.905 with a second diversify
-    // round — headroom, not defaults). The marker anti-join is
-    // per-hop Q·beam·hop rows — query-side-tiny at any corpus size;
-    // hop 1 (no markers yet) and the last hop's marker maintenance
-    // (never read) are skipped.
+    // same hops (0.910 with the r13 every-round diversification
+    // default, [[DiversifyRounds]]; 0.935 at hops=12 — headroom, not
+    // the default). The markers are per-hop Q·beam·hop rows —
+    // query-side-tiny at any corpus size; hop 1 (no markers yet) and
+    // the last hop's marker maintenance (never read) are skipped.
     var state = score(
         broadcast(queries.select(col("q_id"))).crossJoin(seeds.select(col("id")))
           .union(lshEntries))
