@@ -77,7 +77,7 @@ object Eval {
     * recall each approximate index trades for its pruning. */
   def annRecall(spark: SparkSession, dir: String, ann: DataFrame,
                 k: Int = Knn.K): DataFrame = {
-    val exact = Knn.bruteForce(spark, dir, k).select(col("q_id"), col("doc_id"))
+    val exact = Knn.exactSet(spark, dir, k)
     val hit = exact.join(ann.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"))
       .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
     Knn.querySet(spark, dir).select("q_id")
@@ -141,7 +141,7 @@ object Eval {
       .crossJoin(probesDf)
       .filter(col("probe_rank") <= col("nprobe"))
     val annAll = Knn.topKPerKey(cands, Seq("nprobe", "q_id"), k)
-    val exact = Knn.bruteForce(spark, dir, k).select(col("q_id"), col("doc_id"))
+    val exact = Knn.exactSet(spark, dir, k)
     val hit = exact
       .join(annAll.select("nprobe", "q_id", "doc_id"), Seq("q_id", "doc_id"))
       .groupBy("nprobe", "q_id").agg(count(lit(1)).as("n_hit"))

@@ -691,7 +691,7 @@ object KnnGraph {
     * as [[Eval.annRecall]] for LSH/IVF/PQ). */
   def searchRecall(spark: SparkSession, dir: String, k: Int = Knn.K): DataFrame = {
     val approx = search(spark, dir, k).select(col("q_id"), col("id").as("doc_id"))
-    val exact = Knn.cosineTopK(spark, dir, k).select(col("q_id"), col("doc_id"))
+    val exact = Knn.exactSet(spark, dir, k, byCosine = true)
     val hits = approx.join(exact, Seq("q_id", "doc_id")).groupBy("q_id").count()
     val perQ = exact.select(col("q_id")).distinct()
       .join(hits, Seq("q_id"), "left")
