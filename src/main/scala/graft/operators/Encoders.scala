@@ -827,6 +827,27 @@ object Encoders {
       .orderBy("q_id", "rank")
   }
 
+  /** The two hybrid arms, (vector, keyword) — routed through
+    * [[Experiment.arm]]'s session-memoized retrievals when the call
+    * uses the default keyword fit (bm25TopK's fit=None resolves to
+    * the same memoized IDF rows, so the arm-backed form is
+    * bit-identical — spec'd in Round13Spec), or computed directly for
+    * a caller-supplied fit. Vector arm: (q_id, rank, doc_id, score);
+    * keyword arm: (q_id, doc_id, rk, score). */
+  private def armPair(spark: SparkSession, dir: String, k: Int, nq: Int,
+                      dim: Int, model: String,
+                      kwFit: Option[Seq[(String, Long, Long)]])
+      : (DataFrame, DataFrame) =
+    if (kwFit.isEmpty) (
+      Experiment.arm(spark, dir,
+        if (model == "tfidf") "tfidf" else "hashing", k, nq, dim),
+      Experiment.arm(spark, dir, "bm25", k, nq, dim))
+    else (
+      if (model == "tfidf") tfIdfSearch(spark, dir, k, nq, dim)
+      else hashingSearch(spark, dir, k, nq, dim),
+      bm25TopK(spark, dir, k, nq, dim, fit = kwFit)
+        .select(col("q_id"), col("doc_id"), col("rank").as("rk"), col("score")))
+
   /** Hybrid retrieval: reciprocal-rank fusion of a vector arm (the
     * cosine top-k of the named encoder) and the [[bm25TopK]] keyword
     * arm — RRF(d) = Σ_arms 1/(60 + rank_arm(d)), Cormack et al.'s
@@ -841,11 +862,14 @@ object Encoders {
                    nq: Int = 5, dim: Int = Dim,
                    model: String = "hashing_tf",
                    kwFit: Option[Seq[(String, Long, Long)]] = None): DataFrame = {
-    val vec = (if (model == "tfidf") tfIdfSearch(spark, dir, k, nq, dim)
-               else hashingSearch(spark, dir, k, nq, dim))
-      .select(col("q_id"), col("doc_id"), col("rank").as("rv"))
-    val kw = bm25TopK(spark, dir, k, nq, dim, fit = kwFit)
-      .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
+    // default-fit calls ride the session-memoized arm retrievals the
+    // experiment grid already computes (bm25TopK's fit=None resolves
+    // to the same memoized IDF rows, so this is bit-identical to the
+    // direct arms — spec'd); a caller-supplied fit takes the direct
+    // path
+    val (vec0, kw0) = armPair(spark, dir, k, nq, dim, model, kwFit)
+    val vec = vec0.select(col("q_id"), col("doc_id"), col("rank").as("rv"))
+    val kw = kw0.select(col("q_id"), col("doc_id"), col("rk"))
     val fused = vec.join(kw, Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"),
         (coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
@@ -880,9 +904,11 @@ object Encoders {
         when(col("_mx") > col("_mn"),
           (col("score") - col("_mn")) / (col("_mx") - col("_mn")))
           .otherwise(lit(1.0)).as(as))
-    val vec = norm(if (model == "tfidf") tfIdfSearch(spark, dir, k, nq, dim)
-                   else hashingSearch(spark, dir, k, nq, dim), "nv")
-    val kw = norm(bm25TopK(spark, dir, k, nq, dim, fit = kwFit), "nk")
+    // same memoized-arm routing as [[hybridSearch]] — the arms carry
+    // their scores, which is all the min-max normalization reads
+    val (vec0, kw0) = armPair(spark, dir, k, nq, dim, model, kwFit)
+    val vec = norm(vec0, "nv")
+    val kw = norm(kw0, "nk")
     val fused = vec.join(kw, Seq("q_id", "doc_id"), "full_outer")
       .select(col("q_id"), col("doc_id"),
         rnd(lit(alpha) * coalesce(col("nv"), lit(0.0)) +

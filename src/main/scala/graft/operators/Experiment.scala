@@ -42,20 +42,24 @@ object Experiment {
 
   def invalidateArms(): Unit = armCache.clear()
 
-  private def arm(spark: SparkSession, dir: String, which: String,
-                  k: Int, nq: Int, dim: Int): DataFrame = {
+  private[operators] def arm(spark: SparkSession, dir: String, which: String,
+                             k: Int, nq: Int, dim: Int): DataFrame = {
     armCache.keySet.filter(_._1.sparkContext.isStopped)
       .foreach(armCache.remove)
+    // scores ride along (r13): the alpha-fusion hybrid needs each
+    // arm's scores, not just ranks — consumers project their columns
     armCache.getOrElseUpdate((spark, dir, which, k, nq, dim), (which match {
       case "hashing" => Encoders.hashingSearch(spark, dir, k, nq, dim)
-        .select(col("q_id"), col("rank"), col("doc_id"))
+        .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
       case "tfidf" => Encoders.tfIdfSearch(spark, dir, k, nq, dim)
-        .select(col("q_id"), col("rank"), col("doc_id"))
+        .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
       // the BM25 fit is an eager memoized driver-side job shared with
-      // every other consumer of the same corpus fit
+      // every other consumer of the same corpus fit (bm25TopK's
+      // fit=None resolves to the SAME memoized rows, so arm-backed and
+      // direct keyword retrievals are bit-identical)
       case "bm25" => Encoders.bm25TopK(spark, dir, k, nq, dim,
           fit = Some(Encoders.bm25IdfRows(spark, dir, dim)))
-        .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
+        .select(col("q_id"), col("doc_id"), col("rank").as("rk"), col("score"))
     }).localCheckpoint(true))
   }
 

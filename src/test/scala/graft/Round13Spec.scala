@@ -166,6 +166,20 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
     res.count() shouldBe nq * Knn.K
   }
 
+  test("hybrid queries ride the memoized arms: bit-equal to the direct form") {
+    // default-fit hybrid calls route through Experiment.arm's
+    // session-memoized retrievals; a caller-supplied fit takes the
+    // direct path. With the fit pinned to the same memoized IDF rows,
+    // both paths must produce identical rows — RRF and alpha fusion
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted
+    val fit = Some(operators.Encoders.bm25IdfRows(spark, sfDir))
+    rows(operators.Encoders.hybridSearch(spark, sfDir)) shouldBe
+      rows(operators.Encoders.hybridSearch(spark, sfDir, kwFit = fit))
+    rows(operators.Encoders.hybridAlphaSearch(spark, sfDir)) shouldBe
+      rows(operators.Encoders.hybridAlphaSearch(spark, sfDir, kwFit = fit))
+  }
+
   test("widened nprobe sweep brackets the knee: recall 1.0 at nprobe = NCentroids") {
     val rows = operators.Eval.annRecallIvfSweep(spark, sfDir).collect()
     rows.map(_.getLong(0)) shouldBe operators.Eval.SweepProbes.map(_.toLong).toArray
