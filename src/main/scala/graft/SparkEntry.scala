@@ -157,22 +157,13 @@ object SparkEntry {
     "corpus_mixture_weights" -> ((s, d) => Shaping.mixtureWeights(s, d)),
     "corpus_quality_calibration" -> ((s, d) => Shaping.qualityCalibration(s, d)),
     "corpus_query_gen" -> ((s, d) => Shaping.queryGen(s, d)),
-    "pipeline_text_query_search" -> ((s, d) =>
-      Encoders.hashingSearchText(s, d,
-        Shaping.queryGen(s, d, qCount = 20)
-          .select(col("q_num").as("q_id"), col("query").as("text")))),
-    "pipeline_tfidf_text_search" -> ((s, d) =>
-      Encoders.tfIdfSearchText(s, d,
-        Shaping.queryGen(s, d, qCount = 20)
-          .select(col("q_num").as("q_id"), col("query").as("text")))),
-    "pipeline_bm25_text_search" -> ((s, d) =>
-      Encoders.bm25TopKText(s, d,
-        Shaping.queryGen(s, d, qCount = 20)
-          .select(col("q_num").as("q_id"), col("query").as("text")))),
-    "pipeline_hybrid_text_search" -> ((s, d) =>
-      Encoders.hybridSearchText(s, d,
-        Shaping.queryGen(s, d, qCount = 20)
-          .select(col("q_num").as("q_id"), col("query").as("text")))),
+    // the four text queries score the SAME generated query set — each
+    // rides the session-memoized std arm (bit-equal to the direct
+    // generic calls, Round13Spec)
+    "pipeline_text_query_search" -> ((s, d) => Encoders.hashingTextStd(s, d)),
+    "pipeline_tfidf_text_search" -> ((s, d) => Encoders.tfIdfTextStd(s, d)),
+    "pipeline_bm25_text_search" -> ((s, d) => Encoders.bm25TextStd(s, d)),
+    "pipeline_hybrid_text_search" -> ((s, d) => Encoders.hybridTextStd(s, d)),
     "sample_reservoir" -> ((s, d) => Shaping.reservoirSample(s, d)),
     "pack_sequences" -> ((s, d) => Shaping.packSequences(s, d)),
     "pipeline_quality_filter" -> ((s, d) => Shaping.qualityFilterPipeline(s, d)),

@@ -804,6 +804,63 @@ object Encoders {
     bm25Rank(bm25DocScores(spark, dir, dim, None, fit), q, k)
   }
 
+  /** The standard generated free-text query set every registered
+    * `*_text_search` query scores: [[Shaping.queryGen]]'s top-20 in
+    * the harness's (q_id, text) shape. */
+  def stdTextQueries(spark: SparkSession, dir: String): DataFrame =
+    Shaping.queryGen(spark, dir, qCount = 20)
+      .select(col("q_num").as("q_id"), col("query").as("text"))
+
+  // The std-query text retrievals are session-memoized arms — the
+  // free-text twin of [[Experiment.arm]]: the four registered text
+  // queries share ONE query set, the hybrid form consumes the hashing
+  // and bm25 retrievals the standalone queries already computed, and
+  // without memoization each re-runs queryGen plus a corpus-side
+  // scoring pass another query already paid for.
+  private val textArmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private def textArm(spark: SparkSession, dir: String,
+                      which: String): DataFrame = {
+    textArmCache.keySet.filter(_._1.sparkContext.isStopped)
+      .foreach(textArmCache.remove)
+    textArmCache.getOrElseUpdate((spark, dir, which), (which match {
+      case "hashing" => hashingSearchText(spark, dir, stdTextQueries(spark, dir))
+      case "tfidf" => tfIdfSearchText(spark, dir, stdTextQueries(spark, dir))
+      case "bm25" => bm25TopKText(spark, dir, stdTextQueries(spark, dir))
+    }).localCheckpoint(true))
+  }
+
+  /** Registered std-query forms: the memoized arm, re-ordered for
+    * presentation (the checkpoint drops the total order). Bit-equal to
+    * the direct generic calls over [[stdTextQueries]] — same subplan,
+    * materialized once per session (Round13Spec). */
+  def hashingTextStd(spark: SparkSession, dir: String): DataFrame =
+    textArm(spark, dir, "hashing").orderBy("q_id", "rank")
+  def tfIdfTextStd(spark: SparkSession, dir: String): DataFrame =
+    textArm(spark, dir, "tfidf").orderBy("q_id", "rank")
+  def bm25TextStd(spark: SparkSession, dir: String): DataFrame =
+    textArm(spark, dir, "bm25").orderBy("q_id", "rank")
+
+  /** [[hybridSearchText]] over [[stdTextQueries]], fused by RRF
+    * row-arithmetic from the memoized hashing and bm25 arms — the
+    * same expression as the generic form, minus its two fresh
+    * corpus-scanning subplans. */
+  def hybridTextStd(spark: SparkSession, dir: String,
+                    k: Int = 10): DataFrame = {
+    val vec = textArm(spark, dir, "hashing")
+      .select(col("q_id"), col("doc_id"), col("rank").as("rv"))
+    val kw = textArm(spark, dir, "bm25")
+      .select(col("q_id"), col("doc_id"), col("rank").as("rk"))
+    val fused = vec.join(kw, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rk")), lit(0.0))).as("score"))
+    Knn.topKPerQuery(fused, k)
+      .select(col("q_id"), col("rank"), col("doc_id"), rnd(col("score"), 6).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Free-text hybrid retrieval — the reference's "hybrid" search mode
     * for arbitrary query text: reciprocal-rank fusion (1/(60+rank),
     * the [[hybridSearch]] semantics) of the vector arm

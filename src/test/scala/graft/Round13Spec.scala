@@ -180,6 +180,21 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
       rows(operators.Encoders.hybridAlphaSearch(spark, sfDir, kwFit = fit))
   }
 
+  test("std text-query forms ride memoized arms: bit-equal to the generic calls") {
+    import operators.Encoders
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted
+    val q = Encoders.stdTextQueries(spark, sfDir)
+    rows(Encoders.hashingTextStd(spark, sfDir)) shouldBe
+      rows(Encoders.hashingSearchText(spark, sfDir, q))
+    rows(Encoders.tfIdfTextStd(spark, sfDir)) shouldBe
+      rows(Encoders.tfIdfSearchText(spark, sfDir, q))
+    rows(Encoders.bm25TextStd(spark, sfDir)) shouldBe
+      rows(Encoders.bm25TopKText(spark, sfDir, q))
+    rows(Encoders.hybridTextStd(spark, sfDir)) shouldBe
+      rows(Encoders.hybridSearchText(spark, sfDir, q))
+  }
+
   test("widened nprobe sweep brackets the knee: recall 1.0 at nprobe = NCentroids") {
     val rows = operators.Eval.annRecallIvfSweep(spark, sfDir).collect()
     rows.map(_.getLong(0)) shouldBe operators.Eval.SweepProbes.map(_.toLong).toArray
