@@ -60,6 +60,7 @@ object SparkEntry {
     "ann_ivf_indexed" -> ((s, d) => Ann.ivfViaIndex(s, d)),
     "ann_pq_encode" -> ((s, d) => Ann.pqEncode(s, d)),
     "ann_pq_search" -> ((s, d) => Ann.pqSearch(s, d)),
+    "ann_pq_indexed" -> ((s, d) => Ann.pqViaIndex(s, d)),
     "ann_lsh_filtered" -> ((s, d) => Ann.lshFiltered(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Ann.ivfFiltered(s, d)),
     "ann_ivf_pq" -> ((s, d) => Ann.ivfPq(s, d)),
@@ -235,6 +236,9 @@ object SparkEntry {
     "ann_ivf_indexed" -> Ann.SqlOracle.ivf,
     "ann_pq_encode" -> Ann.SqlOracle.pqEncode,
     "ann_pq_search" -> Ann.SqlOracle.pqSearch,
+    // the persisted-layout form shares the in-plan oracle (same fit,
+    // same codes — bit-identical by construction, spec'd)
+    "ann_pq_indexed" -> Ann.SqlOracle.pqSearch,
     "ann_lsh_filtered" -> Ann.SqlOracle.lshFiltered,
     "ann_ivf_filtered" -> Ann.SqlOracle.ivfFiltered,
     "eval_precision_at_k" -> Eval.SqlOracle.precisionAtK,

@@ -178,6 +178,14 @@ object Ann {
     val codes = pqEncode(spark, dir, Some(cb))
       .filter(col("vec_id") >= Knn.NQueries)
       .select(col("vec_id").as("doc_id"), col("subspace").as("j"), col("code"))
+    pqScore(spark, dir, codes, cb, k)
+  }
+
+  /** The ADC score-and-rerank tail shared by the in-plan search and
+    * the persisted-index form: (doc_id, j, code) codes + codebook →
+    * ranked top-k. */
+  private def pqScore(spark: SparkSession, dir: String, codes: DataFrame,
+                      cb: DataFrame, k: Int): DataFrame = {
     val lut = Knn.querySet(spark, dir)
       .select(col("q_id"), posexplode(array(
         (0 until PqM).map(j => slice(col("q_vec"), j * PqSub + 1, PqSub)): _*))
@@ -329,6 +337,71 @@ object Ann {
     sq8Indexed(spark, dir,
       graft.Cleanup.memoizedBuild(sq8ScratchCache, spark, dir,
         "graft-sq8idx")(writeSq8Index(spark, dir, _)), k)
+
+  /** PQ codes of an arbitrary (doc_id, doc_vec) frame under a given
+    * codebook — the batch-general encode behind [[writePqIndex]] and
+    * [[appendToPqIndex]] (same argmin/tie rule as [[pqEncode]]).
+    * Output (doc_id, j, code). */
+  private def pqEncodeOf(vecs: DataFrame, cb: DataFrame): DataFrame =
+    vecs.select(col("doc_id"), posexplode(array(
+        (0 until PqM).map(j => slice(col("doc_vec"), j * PqSub + 1, PqSub)): _*))
+        .as(Seq("j", "evec")))
+      .join(broadcast(cb), Seq("j"))
+      .groupBy("doc_id", "j")
+      .agg(min_by(col("c_id"),
+        struct(native.dist2F(col("evec"), col("cvec")), col("c_id"))).as("code"))
+      .select(col("doc_id"), col("j"), col("code"))
+
+  /** Persisted PQ index — codes durable at ingest time, the codebook
+    * stored with them (`_fit`, the [[writeSq8Index]] contract): at
+    * 100 TB the 8-codes-per-doc table IS the serving artifact (FAISS
+    * persists exactly this), and the float vectors are read only by
+    * the k-bounded exact re-rank. */
+  def writePqIndex(spark: SparkSession, dir: String, out: String): Unit = {
+    val cb = pqCodebook(spark, dir)
+    pqEncodeOf(Knn.docSet(spark, dir), cb)
+      .write.mode("overwrite").parquet(out)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$out/_fit")
+  }
+
+  /** Frozen-fit incremental maintenance: the batch is encoded under
+    * the INDEX'S OWN stored codebook (the `_cent`/`_fit` lesson — a
+    * re-derived codebook mis-codes silently) and appended; only the
+    * batch is scanned, and a disjoint append is bit-equal to having
+    * encoded those docs at build time (codes depend only on the
+    * fit). Re-train + rebuild when codebook drift accumulates. */
+  def appendToPqIndex(spark: SparkSession, newVecs: DataFrame,
+                      indexPath: String): Unit =
+    pqEncodeOf(newVecs.select(col("doc_id"), col("doc_vec")),
+      spark.read.parquet(s"$indexPath/_fit"))
+      .write.mode("append").parquet(indexPath)
+
+  /** [[pqSearch]] answered from a persisted [[writePqIndex]] layout —
+    * no encode pass in the hot path: codes and codebook read from
+    * disk, ADC scores the stored codes, exact re-rank finishes.
+    * Results ≡ [[pqSearch]] (same fit, same codes), so it shares its
+    * oracle. */
+  def pqIndexed(spark: SparkSession, dir: String, indexPath: String,
+                k: Int = K): DataFrame =
+    pqScore(spark, dir, spark.read.parquet(indexPath),
+      spark.read.parquet(s"$indexPath/_fit"), k)
+
+  /** Test seam for the append≡rebuild spec (a partial build under a
+    * caller-held codebook). */
+  private[graft] def pqEncodeForTest(vecs: DataFrame, cb: DataFrame): DataFrame =
+    pqEncodeOf(vecs, cb)
+
+  // PQ scratch builds memoized per (app, dir) — the
+  // graft.Cleanup.memoizedBuild contract shared by all scratch indexes
+  private val pqScratchCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  /** [[pqIndexed]] over a memoized scratch build — the verified-query
+    * form (`ann_pq_indexed`). */
+  def pqViaIndex(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    pqIndexed(spark, dir,
+      graft.Cleanup.memoizedBuild(pqScratchCache, spark, dir,
+        "graft-pqidx")(writePqIndex(spark, dir, _)), k)
 
   /** IVF+PQ composed search — the standard billion-scale ANN
     * architecture (FAISS IndexIVFPQ): the coarse quantizer prunes the

@@ -718,6 +718,25 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming ingest into a persisted PQ-codes index
+    * ([[graft.operators.Ann.writePqIndex]]): each micro-batch of
+    * (doc_id, doc_vec) vectors is encoded under the index's OWN
+    * stored `_fit` codebook (frozen-fit — codes depend only on the
+    * fit, so disjoint append ≡ rebuild) and appended. Same
+    * at-least-once idempotence discipline as [[sq8IngestStream]]. */
+  def pqIngestStream(vecs: DataFrame, indexPath: String,
+                     checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = minusStored(batch.dropDuplicates("doc_id"), indexPath)
+        if (!fresh.isEmpty)
+          graft.operators.Ann.appendToPqIndex(spark, fresh, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming ingest into a persisted chunk-postings index
     * ([[graft.operators.Chunking.writeChunkIndex]]): each micro-batch
     * of (doc_id, text) documents is chunked/bucketed from the batch

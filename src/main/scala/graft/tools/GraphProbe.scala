@@ -78,6 +78,14 @@ object GraphProbe {
       Thread.sleep(1000) // let the listener bus drain
       println(f"[probe] warm search wall $wall%.2f s: jobs=${jobs.get} " +
         f"stages=${stages.get} tasks=${tasks.get} jobWall=${jobNanos.get / 1e9}%.2f s")
+      // representative ad-hoc hop join: does the edge side exchange?
+      val fr = spark.range(100).select(col("id"))
+      val hopPlan = fr.join(g.withColumnRenamed("src", "id"), Seq("id"))
+        .queryExecution.executedPlan.toString
+      println("[probe] ad-hoc hop join: exchanges=" +
+        "Exchange hashpartitioning".r.findAllIn(hopPlan).length +
+        " bcast=" + "BroadcastExchange".r.findAllIn(hopPlan).length)
+      println(hopPlan.linesIterator.take(12).map(_.take(120)).mkString("\n"))
       // same counters for the persisted serving path (searchIndexed)
       Seq("edges", "nodes", "meta", "bands").foreach(s =>
         spark.sql(s"DROP TABLE IF EXISTS gprobe_$s"))

@@ -195,6 +195,33 @@ class Round13Spec extends AnyFunSuite with Matchers with SharedSpark {
       rows(Encoders.hybridSearchText(spark, sfDir, q))
   }
 
+  test("persisted PQ index: indexed ≡ in-plan search; disjoint append ≡ rebuild") {
+    import operators.Ann
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted
+    // indexed search reads stored codes + stored _fit — bit-equal to
+    // the in-plan form (same codebook path, same codes)
+    val tmp = tempDir("graft-pqidx-spec")
+    Ann.writePqIndex(spark, sfDir, tmp)
+    rows(Ann.pqIndexed(spark, sfDir, tmp)) shouldBe
+      rows(Ann.pqSearch(spark, sfDir))
+    // frozen-fit append: build on the even doc half, append the odd
+    // half, search equals the full build (codes depend only on _fit)
+    val docs = Knn.docSet(spark, sfDir)
+    val tmp2 = tempDir("graft-pqidx-app")
+    Ann.writePqIndex(spark, sfDir, tmp2)
+    val evenOnly = tempDir("graft-pqidx-even")
+    val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val cb = spark.read.parquet(s"$tmp2/_fit")
+    operators.Ann.pqEncodeForTest(even, cb)
+      .write.mode("overwrite").parquet(evenOnly)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$evenOnly/_fit")
+    Ann.appendToPqIndex(spark,
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), evenOnly)
+    rows(Ann.pqIndexed(spark, sfDir, evenOnly)) shouldBe
+      rows(Ann.pqIndexed(spark, sfDir, tmp2))
+  }
+
   test("widened nprobe sweep brackets the knee: recall 1.0 at nprobe = NCentroids") {
     val rows = operators.Eval.annRecallIvfSweep(spark, sfDir).collect()
     rows.map(_.getLong(0)) shouldBe operators.Eval.SweepProbes.map(_.toLong).toArray
