@@ -29,6 +29,34 @@ object Cleanup {
     path
   }
 
+  /** Bounded LRU memo for the session-checkpointed arm retrievals
+    * ([[graft.operators.Experiment]] / the std-text arms): each entry
+    * pins one localCheckpoint'ed frame's blocks, so an UNBOUNDED map
+    * keyed on (k, nq, dim)-style shapes grows pinned blocks for the
+    * life of any session whose callers sweep parameters. Eviction
+    * (capacity or predicate) drops the entry's only reference; Spark's
+    * ContextCleaner reference-tracks persisted RDDs — localCheckpoint
+    * blocks included — and unpersists them once the frame is GC'd, so
+    * reference-drop IS the reclaim. Builds run inside the lock:
+    * concurrent same-key callers serialize instead of double-building
+    * (the TrieMap getOrElseUpdate behavior, kept). */
+  final class BoundedMemo[K, V](max: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > max
+    }
+    def getOrElseUpdate(key: K)(build: => V): V = m.synchronized {
+      val cur = m.get(key)
+      if (cur != null) cur
+      else { val v = build; m.put(key, v); v }
+    }
+    def evictWhere(p: K => Boolean): Unit = m.synchronized {
+      val it = m.keySet.iterator
+      while (it.hasNext) if (p(it.next())) it.remove()
+    }
+    def clear(): Unit = m.synchronized(m.clear())
+  }
+
   /** Memoized per-(applicationId, key) scratch BUILD — the one
     * serving-index contract shared by the postings / TF-IDF / chunk /
     * IVF scratch layouts: entries of stopped applications are evicted

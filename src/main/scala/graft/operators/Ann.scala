@@ -298,12 +298,13 @@ object Ann {
     * to the postings scan, the [[Encoders.writeTfidfIndex]] `_vocab`
     * convention). The fit travels WITH the index, so later queries and
     * appends need neither the corpus nor a refit. */
-  def writeSq8Index(spark: SparkSession, dir: String, out: String): Unit = {
-    val ranges = sq8Ranges(spark, dir)
-    sq8Encode(Knn.docSet(spark, dir), ranges)
-      .write.mode("overwrite").parquet(out)
-    ranges.coalesce(1).write.mode("overwrite").parquet(s"$out/_fit")
-  }
+  def writeSq8Index(spark: SparkSession, dir: String, out: String): Unit =
+    Compaction.stagedBuild(spark, out) { tmp =>
+      val ranges = sq8Ranges(spark, dir)
+      sq8Encode(Knn.docSet(spark, dir), ranges)
+        .write.mode("overwrite").parquet(tmp)
+      ranges.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_fit")
+    }
 
   /** Frozen-fit incremental maintenance (the FAISS add-to-trained-
     * index contract, like [[appendToIvfIndex]]): a new (doc_id,
@@ -357,12 +358,13 @@ object Ann {
     * 100 TB the 8-codes-per-doc table IS the serving artifact (FAISS
     * persists exactly this), and the float vectors are read only by
     * the k-bounded exact re-rank. */
-  def writePqIndex(spark: SparkSession, dir: String, out: String): Unit = {
-    val cb = pqCodebook(spark, dir)
-    pqEncodeOf(Knn.docSet(spark, dir), cb)
-      .write.mode("overwrite").parquet(out)
-    cb.coalesce(1).write.mode("overwrite").parquet(s"$out/_fit")
-  }
+  def writePqIndex(spark: SparkSession, dir: String, out: String): Unit =
+    Compaction.stagedBuild(spark, out) { tmp =>
+      val cb = pqCodebook(spark, dir)
+      pqEncodeOf(Knn.docSet(spark, dir), cb)
+        .write.mode("overwrite").parquet(tmp)
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_fit")
+    }
 
   /** Frozen-fit incremental maintenance: the batch is encoded under
     * the INDEX'S OWN stored codebook (the `_cent`/`_fit` lesson — a

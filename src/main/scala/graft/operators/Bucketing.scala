@@ -30,9 +30,17 @@ object Bucketing {
     * LOCATION_ALREADY_EXISTS. A rebuild is an overwrite by intent, so
     * when the catalog has NO table but its default location exists,
     * delete the leftover. Never touches the location of a live
-    * catalog table. */
+    * catalog table — and because `tableExists` resolves against the
+    * session's CURRENT database while the reclaimed path is the
+    * DEFAULT database's location, the reclaim is a no-op unless the
+    * current database IS `default` and the name is unqualified (a
+    * `db.table` name or a non-default current database could
+    * otherwise delete a live default-db table's data out from under
+    * the catalog). */
   def reclaimOrphanedLocation(spark: SparkSession, table: String): Unit =
-    if (!spark.catalog.tableExists(table)) {
+    if (spark.catalog.currentDatabase == "default" &&
+        !table.contains(".") &&
+        !spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

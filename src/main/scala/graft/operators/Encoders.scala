@@ -439,6 +439,7 @@ object Encoders {
     corpusStatsCache.clear()
     // retrieval arms memoized over these fits must refresh with them
     Experiment.invalidateArms()
+    textArmCache.clear()
   }
 
   /** The ONE vocabulary-fit contract (ordering, tie-break), collected
@@ -655,11 +656,12 @@ object Encoders {
     * [[appendToTfidfIndex]] transform NEW documents under the frozen
     * fit without the original corpus. */
   def writeTfidfIndex(spark: SparkSession, dir: String, out: String,
-                      dim: Int = Dim, maxDoc: Option[Long] = None): Unit = {
-    tfIdfPostings(spark, dir, dim, maxDoc).write.mode("overwrite").parquet(out)
-    fittedVocab(spark, dir, dim, maxDoc)
-      .coalesce(1).write.mode("overwrite").parquet(s"$out/_vocab")
-  }
+                      dim: Int = Dim, maxDoc: Option[Long] = None): Unit =
+    Compaction.stagedBuild(spark, out) { tmp =>
+      tfIdfPostings(spark, dir, dim, maxDoc).write.mode("overwrite").parquet(tmp)
+      fittedVocab(spark, dir, dim, maxDoc)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/_vocab")
+    }
 
   /** Frozen-fit incremental maintenance for a [[writeTfidfIndex]]
     * layout — the fitted-TfidfVectorizer TRANSFORM contract (the ref
@@ -817,14 +819,15 @@ object Encoders {
   // and bm25 retrievals the standalone queries already computed, and
   // without memoization each re-runs queryGen plus a corpus-side
   // scoring pass another query already paid for.
-  private val textArmCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String), DataFrame]
+  // bounded LRU like Experiment.armCache — evicted entries' checkpoint
+  // blocks are ContextCleaner-reclaimed once unreferenced
+  private val textArmCache = new graft.Cleanup.BoundedMemo[
+    (SparkSession, String, String), DataFrame](64)
 
   private def textArm(spark: SparkSession, dir: String,
                       which: String): DataFrame = {
-    textArmCache.keySet.filter(_._1.sparkContext.isStopped)
-      .foreach(textArmCache.remove)
-    textArmCache.getOrElseUpdate((spark, dir, which), (which match {
+    textArmCache.evictWhere(_._1.sparkContext.isStopped)
+    textArmCache.getOrElseUpdate((spark, dir, which))((which match {
       case "hashing" => hashingSearchText(spark, dir, stdTextQueries(spark, dir))
       case "tfidf" => tfIdfSearchText(spark, dir, stdTextQueries(spark, dir))
       case "bm25" => bm25TopKText(spark, dir, stdTextQueries(spark, dir))
@@ -845,9 +848,16 @@ object Encoders {
   /** [[hybridSearchText]] over [[stdTextQueries]], fused by RRF
     * row-arithmetic from the memoized hashing and bm25 arms — the
     * same expression as the generic form, minus its two fresh
-    * corpus-scanning subplans. */
+    * corpus-scanning subplans. The memoized arms are built at the
+    * generic default depth (k = 10), so arm-depth equivalence with
+    * `hybridSearchText(..., k)` holds only for k ≤ 10 — enforced,
+    * not assumed: a deeper fusion needs the generic form, which
+    * threads k into both arms. */
   def hybridTextStd(spark: SparkSession, dir: String,
                     k: Int = 10): DataFrame = {
+    require(k <= 10,
+      s"hybridTextStd rides arms memoized at depth 10; k=$k > 10 would " +
+        "silently diverge from hybridSearchText — use hybridSearchText")
     val vec = textArm(spark, dir, "hashing")
       .select(col("q_id"), col("doc_id"), col("rank").as("rv"))
     val kw = textArm(spark, dir, "bm25")

@@ -36,19 +36,22 @@ object Experiment {
     * retrieval-run artifact, same contract as [[KnnGraph.docGraph]]
     * and the memoized vocabulary fits. Stopped sessions are evicted;
     * [[invalidateArms]] is the re-run signal (wired into
-    * [[Encoders.invalidateFits]]). */
-  private val armCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, String, Int, Int, Int), DataFrame]
+    * [[Encoders.invalidateFits]]). BOUNDED (r14): each entry pins its
+    * checkpoint blocks, so the cache is a capacity-capped LRU —
+    * evicted entries' blocks are reclaimed by ContextCleaner once
+    * unreferenced ([[graft.Cleanup.BoundedMemo]]) — rather than a map
+    * that grows with every distinct (k, nq, dim) a caller sweeps. */
+  private val armCache = new graft.Cleanup.BoundedMemo[
+    (SparkSession, String, String, Int, Int, Int), DataFrame](64)
 
   def invalidateArms(): Unit = armCache.clear()
 
   private[operators] def arm(spark: SparkSession, dir: String, which: String,
                              k: Int, nq: Int, dim: Int): DataFrame = {
-    armCache.keySet.filter(_._1.sparkContext.isStopped)
-      .foreach(armCache.remove)
+    armCache.evictWhere(_._1.sparkContext.isStopped)
     // scores ride along (r13): the alpha-fusion hybrid needs each
     // arm's scores, not just ranks — consumers project their columns
-    armCache.getOrElseUpdate((spark, dir, which, k, nq, dim), (which match {
+    armCache.getOrElseUpdate((spark, dir, which, k, nq, dim))((which match {
       case "hashing" => Encoders.hashingSearch(spark, dir, k, nq, dim)
         .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
       case "tfidf" => Encoders.tfIdfSearch(spark, dir, k, nq, dim)

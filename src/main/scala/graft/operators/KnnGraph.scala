@@ -675,15 +675,77 @@ object KnnGraph {
     // build-time sub-split — without this, a later search could never
     // ENTER at an appended node, only walk to it
     if (spark.catalog.tableExists(s"${name}_bands")) {
-      val subCount =
-        if (meta.subCount > 0) meta.subCount else subCountOf(meta.n)
-      nodeBands(nn, subCount).write.mode("append").format("parquet")
+      // a bands table without its build-time split in _meta is a
+      // broken frozen-fit contract (writeGraphIndex writes both
+      // together): banding the batch under a GUESSED split would
+      // silently make appended nodes near-unreachable as entries —
+      // searches split queries with subCountOf(actual n), not the
+      // guess — so fail loudly instead
+      require(meta.subCount > 0,
+        s"${name}_bands exists but ${name}_meta has no build-time " +
+          "sub_count — the frozen-split contract is broken; rebuild " +
+          "with writeGraphIndex")
+      nodeBands(nn, meta.subCount).write.mode("append").format("parquet")
         .partitionBy("bkt").saveAsTable(s"${name}_bands")
     }
     // maintain the index's node count alongside the nodes themselves
     // (the batch scan here is over the BATCH, not the index)
     writeGraphMeta(spark, name, nn.count(), subCount = -1L, seeds = null,
       overwrite = false)
+  }
+
+  /** Small-file compaction for the `_bands` entry table — the
+    * maintenance op [[appendToGraphIndex]] accumulates debt for
+    * (VERDICT r13 §wrong-1): each append bands its batch under the
+    * frozen split and lands one new file per touched `bkt=` directory,
+    * and those are exactly the directories a serving search DPP-prunes
+    * to, so long-running ingest erodes the entry join with listing +
+    * open overhead. Same selective-rewrite discipline as
+    * [[Ann.compactIvfIndex]], expressed through the catalog because
+    * the bands layout is a managed TABLE: only band directories
+    * holding more than `maxFilesPerPartition` files rewrite (dynamic
+    * partition overwrite — untouched directories stay byte-identical),
+    * the repartition on `bkt` lands each hot band in one task → one
+    * consolidated file, and `localCheckpoint` detaches the rewrite
+    * from the files being replaced. The rewrite goes through the
+    * table's LOCATION, not `insertInto` — the writer-scoped dynamic
+    * option is honored on the path write but NOT on the insert path,
+    * where mode("overwrite") would truncate the whole table (observed:
+    * cold band directories deleted) — and the band partition SET is
+    * unchanged by compaction, so the catalog's partition metadata
+    * stays valid. Idempotent (a compacted band is below threshold on
+    * the next call); same exclusive-maintenance-window contract as
+    * compactIvfIndex — pause appends into the bands being compacted.
+    * Returns the compacted band keys. */
+  def compactBandsTable(spark: SparkSession, name: String = "graft_graph",
+                        maxFilesPerPartition: Int = 4): Seq[Long] = {
+    val table = s"${name}_bands"
+    if (!spark.catalog.tableExists(table)) return Seq.empty
+    val desc = spark.sql(s"DESCRIBE EXTENDED $table").collect()
+    val loc = desc.find(_.getString(0) == "Location").map(_.getString(1))
+      .getOrElse(return Seq.empty)
+    val hPath = new org.apache.hadoop.fs.Path(loc)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Seq.empty
+    val hot = fs.listStatus(hPath)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bkt="))
+      .filter(st => fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition)
+      .map(_.getPath.getName.stripPrefix("bkt=").toLong).toSeq.sorted
+    if (hot.nonEmpty) {
+      spark.read.parquet(loc)
+        .filter(col("bkt").isin(hot: _*))
+        .repartition(col("bkt"))
+        .localCheckpoint()
+        .write.mode("overwrite")
+        // writer-scoped option — no session-global mutation
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt").parquet(loc)
+      // the catalog caches the table's file listing; the path-level
+      // rewrite invalidated it
+      spark.catalog.refreshTable(table)
+    }
+    hot
   }
 
   /** Mean overlap@k of graph search vs the exact cosine top-k — the
