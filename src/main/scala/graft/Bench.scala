@@ -65,19 +65,81 @@ object Bench {
       try { SparkEntry.queries(name)(spark, dir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    def fallback(batch: Seq[String]): Seq[(String, (Double, Double))] = {
-      warmedFallback
-      batch.map(n => n -> (timed(n, sfDir), timed(n, sfDir)))
+    // --- self-adjudicating per-query passes (VERDICT r13 §next-1) ---
+    // Three rounds running, the post-round driver artifact disagreed
+    // with the committed one by 1.3-1.5× and needed judge-side
+    // forensics to attribute the delta to host load. The H2 section's
+    // sentinel + quiet-retry discipline already answers that question
+    // for its own legs; this extends it to every per-query timing:
+    // each child run arrives tagged with the sentinel measured
+    // immediately before it (tools.H2Run.sentinelMs — fixed spin
+    // work, inflation = host descheduling), the parent retries loaded
+    // queries in fresh children (bounded), and quietness is
+    // classified at the END against the run's final sentinel floor
+    // (the strictest classification, H2Run's rule).
+    final case class Sample(cold: Double, warm: Double,
+                            sc: Double, sw: Double)
+    val allSentinels = scala.collection.mutable.ListBuffer[Double]()
+    def quietVs(floor: Double)(s: Double): Boolean =
+      s <= tools.H2Run.QuietFactor * floor && s <= tools.H2Run.QuietAbsMs
+    def rollingQuiet(s: Double): Boolean =
+      allSentinels.nonEmpty && quietVs(allSentinels.min)(s)
+    val samples = scala.collection.mutable
+      .Map[String, List[Sample]]().withDefaultValue(Nil)
+    def addSample(n: String, s: Sample): Unit = {
+      samples(n) = s :: samples(n)
+      allSentinels += s.sc
+      allSentinels += s.sw
     }
-    def parseBenchq(lines: Seq[String]): Map[String, (Double, Double)] =
+    def parseBenchq(lines: Seq[String]): Map[String, Sample] =
       lines.flatMap { l =>
         l.trim.split("\\s+") match {
-          case Array("BENCHQ", n, c, w) =>
-            try Some(n -> (c.toDouble, w.toDouble))
+          case Array("BENCHQ", n, c, w, sc, sw) =>
+            try Some(n -> Sample(c.toDouble, w.toDouble,
+              sc.toDouble, sw.toDouble))
             catch { case _: NumberFormatException => None }
           case _ => None
         }
       }.toMap
+    // fallback timings are parent-measured but carry the same
+    // sentinel tagging, so they classify exactly like child samples
+    def fallback(batch: Seq[String]): Unit = {
+      warmedFallback
+      batch.foreach { n =>
+        val sc = tools.H2Run.sentinelMs()
+        val c = timed(n, sfDir)
+        val sw = tools.H2Run.sentinelMs()
+        val w = timed(n, sfDir)
+        addSample(n, Sample(c, w, sc, sw))
+      }
+    }
+    /** `baseline` unconditional child passes over `batch`, then up to
+      * `extra` more fresh children over the not-yet-quiet subset,
+      * until every query holds a warm sample taken under a quiet
+      * sentinel. Queries that FAIL (-1) in every sample are not
+      * retried for quietness (a broken plan never becomes quiet);
+      * queries no child ever reported fall back in-process (the
+      * missing-query contract, kept). */
+    def runBatch(batch: Seq[String], baseline: Int, extra: Int): Unit = {
+      var tries = 0
+      var target = batch
+      var spawnFailed = false
+      while (!spawnFailed && tries < baseline + extra && target.nonEmpty) {
+        spawn("graft.tools.BenchRun", sfDir +: target).map(parseBenchq) match {
+          case Some(m) => m.foreach { case (n, s) => addSample(n, s) }
+          case None => spawnFailed = true
+        }
+        tries += 1
+        if (tries >= baseline)
+          target = batch.filter { n =>
+            val ss = samples(n)
+            ss.isEmpty || (ss.exists(_.warm > 0) &&
+              !ss.exists(s => s.warm > 0 && rollingQuiet(s.sw)))
+          }
+      }
+      val missing = batch.filterNot(n => samples(n).nonEmpty)
+      if (missing.nonEmpty) fallback(missing)
+    }
     // Sorted names group query families into the same child batch.
     val names = SparkEntry.queries.keys.toSeq.sorted
     // The multi-job graph family has been the flagged bench outlier
@@ -86,40 +148,31 @@ object Bench {
     // JVMs). They launch ~30 tiny jobs each, so they inherit whatever
     // scheduler/GC state the preceding batch neighbors left behind.
     // They get the scale section's discipline instead: a dedicated
-    // child JVM holding ONLY this family, run twice, per-query
-    // cross-child minima — a decayed child can sink its own numbers
-    // but not the recorded minimum.
+    // child JVM holding ONLY this family, run twice unconditionally,
+    // per-query cross-child minima — a decayed child can sink its own
+    // numbers but not the recorded minimum.
     val Isolated = Set("ann_graph_search", "eval_ann_recall_graph",
       "dedup_cluster_labels", "dedup_semantic_graph")
     val (isoNames, batchNames) = names.partition(Isolated.contains)
-    val isoResults: Seq[(String, (Double, Double))] =
-      if (isoNames.isEmpty) Nil
-      else {
-        val tries = (1 to 2).flatMap(_ =>
-          spawn("graft.tools.BenchRun", sfDir +: isoNames).map(parseBenchq))
-        def minOk(ts: Seq[Double]): Double = {
-          val ok = ts.filter(_ > 0)
-          if (ok.isEmpty) -1.0 else ok.min
-        }
-        val (seen, missing) = isoNames.partition(n => tries.exists(_.contains(n)))
-        seen.map { n =>
-          val ts = tries.flatMap(_.get(n))
-          n -> (minOk(ts.map(_._1)), minOk(ts.map(_._2)))
-        } ++ (if (missing.isEmpty) Nil else fallback(missing))
-      }
-    val results: Seq[(String, (Double, Double))] = isoResults ++
-      batchNames.grouped(BatchSize).toSeq.flatMap { batch =>
-        spawn("graft.tools.BenchRun", sfDir +: batch) match {
-          case Some(lines) =>
-            val m = parseBenchq(lines)
-            // a query missing from child stdout (mid-batch crash) is
-            // re-timed in-process rather than dropped
-            val missing = batch.filterNot(m.contains)
-            batch.filter(m.contains).map(n => n -> m(n)) ++
-              (if (missing.isEmpty) Nil else fallback(missing))
-          case None => fallback(batch)
-        }
-      }
+    if (isoNames.nonEmpty) runBatch(isoNames, baseline = 2, extra = 2)
+    batchNames.grouped(BatchSize).foreach(b =>
+      runBatch(b, baseline = 1, extra = 2))
+    // final classification against the run's FINAL floor
+    val floor =
+      if (allSentinels.isEmpty) Double.MaxValue else allSentinels.min
+    def minOk(ts: Seq[Double]): Double = {
+      val ok = ts.filter(_ > 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
+    val results: Seq[(String, (Double, Double))] = names.map { n =>
+      n -> (minOk(samples(n).map(_.cold)), minOk(samples(n).map(_.warm)))
+    }
+    // quiet-only warm minima: the figures a later reader can trust
+    // came from an undisturbed host; -1 = no quiet sample achieved
+    val warmQuiet: Map[String, Double] = names.map { n =>
+      n -> minOk(samples(n)
+        .filter(s => quietVs(floor)(s.sw)).map(_.warm))
+    }.toMap
     val cold = results.map { case (n, (c, _)) => n -> c }.toMap
     val warm = results.map { case (n, (_, w)) => n -> w }.toMap
     def js(m: Map[String, Double]): String =
@@ -151,6 +204,30 @@ object Bench {
     val failJson =
       if (failed.isEmpty) ""
       else s""","failed_n":${failed.size},"failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
+    // quiet headline: per query, the quiet-sample minimum when one
+    // exists, else the raw minimum — so total_warm_quiet is directly
+    // comparable to `value` across hosts/rounds when no_quiet is
+    // empty, and when it isn't, the markers name exactly which
+    // queries the host contaminated (VERDICT r13 §next-1's done
+    // criterion: the artifact adjudicates itself)
+    val noQuiet = names
+      .filter(n => warm.getOrElse(n, -1.0) > 0 && warmQuiet(n) < 0).sorted
+    val totalQuiet = names.map { n =>
+      if (warmQuiet(n) > 0) warmQuiet(n) else warm.getOrElse(n, -1.0)
+    }.filter(_ >= 0).sum
+    val sentSorted = allSentinels.toSeq.sorted
+    val noQuietJson =
+      if (noQuiet.isEmpty) ""
+      else s""","no_quiet":[${noQuiet.map("\"" + _ + "\"").mkString(",")}]"""
+    val quietJson =
+      if (sentSorted.isEmpty) ""
+      else {
+        s""","total_warm_quiet":$totalQuiet,"n_no_quiet":${noQuiet.size}""" +
+          noQuietJson +
+          s""","sentinel_ms_min":${sentSorted.head}""" +
+          s""","sentinel_ms_p50":${sentSorted(sentSorted.size / 2)}""" +
+          s""","sentinel_ms_max":${sentSorted.last}"""
+      }
 
     val scaleJson =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE_CHECK", "1") != "1") ""
@@ -315,7 +392,7 @@ object Bench {
     val host = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOST", "driver")
       .replaceAll("[^A-Za-z0-9_-]", "_")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","host":"$host","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"sf":"$sfDir"$failJson$scaleJson$h2Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","host":"$host","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"queries_warm_quiet":${js(warmQuiet)},"sf":"$sfDir"$failJson$quietJson$scaleJson$h2Json}"""
     // Full-precision record for the repo (and for later rounds' diffing);
     // also printed on an earlier stdout line, which scrolls out of the
     // caller's tail window but survives in a full log. The committed
@@ -347,7 +424,7 @@ object Bench {
       val fastPart =
         if (fast.isEmpty) ""
         else s""","q_fast_n":${fast.size},"q_fast_total":${r2(fast.values.sum)},"q_fast_below":${r2(thresh)}"""
-      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${jsShort(slow)}$fastPart,"total_cold":${r2(totalCold)},"sf":"$sfDir"$failJson}"""
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":${jsShort(slow)}$fastPart,"total_cold":${r2(totalCold)},"total_warm_quiet":${r2(totalQuiet)},"n_no_quiet":${noQuiet.size},"sf":"$sfDir"$failJson}"""
     }
     // 1500, not 2000: sbt appends a ~230-char GC-stats warning AFTER
     // this line (observed in r05 logs), and that shares the caller's

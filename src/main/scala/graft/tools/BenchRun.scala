@@ -14,12 +14,23 @@ import org.apache.spark.sql.SparkSession
   * the inventory across fresh JVMs bounds the churn so the numbers
   * measure plans, not host decay.
   *
-  * Protocol: one `BENCHQ <name> <cold_s> <warm_s>` line per query on
-  * stdout — line-based so the parent needs no JSON parsing and a
-  * mid-batch crash still yields the completed prefix. Cold = first run
-  * (pays the query's one-time whole-stage-codegen), warm = second run
-  * (steady state). A one-time engine warmup runs first so the first
-  * query's cold time measures its plan, not Spark/parquet init.
+  * SELF-ADJUDICATION (r14, VERDICT r13 §next-1): every timed run is
+  * preceded by [[H2Run.sentinelMs]] — the fixed single-thread spin
+  * whose inflation measures host descheduling, the discipline that
+  * already adjudicated three rounds of driver-vs-committed bench
+  * deltas in the H2 section. The parent classifies each timing as
+  * quiet/loaded against the run's sentinel floor and retries loaded
+  * queries in fresh children (bounded), so the artifact itself
+  * records whether a slow reading was the engine or the host.
+  *
+  * Protocol: one `BENCHQ <name> <cold_s> <warm_s> <sent_cold_ms>
+  * <sent_warm_ms>` line per query on stdout — line-based so the
+  * parent needs no JSON parsing and a mid-batch crash still yields
+  * the completed prefix. Cold = first run (pays the query's one-time
+  * whole-stage-codegen), warm = second run (steady state); each
+  * sent_* is the sentinel wall measured immediately before that run.
+  * A one-time engine warmup runs first so the first query's cold time
+  * measures its plan, not Spark/parquet init.
   */
 object BenchRun {
   def main(args: Array[String]): Unit = {
@@ -42,9 +53,11 @@ object BenchRun {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach { n =>
+      val sc = H2Run.sentinelMs()
       val cold = timed(n)
+      val sw = H2Run.sentinelMs()
       val warm = timed(n)
-      println(s"BENCHQ $n $cold $warm")
+      println(s"BENCHQ $n $cold $warm $sc $sw")
       System.out.flush()
     }
     spark.stop()
