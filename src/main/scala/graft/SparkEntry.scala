@@ -89,6 +89,7 @@ object SparkEntry {
     "eval_ann_recall_lsh" -> ((s, d) => Eval.annRecallLsh(s, d)),
     "eval_ann_recall_ivf" -> ((s, d) => Eval.annRecallIvf(s, d)),
     "eval_ann_recall_pq" -> ((s, d) => Eval.annRecallPq(s, d)),
+    "eval_ann_recall_opq" -> ((s, d) => Eval.annRecallOpq(s, d)),
     "eval_ann_recall_sq8" -> ((s, d) => Eval.annRecallSq8(s, d)),
     "eval_ann_recall_sweep" -> ((s, d) => Eval.annRecallIvfSweep(s, d)),
     "eval_ndcg_at_k" -> ((s, d) => Eval.ndcgAtK(s, d)),

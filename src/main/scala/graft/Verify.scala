@@ -42,7 +42,22 @@ object Verify {
         System.err.println(s"[verify] literal overlay failed (static oracles kept): ${e.getMessage}")
         Map.empty[String, String]
       }
-    SparkEntry.oracleSql ++ overlays
+    // the OPQ eval's oracle exists ONLY as an overlay: the Jacobi
+    // eigenfit has no SQL form, but its output is a constant matrix,
+    // so the FROZEN rotation rides into the oracle as literals (the
+    // idf technique) and the rest is plain PQ SQL. Its own try block:
+    // a rotation-fit failure must not take the 8 idf overlays with it,
+    // and vice versa — on failure this query degrades to the driver's
+    // rows-only check instead of losing its verdict entirely.
+    val opqOverlay =
+      try Map("eval_ann_recall_opq" -> operators.Eval.SqlOracle.annRecall(
+        operators.Opq.SqlOracle.opqSearch(
+          operators.Opq.rotation(spark, sfDir))))
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] opq overlay failed (rows-only): ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    SparkEntry.oracleSql ++ overlays ++ opqOverlay
   }
 
   def main(args: Array[String]): Unit = {

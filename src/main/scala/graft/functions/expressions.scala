@@ -394,6 +394,44 @@ case class HyperplaneSigExpr(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** mat_vec(array<float>) — y_i = Σ_j m[i][j]·x_j, the fixed linear
+  * projection applied per row (OPQ/PCA rotation before PQ encode; the
+  * matrix is fit driver-side and travels as a construction-time
+  * constant, the [[HyperplaneSigExpr]] pattern). Each output component
+  * accumulates in DOUBLE in index order then casts to float — exactly
+  * the arithmetic the oracle's nested list comprehension folds, so
+  * both engines produce bit-identical REAL vectors. */
+case class MatVecExpr(child: Expression, m: Array[Array[Double]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FloatArrayCheck.check("mat_vec", child)
+  def compute(x: ArrayData): ArrayData = {
+    val rows = m.length
+    val out = new Array[Float](rows)
+    var i = 0
+    while (i < rows) {
+      val row = m(i)
+      val n = math.min(row.length, x.numElements())
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += row(j) * x.getFloat(j).toDouble; j += 1 }
+      out(i) = acc.toFloat
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVec", this)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): MatVecExpr =
+    copy(child = newChild)
+}
+
 /** sparse_dot_dense(buckets array<long>, cnts array<long>,
   * dense array<long>) — exact integer inner product of a sparse
   * (indices, values) pair against a dense vector; the join-free
@@ -448,6 +486,10 @@ object native {
 
   def hyperplaneSig(v: Column, planes: Array[Array[Double]]): Column =
     Bridge.column(HyperplaneSigExpr(ex(v), planes))
+
+  /** Fixed linear projection y = M·x of an array<float> column. */
+  def matVec(v: Column, m: Array[Array[Double]]): Column =
+    Bridge.column(MatVecExpr(ex(v), m))
 
   def sparseDotDense(buckets: Column, cnts: Column, dense: Column): Column =
     Bridge.column(SparseDotDenseExpr(ex(buckets), ex(cnts), ex(dense)))

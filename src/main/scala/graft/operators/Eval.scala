@@ -173,6 +173,11 @@ object Eval {
     annRecall(spark, dir, Ann.ivf(spark, dir))
   def annRecallPq(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.pqSearch(spark, dir))
+  /** Recall of the OPQ-rotated PQ search at the same code budget —
+    * read beside [[annRecallPq]], the pair measures what the fitted
+    * rotation buys (VERDICT r13 §next-5). */
+  def annRecallOpq(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, Opq.opqSearch(spark, dir))
   def annRecallSq8(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.sq8Search(spark, dir))
 
