@@ -174,6 +174,7 @@ object SparkEntry {
     // Perf/ops analytics
     "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
     "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
+    "index_drift_stats" -> ((s, d) => Drift.indexDriftStats(s, d)),
     "run_summary_groupby" -> ((s, d) => PerfStats.runSummary(s, d)),
     "run_summary_rollup" -> ((s, d) => PerfStats.runSummaryRollup(s, d)),
     "stats_paired_tests" -> ((s, d) => PerfStats.pairedTests(s, d)),
@@ -332,6 +333,7 @@ object SparkEntry {
     "audit_corpus_integrity" -> Shaping.SqlOracle.corpusIntegrity,
     "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
+    "index_drift_stats" -> Drift.SqlOracle.indexDriftStats(),
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,
     "run_summary_rollup" -> PerfStats.SqlOracle.runSummaryRollup,
     "stats_paired_tests" -> PerfStats.SqlOracle.pairedTests(),
