@@ -303,6 +303,129 @@ case class FrontierTopK(
     copy(score = newChildren(0), id = newChildren(1), x = newChildren(2))
 }
 
+/** Per-group state for [[PoolTopK]] — [[FrontierBuffer]] with scores
+  * retained on the expanded side: the incremental-pool walk keeps the
+  * expanded set in the RESULT pool (expanded nodes stay final-top-k
+  * candidates), so expansion rows carry their scores instead of null
+  * markers. Same order-independence: expand wins over visit for the
+  * same id regardless of arrival order, and a (q, id) score is
+  * deterministic so duplicate visits/expands agree. */
+final class PoolBuffer {
+  import scala.collection.mutable
+  val cand = mutable.LongMap.empty[Double]
+  val expScore = mutable.LongMap.empty[Double]
+
+  def visit(id: Long, score: Double): Unit =
+    if (!expScore.contains(id) &&
+        (!cand.contains(id) || score > cand(id)))
+      cand.update(id, score)
+
+  def expand(id: Long, score: Double): Unit = {
+    if (!expScore.contains(id)) expScore.update(id, score)
+    cand.subtractOne(id)
+  }
+}
+
+/** pool_topk(score, id, x, c): ONE aggregation emitting the walk's
+  * whole bounded per-query state — struct(exp, pool) where `exp` is
+  * every expanded (score, id) sorted best-first and `pool` is the c
+  * best UNEXPANDED visited, same (score desc, id asc) order as
+  * [[FrontierTopK]]. The incremental-pool walk
+  * ([[graft.operators.KnnGraph.graphSearch]]) slices its next frontier
+  * from `pool`'s sorted prefix instead of re-aggregating a cumulative
+  * state frame, so per-hop aggregation input and checkpoint volume are
+  * O(pool + scored) rather than O(all rows ever visited). */
+case class PoolTopK(
+    score: Expression,
+    id: Expression,
+    x: Expression,
+    c: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PoolBuffer] with ImplicitCastInputTypes {
+
+  override def children: Seq[Expression] = Seq(score, id, x)
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(DoubleType, LongType, BooleanType)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else if (c < 1) TypeCheckResult.TypeCheckFailure(s"c must be >= 1, got $c")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def nullable: Boolean = false
+  private val entry = ArrayType(
+    StructType(Seq(StructField("score", DoubleType), StructField("id", LongType))),
+    containsNull = false)
+  override def dataType: DataType = StructType(Seq(
+    StructField("exp", entry), StructField("pool", entry)))
+
+  override def createAggregationBuffer(): PoolBuffer = new PoolBuffer
+
+  override def update(buf: PoolBuffer, input: InternalRow): PoolBuffer = {
+    val xi = x.eval(input)
+    val ii = id.eval(input)
+    val s = score.eval(input)
+    if (xi != null && ii != null && s != null) {
+      if (xi.asInstanceOf[Boolean])
+        buf.expand(ii.asInstanceOf[Long], s.asInstanceOf[Double])
+      else buf.visit(ii.asInstanceOf[Long], s.asInstanceOf[Double])
+    }
+    buf
+  }
+
+  override def merge(buf: PoolBuffer, other: PoolBuffer): PoolBuffer = {
+    other.expScore.foreachEntry((i, s) => buf.expand(i, s))
+    other.cand.foreachEntry((i, s) => buf.visit(i, s))
+    buf
+  }
+
+  override def eval(buf: PoolBuffer): Any = {
+    val heap = new TopKBuffer(c)
+    buf.cand.foreachEntry((i, s) => heap.add(s, i))
+    val pool = new GenericArrayData(heap.sorted.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+    val expArr = new Array[(Double, Long)](buf.expScore.size)
+    var n = 0
+    buf.expScore.foreachEntry { (i, s) => expArr(n) = (s, i); n += 1 }
+    val expSorted = expArr.sortWith((a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    val exp = new GenericArrayData(expSorted.map { case (s, i) =>
+      InternalRow(s, i)
+    }.toArray[Any])
+    InternalRow(exp, pool)
+  }
+
+  override def serialize(buf: PoolBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.expScore.size)
+    buf.expScore.foreachEntry { (i, s) => out.writeLong(i); out.writeDouble(s) }
+    out.writeInt(buf.cand.size)
+    buf.cand.foreachEntry { (i, s) => out.writeLong(i); out.writeDouble(s) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): PoolBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new PoolBuffer
+    var n = in.readInt()
+    while (n > 0) { buf.expand(in.readLong(), in.readDouble()); n -= 1 }
+    n = in.readInt()
+    while (n > 0) { buf.visit(in.readLong(), in.readDouble()); n -= 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PoolTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PoolTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): PoolTopK =
+    copy(score = newChildren(0), id = newChildren(1), x = newChildren(2))
+}
+
 object TopKAgg {
   /** Column form: array<struct<score,id>> of the k best rows per group. */
   def topKBy(score: Column, id: Column, k: Int): Column =
@@ -330,5 +453,14 @@ object TopKAgg {
     Bridge.column(
       FrontierTopK(Bridge.expression(score), Bridge.expression(id),
         Bridge.expression(x), k)
+        .toAggregateExpression())
+
+  /** Column form of [[PoolTopK]]: struct(exp, pool) — the expanded set
+    * (scores kept) plus the c best unexpanded visited, both sorted
+    * (score desc, id asc). */
+  def poolTopK(score: Column, id: Column, x: Column, c: Int): Column =
+    Bridge.column(
+      PoolTopK(Bridge.expression(score), Bridge.expression(id),
+        Bridge.expression(x), c)
         .toAggregateExpression())
 }

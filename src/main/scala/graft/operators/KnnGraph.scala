@@ -354,17 +354,17 @@ object KnnGraph {
     if (beam > 0) beam
     else math.max(Beam, math.ceil(math.sqrt(n.toDouble)).toInt)
 
-  /** Batch beam search: top-k per query over the graph, all queries
-    * advancing one shared frontier-expansion join per hop.
-    * `queries` = (q_id, q_vec); `emb` = (id, vec); `edges` = built
-    * graph. Returns (q_id, rank, id, score). */
-  def graphSearch(queries: DataFrame, emb0: DataFrame, edges: DataFrame,
-                  k: Int = Knn.K, beam: Int = AutoBeam, hops: Int = Hops,
-                  nSeeds: Int = NSeeds, nHint: Long = -1L,
-                  seedGroup: Int = SeedGroup,
-                  entriesHint: Option[DataFrame] = None,
-                  seedsHint: Option[DataFrame] = None,
-                  subCountHint: Long = -1L): DataFrame = {
+  /** The walk state both search formulations share: resolved beam
+    * width, the scoring closure, and the scored entry frame. */
+  private final case class WalkSetup(bw: Int,
+                                     score: DataFrame => DataFrame,
+                                     entries: DataFrame)
+
+  private def walkSetup(queries: DataFrame, emb0: DataFrame,
+                        beam: Int, nSeeds: Int, nHint: Long,
+                        seedGroup: Int, entriesHint: Option[DataFrame],
+                        seedsHint: Option[DataFrame],
+                        subCountHint: Long): WalkSetup = {
     val emb = emb0.select(col("id"), col("vec"))
     // fixed entry points (index metadata): the nSeeds smallest node
     // ids. DISTINCT ids, not rows — an at-least-once ingest can leave
@@ -418,41 +418,111 @@ object KnnGraph {
       cand.join(emb, Seq("id"))
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("id"), cosine(col("q_vec"), col("vec")).as("score"))
-    // The walk's per-hop state is ONE frame: visited (q_id, id, score,
-    // x=false) rows plus expanded-marker (q_id, id, null, x=true) rows
-    // — checkpointed once per hop (two separate frames cost two eager
-    // checkpoint jobs per hop, ~2× the toy-scale job floor for the
-    // same work).
-    //
-    // The markers implement HNSW ef-search's pop-at-most-once rule in
-    // batch form (r13): without them, once the beam saturates with
-    // near-ties (the decade-corpus regime) every later hop re-expands
-    // the SAME `beam` nodes and discovers nothing — measured 0.715
-    // recall@10 at 200 k, flat in hops (8→12 moved nothing, r13
-    // probe). Expanding the best `beam` UNEXPANDED visited per hop
-    // makes every hop score beam·degree FRESH candidates — the same
-    // per-hop bound, but hops·beam·degree distinct work in total:
-    // 0.715 → 0.850 recall@10 at the same 200 k corpus, same beam,
-    // same hops (0.910 with the r13 every-round diversification
-    // default, [[DiversifyRounds]]; 0.935 at hops=12 — headroom, not
-    // the default). The markers are per-hop Q·beam·hop rows —
-    // query-side-tiny at any corpus size; hop 1 (no markers yet) and
-    // the last hop's marker maintenance (never read) are skipped.
-    var state = score(
-        broadcast(queries.select(col("q_id"))).crossJoin(seeds.select(col("id")))
-          .union(lshEntries))
-      .withColumn("x", lit(false))
-      .localCheckpoint(true)
+    val entries = score(
+      broadcast(queries.select(col("q_id"))).crossJoin(seeds.select(col("id")))
+        .union(lshEntries))
+    WalkSetup(bw, score, entries)
+  }
+
+  /** Batch beam search: top-k per query over the graph, all queries
+    * advancing one shared frontier-expansion join per hop.
+    * `queries` = (q_id, q_vec); `emb` = (id, vec); `edges` = built
+    * graph. Returns (q_id, rank, id, score).
+    *
+    * INCREMENTAL-POOL walk state (r14, VERDICT r13 §next-3 / SURVEY
+    * §7.23): each hop's state is ONE row per query — a
+    * [[graft.functions.PoolTopK]] struct holding the expanded set
+    * (scores kept; they stay final-top-k candidates) and the
+    * C_h = max(beam, k)·(hops−h+1) best UNEXPANDED visited. The next
+    * frontier is the pool's sorted beam-prefix (no re-aggregation),
+    * so per-hop aggregation input and checkpoint volume are
+    * O(pool + beam·degree) instead of the cumulative O(hop·beam·degree)
+    * the tagged-state walk re-materialized every hop.
+    *
+    * The cap keeps the walk EXACT, not approximate ([[
+    * graphSearchCumulative]] is the equivalence baseline, bit-equality
+    * spec'd): a row dropped at hop h ranks below C_h among unexpanded;
+    * each later hop expands at most `beam` rows, so its rank can
+    * improve by at most beam per hop and stays above beam through hop
+    * `hops` — it can never enter a frontier; and since C_h ≥ k rows
+    * outrank it forever (scores are immutable, expanded rows stay in
+    * the result pool), it can never enter the final top-k either. A
+    * dropped row re-discovered by a later expansion re-enters as a
+    * fresh visit with the identical score — the same rows the
+    * cumulative state never forgot.
+    *
+    * The expanded side implements HNSW ef-search's pop-at-most-once
+    * rule exactly as before (r13: re-expansion starvation measured
+    * 0.715 recall@10 at 200 k; expand-once reads 0.910 under the
+    * every-round diversification default): the pool aggregate drops an
+    * expanded id from the candidate side order-independently, so a
+    * re-discovered expanded node never re-enters the frontier. */
+  def graphSearch(queries: DataFrame, emb0: DataFrame, edges: DataFrame,
+                  k: Int = Knn.K, beam: Int = AutoBeam, hops: Int = Hops,
+                  nSeeds: Int = NSeeds, nHint: Long = -1L,
+                  seedGroup: Int = SeedGroup,
+                  entriesHint: Option[DataFrame] = None,
+                  seedsHint: Option[DataFrame] = None,
+                  subCountHint: Long = -1L): DataFrame = {
+    val s = walkSetup(queries, emb0, beam, nSeeds, nHint, seedGroup,
+      entriesHint, seedsHint, subCountHint)
+    val capUnit = math.max(s.bw, k)
+    var state = s.entries.withColumn("x", lit(false))
     for (hop <- 1 to hops) {
-      // frontier = the best `beam` not-yet-expanded visited nodes per
-      // query, in ONE aggregation pass over the tagged state
-      // ([[TopKAgg.frontierTopK]]): visited rows feed the id-distinct
-      // heap (rescoring a revisit yields the identical cosine, so the
-      // buffer's map dedupes for free), expansion markers delete their
-      // id order-independently. The anti-join formulation this fuses
-      // shuffled both state splits on (q_id, id) and the survivors
-      // again on q_id — two exchanges and a sort-merge join per hop
-      // that the aggregate's partial pass doesn't need.
+      val cap = capUnit * (hops - hop + 1)
+      // ONE aggregation + checkpoint per hop, over bounded input; the
+      // row count out is Q (one struct per query)
+      val pooled = state.groupBy("q_id")
+        .agg(TopKAgg.poolTopK(col("score"), col("id"), col("x"), cap).as("pk"))
+        .localCheckpoint(true)
+      val poolRows = pooled
+        .select(col("q_id"), posexplode(col("pk.pool")).as(Seq("pos", "e")))
+        .select(col("q_id"), col("pos"), col("e.id").as("id"),
+          col("e.score").as("score"))
+      // frontier = the sorted pool's beam-prefix — same (score desc,
+      // id asc) selection frontierTopK made, without a second pass
+      val frontier = poolRows.filter(col("pos") < s.bw).drop("pos")
+      val expansion = frontier.select(col("q_id"), col("id"))
+        .join(edges.withColumnRenamed("src", "id"), Seq("id"))
+        .select(col("q_id"), col("dst").as("id"))
+      val scored = s.score(expansion).withColumn("x", lit(false))
+      val expRows = pooled
+        .select(col("q_id"), explode(col("pk.exp")).as("e"))
+        .select(col("q_id"), col("e.id").as("id"), col("e.score").as("score"))
+        .withColumn("x", lit(true))
+      state = expRows
+        .union(frontier.withColumn("x", lit(true))) // expanded this hop
+        .union(poolRows.filter(col("pos") >= s.bw).drop("pos")
+          .withColumn("x", lit(false)))
+        .union(scored)
+    }
+    // every state row carries its score (expanded included — they are
+    // visited nodes), so the final top-k reads them all
+    state.groupBy("q_id")
+      .agg(TopKAgg.topKByDistinct(col("score"), col("id"), k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("id"), col("e.score").as("score"))
+  }
+
+  /** The pre-r14 cumulative-state walk — kept as the equivalence
+    * baseline for the incremental-pool [[graphSearch]] (bit-equality
+    * asserted in Round14Spec, the frontierTopK spec pattern): the
+    * per-hop state is the ever-growing tagged frame of ALL visited
+    * rows plus expansion markers, re-checkpointed whole every hop. */
+  private[graft] def graphSearchCumulative(
+      queries: DataFrame, emb0: DataFrame, edges: DataFrame,
+      k: Int = Knn.K, beam: Int = AutoBeam, hops: Int = Hops,
+      nSeeds: Int = NSeeds, nHint: Long = -1L,
+      seedGroup: Int = SeedGroup,
+      entriesHint: Option[DataFrame] = None,
+      seedsHint: Option[DataFrame] = None,
+      subCountHint: Long = -1L): DataFrame = {
+    val su = walkSetup(queries, emb0, beam, nSeeds, nHint, seedGroup,
+      entriesHint, seedsHint, subCountHint)
+    val bw = su.bw
+    var state = su.entries.withColumn("x", lit(false)).localCheckpoint(true)
+    for (hop <- 1 to hops) {
       val frontier = state
         .groupBy("q_id")
         .agg(TopKAgg.frontierTopK(col("score"), col("id"), col("x"), bw).as("tk"))
@@ -461,7 +531,7 @@ object KnnGraph {
       val expansion = frontier
         .join(edges.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("q_id"), col("dst").as("id"))
-      val scored = score(expansion).withColumn("x", lit(false))
+      val scored = su.score(expansion).withColumn("x", lit(false))
       val markers = frontier
         .select(col("q_id"), col("id"), lit(null).cast("double").as("score"),
           lit(true).as("x"))

@@ -152,6 +152,27 @@ class Round14Spec extends AnyFunSuite with Matchers with SharedSpark {
     } finally dropGraph(name)
   }
 
+  test("incremental-pool walk is bit-equal to the cumulative-state walk") {
+    // the r14 exactness claim (SURVEY §7.23 cap arithmetic): the pooled
+    // walk must reproduce the cumulative walk's results EXACTLY — same
+    // ids, same ranks, same scores — across beam/hop settings,
+    // including beams small enough that the cap actually truncates
+    val queries = Knn.querySet(spark, sfDir)
+      .select(col("q_id"), col("q_vec"))
+    val nodes = Knn.docSet(spark, sfDir)
+      .select(col("doc_id").as("id"), col("doc_vec").as("vec"))
+    val edges = KnnGraph.docGraph(spark, sfDir)
+    for ((beam, hops) <- Seq((KnnGraph.AutoBeam, KnnGraph.Hops), (8, 3), (16, 6))) {
+      val pooled = KnnGraph.graphSearch(queries, nodes, edges,
+        beam = beam, hops = hops).collect().map(_.toString).sorted
+      val cumulative = KnnGraph.graphSearchCumulative(queries, nodes, edges,
+        beam = beam, hops = hops).collect().map(_.toString).sorted
+      withClue(s"beam=$beam hops=$hops: ") {
+        pooled shouldBe cumulative
+      }
+    }
+  }
+
   test("BoundedMemo: LRU capacity eviction, predicate eviction, clear") {
     val m = new Cleanup.BoundedMemo[Int, Int](2)
     var builds = 0
