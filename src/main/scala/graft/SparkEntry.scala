@@ -64,6 +64,7 @@ object SparkEntry {
     "ann_lsh_filtered" -> ((s, d) => Ann.lshFiltered(s, d)),
     "ann_ivf_filtered" -> ((s, d) => Ann.ivfFiltered(s, d)),
     "ann_ivf_pq" -> ((s, d) => Ann.ivfPq(s, d)),
+    "ann_ivf_pq_indexed" -> ((s, d) => Ann.ivfPqViaIndex(s, d)),
     "ann_sq8_search" -> ((s, d) => Ann.sq8Search(s, d)),
     "ann_sq8_indexed" -> ((s, d) => Ann.sq8ViaIndex(s, d)),
     // √N-centroid IVF (Lloyd-trained nlist ≈ √N, nprobe ≈ √nlist) —
@@ -254,6 +255,9 @@ object SparkEntry {
     "eval_ndcg_at_k" -> Eval.SqlOracle.ndcgAtK,
     "eval_mrr" -> Eval.SqlOracle.mrr,
     "ann_ivf_pq" -> Ann.SqlOracle.ivfPq,
+    // the persisted composed layout is bit-identical to the in-plan
+    // form (same frozen fits, same candidates, same fixed-point ADC)
+    "ann_ivf_pq_indexed" -> Ann.SqlOracle.ivfPq,
     "ann_sq8_search" -> Ann.SqlOracle.sq8Search,
     // indexed SQ8 is bit-identical to the in-plan search (same fit,
     // same codes, same fixed-point ADC) — shared oracle

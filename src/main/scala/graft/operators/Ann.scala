@@ -457,6 +457,108 @@ object Ann {
       .orderBy("q_id", "rank")
   }
 
+  /** Persisted IVF+PQ composed layout — FAISS IndexIVFPQ's on-disk
+    * artifact, completing the serving matrix for the COMPOSED path
+    * (every single-level path already had one): the 8-codes-per-doc
+    * table partitioned by coarse cell (`c_id=` directories) with BOTH
+    * frozen fits traveling inside it (`_cent` coarse grid, `_fit`
+    * codebook — the underscore convention). At 100 TB a query's scan
+    * reads ONLY its probed cells' code files (DPP) at ~1 byte per
+    * doc per subspace; float vectors are touched only by the
+    * k-bounded exact re-rank. Built via [[Compaction.stagedBuild]] —
+    * no crash point leaves codes without their fits — and maintained
+    * by [[compactIvfIndex]] unchanged (same `c_id=` partition
+    * geometry). */
+  def writeIvfPqIndex(spark: SparkSession, dir: String, out: String,
+                      docs: Option[DataFrame] = None): Unit =
+    Compaction.stagedBuild(spark, out) { tmp =>
+      val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val cb = pqCodebook(spark, dir)
+      val ds = docs.getOrElse(Knn.docSet(spark, dir))
+      val assign = assignToIndex(spark, dir, ds, Some(cent))
+        .select(col("doc_id"), col("c_id"))
+      pqEncodeOf(ds, cb)
+        .join(assign, Seq("doc_id"))
+        .write.mode("overwrite").partitionBy("c_id").parquet(tmp)
+      cent.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_cent")
+      cb.coalesce(1).write.mode("overwrite").parquet(s"$tmp/_fit")
+    }
+
+  /** Frozen-fit incremental maintenance for a [[writeIvfPqIndex]]
+    * layout: the batch is assigned under the index's OWN `_cent` grid
+    * and encoded under its OWN `_fit` codebook (both frozen — the
+    * FAISS add-to-trained-index contract applied to the composition),
+    * and the append writes only the batch's own cell directories.
+    * Disjoint append ≡ build-time encode (codes and assignment depend
+    * only on the fits); re-train + rebuild when [[
+    * graft.operators.Drift]]'s numbers say the fits drifted. */
+  def appendToIvfPqIndex(spark: SparkSession, newVecs: DataFrame,
+                         indexPath: String): Unit = {
+    val cent = spark.read.parquet(s"$indexPath/_cent")
+    val cb = spark.read.parquet(s"$indexPath/_fit")
+    val vecs = newVecs.select(col("doc_id"), col("doc_vec"))
+    val assign = vecs.crossJoin(broadcast(cent))
+      .groupBy("doc_id")
+      .agg(min_by(col("c_id"),
+        struct(-dot(col("doc_vec"), col("c_vec")), col("c_id"))).as("c_id"))
+    pqEncodeOf(vecs, cb)
+      .join(assign, Seq("doc_id"))
+      .write.mode("append").partitionBy("c_id").parquet(indexPath)
+  }
+
+  /** [[ivfPq]] answered from a persisted [[writeIvfPqIndex]] layout:
+    * both pruning levels compose against STORED artifacts — the probe
+    * join DPP-prunes the code scan to the queries' nprobe cell
+    * directories, ADC scores the surviving stored codes, the exact
+    * re-rank finishes. Results ≡ [[ivfPq]] (same fits, same candidate
+    * set, same fixed-point ADC), so it shares its oracle. */
+  def ivfPqIndexed(spark: SparkSession, dir: String, indexPath: String,
+                   k: Int = K): DataFrame = {
+    val cent = spark.read.parquet(s"$indexPath/_cent")
+    val cb = spark.read.parquet(s"$indexPath/_fit")
+    val codes = spark.read.parquet(indexPath)
+    val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
+      .groupBy("q_id")
+      .agg(graft.functions.TopKAgg.topKBy(
+        dot(col("q_vec"), col("c_vec")), col("c_id"), NProbe).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("e"))
+      .select(col("q_id"), col("e.id").as("c_id"))
+    val lut = Knn.querySet(spark, dir)
+      .select(col("q_id"), posexplode(array(
+        (0 until PqM).map(j => slice(col("q_vec"), j * PqSub + 1, PqSub)): _*))
+        .as(Seq("j", "qvec")))
+      .join(broadcast(cb), Seq("j"))
+      .select(col("q_id"), col("j"), col("c_id").as("code"),
+        dot(col("qvec"), col("cvec")).as("part"))
+    val adc = codes.join(broadcast(qs), Seq("c_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "doc_id")
+      .agg(fxSum(col("part"), 9).as("score"))
+    val lead = Knn.topKPerQuery(adc, 3 * k).select(col("q_id"), col("doc_id"))
+    val exact = lead
+      .join(broadcast(Knn.querySet(spark, dir)), Seq("q_id"))
+      .join(Knn.docSet(spark, dir), Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"),
+        dot(col("q_vec"), col("doc_vec")).as("score"))
+    Knn.topKPerQuery(exact, k)
+      .select(col("q_id"), col("rank"), col("doc_id"),
+        rnd(col("score"), 4).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  // IVF+PQ scratch builds memoized per (app, dir) — the
+  // graft.Cleanup.memoizedBuild contract shared by all scratch indexes
+  private val ivfPqScratchCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  /** [[ivfPqIndexed]] over a memoized scratch build — the verified-
+    * query form (`ann_ivf_pq_indexed`; shares [[ivfPq]]'s oracle). */
+  def ivfPqViaIndex(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    ivfPqIndexed(spark, dir,
+      graft.Cleanup.memoizedBuild(ivfPqScratchCache, spark, dir,
+        "graft-ivfpqidx")(writeIvfPqIndex(spark, dir, _)), k)
+
   /** Materializes the IVF index in the layout a 100 TB deployment
     * serves from: the corpus stored ONCE as a `c_id`-partitioned
     * parquet table (one directory per centroid). A probe query then

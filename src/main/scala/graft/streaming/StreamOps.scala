@@ -737,6 +737,25 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  /** Streaming ingest into a persisted IVF+PQ composed index
+    * ([[graft.operators.Ann.writeIvfPqIndex]]): each micro-batch is
+    * assigned under the stored `_cent` grid AND encoded under the
+    * stored `_fit` codebook (both frozen), appending only into the
+    * batch's own cell directories. Same at-least-once idempotence
+    * discipline as [[pqIngestStream]]. */
+  def ivfPqIngestStream(vecs: DataFrame, indexPath: String,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = minusStored(batch.dropDuplicates("doc_id"), indexPath)
+        if (!fresh.isEmpty)
+          graft.operators.Ann.appendToIvfPqIndex(spark, fresh, indexPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Streaming ingest into a persisted chunk-postings index
     * ([[graft.operators.Chunking.writeChunkIndex]]): each micro-batch
     * of (doc_id, text) documents is chunked/bucketed from the batch

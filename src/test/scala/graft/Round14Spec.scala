@@ -173,6 +173,27 @@ class Round14Spec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("ivf-pq persisted layout: append ≡ rebuild bit-identically; probe is DPP-pruned") {
+    val base = tempDir("graft-ivfpq")
+    val full = s"$base/full"; val half = s"$base/half"
+    Ann.writeIvfPqIndex(spark, sfDir, full)
+    // frozen-fit append contract: build from the even half, append the
+    // odd half under the stored fits — must equal the full build
+    val docs = Knn.docSet(spark, sfDir)
+    Ann.writeIvfPqIndex(spark, sfDir, half,
+      docs = Some(docs.filter(col("doc_id") % 2 === 0)))
+    Ann.appendToIvfPqIndex(spark, docs.filter(col("doc_id") % 2 === 1), half)
+    spark.read.parquet(half).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(full).collect().map(_.toString).sorted
+    // the served form answers identically to the in-plan composition
+    // (the shared-oracle claim), and its probe carries runtime pruning
+    val served = Ann.ivfPqIndexed(spark, sfDir, full)
+    served.collect().map(_.toString).sorted shouldBe
+      Ann.ivfPq(spark, sfDir).collect().map(_.toString).sorted
+    served.queryExecution.executedPlan.toString
+      .toLowerCase should include("dynamicpruning")
+  }
+
   test("BoundedMemo: LRU capacity eviction, predicate eviction, clear") {
     val m = new Cleanup.BoundedMemo[Int, Int](2)
     var builds = 0

@@ -425,6 +425,46 @@ class StreamingSpec extends AnyFunSuite with Matchers with SharedSpark {
     spark.read.parquet(streamed).count() shouldBe nRows
   }
 
+  test("ivfPqIngestStream: streamed composed index equals the batch build, replay is a no-op") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import operators.Ann
+    val tmp = new java.io.File(tempDir("graft-ivfpqstream"))
+    val streamed = new java.io.File(tmp, "streamed").getAbsolutePath
+    val batch = new java.io.File(tmp, "batch").getAbsolutePath
+    Ann.writeIvfPqIndex(spark, sfDir, batch)
+    // fits-only snapshot seeds the streamed index (frozen grid AND
+    // frozen codebook — the composed contract)
+    new java.io.File(streamed).mkdirs()
+    spark.read.parquet(s"$batch/_fit")
+      .coalesce(1).write.parquet(s"$streamed/_fit")
+    spark.read.parquet(s"$batch/_cent")
+      .coalesce(1).write.parquet(s"$streamed/_cent")
+    val rows = operators.Knn.docSet(spark, sfDir)
+      .select("doc_id", "doc_vec")
+      .as[(Long, Array[Float])].collect().toSeq
+    def ingest(ck: String): Unit = {
+      val input = MemoryStream[(Long, Array[Float])]
+      val q = StreamOps.ivfPqIngestStream(
+        input.toDF().toDF("doc_id", "doc_vec"), streamed, tempDir(ck))
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        input.addData(h1 ++ h1.take(1): _*); q.processAllAvailable()
+        input.addData(h2: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    ingest("graft-ivfpqck1")
+    spark.read.parquet(streamed).collect().map(_.toString).sorted shouldBe
+      spark.read.parquet(batch).collect().map(_.toString).sorted
+    Ann.ivfPqIndexed(spark, sfDir, streamed)
+      .collect().map(_.toString).sorted shouldBe
+      Ann.ivfPqIndexed(spark, sfDir, batch).collect().map(_.toString).sorted
+    val nRows = spark.read.parquet(streamed).count()
+    ingest("graft-ivfpqck2")
+    spark.read.parquet(streamed).count() shouldBe nRows
+  }
+
   test("chunkIndexIngestStream: streamed chunk index equals batch build, replay is a no-op") {
     val s = spark
     import s.implicits._
