@@ -57,7 +57,25 @@ object Verify {
         System.err.println(s"[verify] opq overlay failed (rows-only): ${e.getMessage}")
         Map.empty[String, String]
       }
-    SparkEntry.oracleSql ++ overlays ++ opqOverlay
+    // trained-PQ oracles: same frozen-fit-as-literals technique — the
+    // memoized driver-side codebook rows ARE both the Spark plan's
+    // codebook and the oracle's literal table. Own try block, same
+    // rows-only degradation contract as the opq overlay.
+    val pqTrainedOverlay =
+      try {
+        val rows = operators.Ann.trainedPqRows(spark, sfDir)
+        if (rows.isEmpty) Map.empty[String, String]
+        else {
+          val searchSql = operators.Ann.SqlOracle.pqSearchTrainedSql(rows)
+          Map("ann_pq_trained" -> searchSql,
+            "eval_ann_recall_pq_trained" ->
+              operators.Eval.SqlOracle.annRecall(searchSql))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] pq-trained overlay failed (rows-only): ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    SparkEntry.oracleSql ++ overlays ++ opqOverlay ++ pqTrainedOverlay
   }
 
   def main(args: Array[String]): Unit = {

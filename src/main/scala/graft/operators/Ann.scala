@@ -900,6 +900,45 @@ object Ann {
     }.reduce(_.unionByName(_))
   }
 
+  // trained PQ codebooks memoized per (app, dir) as driver-side rows —
+  // the vocabulary-fit contract: the registered query and the Verify
+  // oracle overlay must share ONE fit (the literals ARE the codebook)
+  private val trainedPqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Long, Int, Seq[Float])]]
+
+  /** The [[fitPqCodebook]] fit collected driver-side (≤ PqM·PqCodes
+    * rows — broadcast-scale by construction), memoized per (app, dir).
+    * These rows are BOTH the Spark plan's codebook (a LocalRelation)
+    * and the oracle's literal table, so the two engines cannot see
+    * different fits. */
+  def trainedPqRows(spark: SparkSession, dir: String): Seq[(Long, Int, Seq[Float])] = {
+    val app = spark.sparkContext.applicationId
+    trainedPqCache.keySet.filter(_._1 != app).foreach(trainedPqCache.remove)
+    trainedPqCache.getOrElseUpdate((app, dir),
+      fitPqCodebook(Tables.embeddings(spark, dir), iters = 2)
+        .collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))))
+  }
+
+  private def trainedPqCodebookDf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    trainedPqRows(spark, dir).map { case (c, j, v) => (c, j, v.toArray) }
+      .toDF("c_id", "j", "cvec")
+  }
+
+  /** [[pqSearch]] under the Lloyd-TRAINED codebook — the production
+    * PQ configuration (FAISS trains per-subspace k-means; the seed
+    * codebook keeps the always-static oracle) at the SAME code budget.
+    * Oracle-verified through the frozen-fit literal overlay (the
+    * [[Opq.SqlOracle]] technique): the fitted codewords ride into
+    * DuckDB as double literals equal to the floats' widened values,
+    * so encode, ADC and re-rank mirror operand-for-operand.
+    * `eval_ann_recall_pq_trained` reads beside `eval_ann_recall_pq` —
+    * the measured answer to "what does training the codebook buy over
+    * the seeds". */
+  def pqSearchTrained(spark: SparkSession, dir: String, k: Int = K): DataFrame =
+    pqSearch(spark, dir, k, Some(trainedPqCodebookDf(spark, dir)))
+
   private implicit class SeqAsJava[T](s: Seq[T]) {
     def asJava: java.util.List[T] = {
       val l = new java.util.ArrayList[T](s.size)
@@ -1016,6 +1055,69 @@ object Ann {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
          |FROM ranked WHERE rank <= $K
          |ORDER BY q_id, rank""".stripMargin
+
+    /** Mirror of [[Ann.pqSearchTrained]] under a FROZEN trained
+      * codebook (Verify-overlay only — the Lloyd fit has no SQL form,
+      * its output is a constant 128-row table): codeword literals are
+      * the floats' exact widened doubles (Double.toString of
+      * f.toDouble round-trips; Float.toString would parse to a
+      * DIFFERENT double), so the per-subspace distance and dot folds
+      * see bit-identical operands in both engines. Same structure as
+      * [[pqSearch]]'s mirror with the 8-dim (c_id, j, vc) codebook
+      * joined on j instead of full-vector slicing. */
+    def pqSearchTrainedSql(cb: Seq[(Long, Int, Seq[Float])], k: Int = K): String = {
+      def dbl(x: Double): String = {
+        val s = java.lang.Double.toString(x)
+        if (s.contains("E") || s.contains("e")) s else s + "e0"
+      }
+      val rows = cb.map { case (c, j, v) =>
+        s"($c, $j, [${v.map(f => dbl(f.toDouble)).mkString(", ")}])"
+      }.mkString(",\n")
+      def subD2(a: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[(CAST($a[j*$PqSub+i] AS DOUBLE) - vc[i]) * " +
+          s"(CAST($a[j*$PqSub+i] AS DOUBLE) - vc[i]) " +
+          s"for i in range(1, ${PqSub + 1})]), (x, y) -> x + y)"
+      def subDt(a: String): String =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"[CAST($a[j*$PqSub+i] AS DOUBLE) * vc[i] " +
+          s"for i in range(1, ${PqSub + 1})]), (x, y) -> x + y)"
+      s"""WITH cb AS (SELECT * FROM (VALUES
+         |$rows) t(c_id, j, vc)),
+         |q0 AS ${Knn.SqlOracle.queriesCte()},
+         |d0 AS ${Knn.SqlOracle.docsCte()},
+         |codes AS (
+         |  SELECT vec_id, j, c_id AS code FROM (
+         |    SELECT s.vec_id, cb.j, cb.c_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, cb.j
+         |        ORDER BY ${subD2("s.ve")}, cb.c_id) AS r
+         |    FROM (SELECT vec_id, embedding AS ve FROM embeddings) s
+         |    CROSS JOIN cb) WHERE r = 1),
+         |lut AS (
+         |  SELECT q.q_id, cb.j, cb.c_id AS code, ${subDt("q.q_vec")} AS part
+         |  FROM q0 q CROSS JOIN cb),
+         |adc AS (
+         |  SELECT lut.q_id, c.vec_id AS doc_id,
+         |    ${S.fxSum("lut.part", 9)} AS score
+         |  FROM codes c JOIN lut ON c.j = lut.j AND c.code = lut.code
+         |  WHERE c.vec_id >= ${Knn.NQueries}
+         |  GROUP BY lut.q_id, c.vec_id),
+         |cand AS (
+         |  SELECT q_id, doc_id FROM (
+         |    SELECT q_id, doc_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS r
+         |    FROM adc) WHERE r <= ${3 * k}),
+         |exact AS (
+         |  SELECT c.q_id, c.doc_id, ${S.dot("q.q_vec", "d.doc_vec", Dim)} AS score
+         |  FROM cand c JOIN q0 q USING (q_id) JOIN d0 d USING (doc_id)),
+         |ranked AS (
+         |  SELECT q_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+         |  FROM exact)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, ${S.rnd("score", 4)} AS score
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+    }
 
     /** Mirror of [[Ann.sq8Search]]: identical fit, code, and base/step
       * arithmetic (same IEEE operand order), fixed-point ADC sum, 3k

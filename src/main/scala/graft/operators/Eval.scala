@@ -178,6 +178,12 @@ object Eval {
     * rotation buys (VERDICT r13 §next-5). */
   def annRecallOpq(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Opq.opqSearch(spark, dir))
+  /** Recall of the Lloyd-TRAINED-codebook PQ search at the same code
+    * budget — the third member of the PQ recall trio (seeds /
+    * rotation / training), the measured answer to "what does training
+    * buy". */
+  def annRecallPqTrained(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, Ann.pqSearchTrained(spark, dir))
   def annRecallSq8(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.sq8Search(spark, dir))
 

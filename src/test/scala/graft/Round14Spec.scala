@@ -194,6 +194,25 @@ class Round14Spec extends AnyFunSuite with Matchers with SharedSpark {
       .toLowerCase should include("dynamicpruning")
   }
 
+  test("trained PQ codebook: deterministic, full result shape, recall >= seeds") {
+    import graft.operators.Eval
+    // memoized fit: two searches share one codebook → bit-equal
+    val a = Ann.pqSearchTrained(spark, sfDir).collect().map(_.toString).sorted
+    val b = Ann.pqSearchTrained(spark, sfDir).collect().map(_.toString).sorted
+    a shouldBe b
+    a.length shouldBe 200 // 20 queries × k
+    // the point of training: at the same code budget the trained
+    // codebook must not RANK BELOW the arbitrary seed codebook
+    // (measured at sf0.01: 0.565 vs 0.475; small slack for tiny SFs)
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).head.getDouble(0)
+    val trained = mean(Eval.annRecallPqTrained(spark, sfDir))
+    val seeds = mean(Eval.annRecallPq(spark, sfDir))
+    withClue(s"trained $trained vs seeds $seeds: ") {
+      trained should be >= seeds - 0.02
+    }
+  }
+
   test("BoundedMemo: LRU capacity eviction, predicate eviction, clear") {
     val m = new Cleanup.BoundedMemo[Int, Int](2)
     var builds = 0
