@@ -818,6 +818,62 @@ object KnnGraph {
     hot
   }
 
+  /** Compaction for the `_meta` table — the last maintenance gap in
+    * the graph-index matrix: every [[appendToGraphIndex]] batch
+    * appends one count-only row (one parquet file per append), so a
+    * long-running streaming ingest grows the metadata read that EVERY
+    * serving search performs. The fold is semantic, not just physical:
+    * the summed count plus the build row's frozen sub-split and seeds
+    * collapse to ONE row carrying everything [[readGraphMetaFull]]
+    * derives. Crash-safe via the [[Bucketing.compactBucketed]]
+    * temp-table swap: the replacement is durable before the original
+    * drops; a crash inside the drop→rename window self-heals on the
+    * next call (and reads degrade to the documented count fallback
+    * meanwhile — appends fail LOUDLY on the missing split rather than
+    * banding wrong). Returns rowsBefore -> 1 when a rewrite ran. */
+  def compactGraphMeta(spark: SparkSession,
+                       name: String = "graft_graph"): Option[(Long, Long)] = {
+    import spark.implicits._
+    val table = s"${name}_meta"
+    val tmp = table + "__compacting"
+    def clearDefaultPaths(t: String): Unit = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val lc = t.toLowerCase(java.util.Locale.ROOT)
+      Seq(s"$wh/$lc", s"$wh/${spark.catalog.currentDatabase}.db/$lc")
+        .foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(hp)) fs.delete(hp, true)
+        }
+    }
+    // recovery: a crash between the drop and the promoting rename
+    // leaves the compacted row under the temp name — finish the swap
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp)) {
+      clearDefaultPaths(table)
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      return None
+    }
+    if (!spark.catalog.tableExists(table)) return None
+    val rowsBefore = spark.table(table).count()
+    if (rowsBefore <= 1) return None
+    val meta = readGraphMetaFull(spark, name)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    clearDefaultPaths(tmp)
+    // one row, same schema family writeGraphMeta produces: the full
+    // (n, sub_count, seeds) shape when the build row exists, the
+    // legacy n-only shape otherwise
+    val one =
+      if (meta.subCount > 0)
+        Seq((meta.n, Option(meta.subCount), meta.seeds))
+          .toDF("n", "sub_count", "seeds")
+      else Seq(meta.n).toDF("n")
+    one.coalesce(1).write.format("parquet").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    clearDefaultPaths(table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    Some(rowsBefore -> 1L)
+  }
+
   /** Mean overlap@k of graph search vs the exact cosine top-k — the
     * recall the graph trades for never scanning the corpus (same shape
     * as [[Eval.annRecall]] for LSH/IVF/PQ). */

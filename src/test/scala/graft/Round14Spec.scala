@@ -194,6 +194,44 @@ class Round14Spec extends AnyFunSuite with Matchers with SharedSpark {
       .toLowerCase should include("dynamicpruning")
   }
 
+  test("_meta compaction folds append rows to one; search, meta and appends unchanged") {
+    val name = "g14meta"
+    dropGraph(name)
+    KnnGraph.writeGraphIndex(spark, sfDir, name = name)
+    try {
+      val newNodes = Knn.querySet(spark, sfDir)
+        .select(col("q_id").as("id"), col("q_vec").as("vec"))
+      (0 until 5).foreach { i =>
+        KnnGraph.appendToGraphIndex(spark,
+          newNodes.filter(col("id") % 5 === i), name)
+      }
+      val before = KnnGraph.readGraphMetaFull(spark, name)
+      val results = KnnGraph.searchIndexed(spark, sfDir, name)
+        .collect().map(_.toString).sorted
+      spark.table(s"${name}_meta").count() shouldBe 6 // build + 5 appends
+      KnnGraph.compactGraphMeta(spark, name) shouldBe Some(6L -> 1L)
+      spark.table(s"${name}_meta").count() shouldBe 1
+      // everything the meta feeds is unchanged: summed n, frozen
+      // split, seeds, and therefore the search itself
+      val after = KnnGraph.readGraphMetaFull(spark, name)
+      after shouldBe before
+      KnnGraph.searchIndexed(spark, sfDir, name)
+        .collect().map(_.toString).sorted shouldBe results
+      // idempotent, and appends keep working against the compacted row
+      KnnGraph.compactGraphMeta(spark, name) shouldBe None
+      KnnGraph.appendToGraphIndex(spark,
+        newNodes.select(col("id") + 1000000L as "id", col("vec")), name)
+      KnnGraph.readGraphMeta(spark, name) shouldBe before.n + newNodes.count()
+      // crash recovery: simulate the drop→rename window
+      spark.sql(s"ALTER TABLE ${name}_meta RENAME TO ${name}_meta__compacting")
+      KnnGraph.compactGraphMeta(spark, name) shouldBe None // completes swap
+      KnnGraph.readGraphMeta(spark, name) shouldBe before.n + newNodes.count()
+    } finally {
+      dropGraph(name)
+      spark.sql(s"DROP TABLE IF EXISTS ${name}_meta__compacting")
+    }
+  }
+
   test("trained PQ codebook: deterministic, full result shape, recall >= seeds") {
     import graft.operators.Eval
     // memoized fit: two searches share one codebook → bit-equal
