@@ -93,6 +93,7 @@ object SparkEntry {
     "eval_ann_recall_opq" -> ((s, d) => Eval.annRecallOpq(s, d)),
     "ann_pq_trained" -> ((s, d) => Ann.pqSearchTrained(s, d)),
     "eval_ann_recall_pq_trained" -> ((s, d) => Eval.annRecallPqTrained(s, d)),
+    "eval_ann_recall_opq_trained" -> ((s, d) => Eval.annRecallOpqTrained(s, d)),
     "eval_ann_recall_sq8" -> ((s, d) => Eval.annRecallSq8(s, d)),
     "eval_ann_recall_sweep" -> ((s, d) => Eval.annRecallIvfSweep(s, d)),
     "eval_ndcg_at_k" -> ((s, d) => Eval.ndcgAtK(s, d)),

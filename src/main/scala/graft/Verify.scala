@@ -75,7 +75,22 @@ object Verify {
         System.err.println(s"[verify] pq-trained overlay failed (rows-only): ${e.getMessage}")
         Map.empty[String, String]
       }
-    SparkEntry.oracleSql ++ overlays ++ opqOverlay ++ pqTrainedOverlay
+    // full OPQ: both frozen fits composed (rotation matrix + rotated-
+    // space codebook literals)
+    val opqTrainedOverlay =
+      try {
+        val rows = operators.Opq.trainedOpqRows(spark, sfDir)
+        if (rows.isEmpty) Map.empty[String, String]
+        else Map("eval_ann_recall_opq_trained" ->
+          operators.Eval.SqlOracle.annRecall(
+            operators.Opq.SqlOracle.opqTrainedSearch(
+              operators.Opq.rotation(spark, sfDir), rows)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] opq-trained overlay failed (rows-only): ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    SparkEntry.oracleSql ++ overlays ++ opqOverlay ++ pqTrainedOverlay ++
+      opqTrainedOverlay
   }
 
   def main(args: Array[String]): Unit = {

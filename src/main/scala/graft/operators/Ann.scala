@@ -1065,7 +1065,20 @@ object Ann {
       * see bit-identical operands in both engines. Same structure as
       * [[pqSearch]]'s mirror with the 8-dim (c_id, j, vc) codebook
       * joined on j instead of full-vector slicing. */
-    def pqSearchTrainedSql(cb: Seq[(Long, Int, Seq[Float])], k: Int = K): String = {
+    def pqSearchTrainedSql(cb: Seq[(Long, Int, Seq[Float])], k: Int = K): String =
+      trainedPqSqlOver(cb, k, prefixCtes = "",
+        docSrc = "(SELECT vec_id, embedding AS ve FROM embeddings)",
+        qSrc = "q0")
+
+    /** The trained-codebook PQ pipeline mirror over parameterized
+      * sources — shared by the plain form ([[pqSearchTrainedSql]])
+      * and [[Opq.SqlOracle]]'s rotated form (codes and LUT read the
+      * rotated CTE, the exact re-rank stays on the original
+      * vectors). */
+    private[operators] def trainedPqSqlOver(cb: Seq[(Long, Int, Seq[Float])],
+                                            k: Int, prefixCtes: String,
+                                            docSrc: String,
+                                            qSrc: String): String = {
       def dbl(x: Double): String = {
         val s = java.lang.Double.toString(x)
         if (s.contains("E") || s.contains("e")) s else s + "e0"
@@ -1082,7 +1095,7 @@ object Ann {
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
           s"[CAST($a[j*$PqSub+i] AS DOUBLE) * vc[i] " +
           s"for i in range(1, ${PqSub + 1})]), (x, y) -> x + y)"
-      s"""WITH cb AS (SELECT * FROM (VALUES
+      s"""WITH ${prefixCtes}cb AS (SELECT * FROM (VALUES
          |$rows) t(c_id, j, vc)),
          |q0 AS ${Knn.SqlOracle.queriesCte()},
          |d0 AS ${Knn.SqlOracle.docsCte()},
@@ -1091,11 +1104,11 @@ object Ann {
          |    SELECT s.vec_id, cb.j, cb.c_id,
          |      row_number() OVER (PARTITION BY s.vec_id, cb.j
          |        ORDER BY ${subD2("s.ve")}, cb.c_id) AS r
-         |    FROM (SELECT vec_id, embedding AS ve FROM embeddings) s
+         |    FROM $docSrc s
          |    CROSS JOIN cb) WHERE r = 1),
          |lut AS (
          |  SELECT q.q_id, cb.j, cb.c_id AS code, ${subDt("q.q_vec")} AS part
-         |  FROM q0 q CROSS JOIN cb),
+         |  FROM $qSrc q CROSS JOIN cb),
          |adc AS (
          |  SELECT lut.q_id, c.vec_id AS doc_id,
          |    ${S.fxSum("lut.part", 9)} AS score

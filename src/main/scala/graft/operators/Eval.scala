@@ -184,6 +184,11 @@ object Eval {
     * buy". */
   def annRecallPqTrained(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.pqSearchTrained(spark, dir))
+  /** Recall of FULL OPQ (rotation + rotated-space training) — the
+    * fourth corner of the {seeds, trained} × {identity, rotation}
+    * table. */
+  def annRecallOpqTrained(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, Opq.opqTrainedSearch(spark, dir))
   def annRecallSq8(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.sq8Search(spark, dir))
 

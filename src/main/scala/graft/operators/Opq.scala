@@ -182,15 +182,64 @@ object Opq {
     * the codebooks quantize: balanced eigenbasis blocks instead of
     * raw consecutive dims. */
   def opqSearch(spark: SparkSession, dir: String, k: Int = Ann.K): DataFrame = {
-    val r = rotation(spark, dir)
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), rotate(col("embedding"), r).as("embedding"))
+    val emb = rotatedEmbeddings(spark, dir)
     def slices(c: org.apache.spark.sql.Column) = array(
       (0 until Ann.PqM).map(j =>
         slice(c, j * Ann.PqSub + 1, Ann.PqSub)): _*)
     val cb = emb.filter(col("vec_id") < Ann.PqCodes)
       .select(col("vec_id").as("c_id"),
         posexplode(slices(col("embedding"))).as(Seq("j", "cvec")))
+    opqPipeline(spark, dir, emb, cb, k)
+  }
+
+  /** The rotated-embedding frame every OPQ consumer scores over. */
+  private def rotatedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        rotate(col("embedding"), rotation(spark, dir)).as("embedding"))
+
+  // trained-in-rotated-space codebooks memoized per (app, dir) — the
+  // trainedPqRows contract: the collected rows are BOTH the plan's
+  // codebook and the oracle's literal table
+  private val trainedCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Long, Int, Seq[Float])]]
+
+  /** Lloyd-trained per-subspace codebooks fit in the ROTATED space —
+    * the full OPQ configuration (rotate, then train where the
+    * variance is balanced). Driver-side rows, memoized. */
+  def trainedOpqRows(spark: SparkSession, dir: String): Seq[(Long, Int, Seq[Float])] = {
+    val app = spark.sparkContext.applicationId
+    trainedCache.keySet.filter(_._1 != app).foreach(trainedCache.remove)
+    trainedCache.getOrElseUpdate((app, dir),
+      Ann.fitPqCodebook(rotatedEmbeddings(spark, dir), iters = 2)
+        .collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2))))
+  }
+
+  /** FULL OPQ: the fitted rotation AND codebooks trained in the
+    * rotated space, at the same code budget — the fourth corner of
+    * the {seeds, trained} × {identity, rotation} recall table
+    * (`eval_ann_recall_opq_trained` beside pq / opq / pq_trained).
+    * Oracle-verified by composing BOTH literal overlays: the frozen
+    * rotation as a matrix literal, the frozen codebook as VALUES
+    * rows. */
+  def opqTrainedSearch(spark: SparkSession, dir: String,
+                       k: Int = Ann.K): DataFrame = {
+    import spark.implicits._
+    val cb = trainedOpqRows(spark, dir)
+      .map { case (c, j, v) => (c, j, v.toArray) }
+      .toDF("c_id", "j", "cvec")
+    opqPipeline(spark, dir, rotatedEmbeddings(spark, dir), cb, k)
+  }
+
+  /** The rotated PQ pipeline under a given (c_id, j, cvec) codebook:
+    * codes + LUT in rotated space, fixed-point ADC, exact re-rank on
+    * the ORIGINAL vectors. */
+  private def opqPipeline(spark: SparkSession, dir: String, emb: DataFrame,
+                          cb: DataFrame, k: Int): DataFrame = {
+    def slices(c: org.apache.spark.sql.Column) = array(
+      (0 until Ann.PqM).map(j =>
+        slice(c, j * Ann.PqSub + 1, Ann.PqSub)): _*)
     val codes = emb.filter(col("vec_id") >= Knn.NQueries)
       .select(col("vec_id").as("doc_id"),
         posexplode(slices(col("embedding"))).as(Seq("j", "evec")))
@@ -260,6 +309,21 @@ object Opq {
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"[CAST($a[j*${Ann.PqSub}+i] AS DOUBLE) * CAST($b[j*${Ann.PqSub}+i] AS DOUBLE) " +
         s"for i in range(1, ${Ann.PqSub + 1})]), (x, y) -> x + y)"
+
+    /** Mirror of [[Opq.opqTrainedSearch]] — BOTH overlays composed:
+      * the frozen rotation as a matrix literal (rotCte) and the
+      * frozen rotated-space codebook as VALUES literals, feeding the
+      * shared trained-PQ pipeline SQL whose codes and LUT read the
+      * rotated CTE while the exact re-rank stays on the original
+      * vectors. */
+    def opqTrainedSearch(r: Array[Array[Double]],
+                         cb: Seq[(Long, Int, Seq[Float])],
+                         k: Int = Ann.K): String =
+      Ann.SqlOracle.trainedPqSqlOver(cb, k,
+        prefixCtes = rotCte(r) + ",\n",
+        docSrc = "(SELECT vec_id, embedding AS ve FROM emb)",
+        qSrc = s"(SELECT vec_id AS q_id, embedding AS q_vec FROM emb " +
+          s"WHERE vec_id < ${Knn.NQueries})")
 
     /** Mirror of [[opqSearch]] under a FROZEN rotation (the idf-literal
       * overlay technique applied to the eigenfit: the iterative Jacobi

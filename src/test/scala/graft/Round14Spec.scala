@@ -249,6 +249,17 @@ class Round14Spec extends AnyFunSuite with Matchers with SharedSpark {
     withClue(s"trained $trained vs seeds $seeds: ") {
       trained should be >= seeds - 0.02
     }
+    // full OPQ (rotation + rotated-space training): deterministic
+    // (memoized fits) and in the same recall regime — its measured
+    // POSITION in the 2x2 is a recorded finding (SURVEY §5: the
+    // parametric rotation lifts seed codebooks but not Lloyd-adapted
+    // ones on this corpus), not a pinned ordering
+    val o1 = graft.operators.Opq.opqTrainedSearch(spark, sfDir)
+      .collect().map(_.toString).sorted
+    graft.operators.Opq.opqTrainedSearch(spark, sfDir)
+      .collect().map(_.toString).sorted shouldBe o1
+    val opqT = mean(Eval.annRecallOpqTrained(spark, sfDir))
+    withClue(s"opq_trained $opqT: ") { opqT should be >= 0.3 }
   }
 
   test("BoundedMemo: LRU capacity eviction, predicate eviction, clear") {
