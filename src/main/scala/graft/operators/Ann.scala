@@ -517,7 +517,19 @@ object Ann {
                    k: Int = K): DataFrame = {
     val cent = spark.read.parquet(s"$indexPath/_cent")
     val cb = spark.read.parquet(s"$indexPath/_fit")
-    val codes = spark.read.parquet(indexPath)
+    // an index built before any data arrived holds its fits but ZERO
+    // code files (a partitioned write of no rows emits no parts, so
+    // schema inference fails loudly rather than wrongly) — serve the
+    // empty relation instead of throwing (the minusStored arm)
+    val codes =
+      try spark.read.parquet(indexPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition)
+              .exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) =>
+          import spark.implicits._
+          Seq.empty[(Long, Int, Long, Long)].toDF("doc_id", "j", "code", "c_id")
+      }
     val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
       .groupBy("q_id")
       .agg(graft.functions.TopKAgg.topKBy(

@@ -522,7 +522,14 @@ class EmptyCorpusSpec extends AnyFunSuite with Matchers with SharedSpark {
       "events_histogram", "events_anomaly", "v_centroids",
       "dedup_incremental", "eval_lang_confusion", "mm_modality_route",
       "sample_reservoir", "text_entropy", "events_salted_join",
-      "stream_histogram", "pipeline_experiment_matrix")
+      "stream_histogram", "pipeline_experiment_matrix",
+      // r14 additions: OPQ rotation degrades to identity on an empty
+      // second moment, trained codebooks to an empty codebook, the
+      // drift legs to one null-stat row each, the composed persisted
+      // layout to an empty scan
+      "eval_ann_recall_opq", "eval_ann_recall_opq_trained",
+      "ann_pq_trained", "eval_ann_recall_pq_trained",
+      "index_drift_stats", "ann_ivf_pq_indexed")
     val failures = perFamily.flatMap { n =>
       try { SparkEntry.queries(n)(spark, tmp).count(); None }
       catch { case e: Throwable => Some(s"$n: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}") }
