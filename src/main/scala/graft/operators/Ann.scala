@@ -900,13 +900,14 @@ object Ann {
     * path ([[pqCodebook]]'s fixed seeds keep the *verified* query
     * oracle-mirrorable). Returns (c_id, j, cvec array<float>), same
     * shape as [[pqCodebook]]. */
-  def fitPqCodebook(emb: DataFrame, iters: Int = 3): DataFrame = {
+  def fitPqCodebook(emb: DataFrame, iters: Int = 3,
+                    nCodes: Int = PqCodes): DataFrame = {
     // one count shared by all 8 subspace fits' sampling gates
     val n = emb.count()
     (0 until PqM).map { j =>
       val sub = emb.select(col("vec_id"),
         slice(col("embedding"), j * PqSub + 1, PqSub).as("embedding"))
-      fitCentroids(sub, PqCodes, iters, PqSub, nRows = n)
+      fitCentroids(sub, nCodes, iters, PqSub, nRows = n)
         .select(col("c_id"), lit(j).as("j"),
           transform(col("c_vec"), x => x.cast("float")).as("cvec"))
     }.reduce(_.unionByName(_))

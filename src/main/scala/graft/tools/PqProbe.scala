@@ -29,6 +29,14 @@ object PqProbe {
     leg("opq")(Opq.opqSearch(spark, dir))
     leg("trained")(Ann.pqSearchTrained(spark, dir))
     leg("opq_trained")(Opq.opqTrainedSearch(spark, dir))
+    // the production budget: 8-bit codes (FAISS's default m×256) —
+    // the same generic encode/ADC pipeline, wider codebook; answers
+    // whether the 16-codeword saturation is the BUDGET's wall or the
+    // engine's
+    val cb256 = Ann.fitPqCodebook(
+      graft.Tables.embeddings(spark, dir), iters = 2, nCodes = 256)
+      .localCheckpoint(true)
+    leg("trained_256")(Ann.pqSearch(spark, dir, codebook = Some(cb256)))
     spark.stop()
   }
 }
