@@ -37,18 +37,43 @@ object Cleanup {
     * (capacity or predicate) drops the entry's only reference; Spark's
     * ContextCleaner reference-tracks persisted RDDs — localCheckpoint
     * blocks included — and unpersists them once the frame is GC'd, so
-    * reference-drop IS the reclaim. Builds run inside the lock:
-    * concurrent same-key callers serialize instead of double-building
-    * (the TrieMap getOrElseUpdate behavior, kept). */
+    * reference-drop IS the reclaim. Builds run OUTSIDE the map lock
+    * under a per-key latch (ADVICE r14): arm builds execute eager
+    * localCheckpoint Spark jobs, so two callers building DIFFERENT
+    * arms must not queue behind one global lock — only same-key
+    * callers wait (on the first builder's future), keeping the
+    * build-at-most-once contract without cross-key serialization. */
   final class BoundedMemo[K, V](max: Int) {
     private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
         size() > max
     }
-    def getOrElseUpdate(key: K)(build: => V): V = m.synchronized {
-      val cur = m.get(key)
-      if (cur != null) cur
-      else { val v = build; m.put(key, v); v }
+    private val inflight =
+      new java.util.concurrent.ConcurrentHashMap[K, java.util.concurrent.CompletableFuture[V]]()
+    def getOrElseUpdate(key: K)(build: => V): V = {
+      val hit = m.synchronized(m.get(key))
+      if (hit != null) return hit
+      val fresh = new java.util.concurrent.CompletableFuture[V]()
+      val prior = inflight.putIfAbsent(key, fresh)
+      if (prior != null)
+        // another caller owns this key's build — wait on it, not the map
+        try prior.join()
+        catch { case e: java.util.concurrent.CompletionException => throw e.getCause }
+      else
+        try {
+          // the owner re-checks under the lock (a racing builder may
+          // have completed between our miss and the putIfAbsent)
+          val cur = m.synchronized(m.get(key))
+          val v = if (cur != null) cur else {
+            val built = build
+            m.synchronized(m.put(key, built))
+            built
+          }
+          fresh.complete(v)
+          v
+        } catch {
+          case t: Throwable => fresh.completeExceptionally(t); throw t
+        } finally inflight.remove(key)
     }
     def evictWhere(p: K => Boolean): Unit = m.synchronized {
       val it = m.keySet.iterator

@@ -50,7 +50,11 @@ object Compaction {
     if (fs.exists(tmp)) fs.delete(tmp, true) // stale crashed build
     build(tmp.toString)
     if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(tmp, p)
+    // Hadoop rename reports failure by RETURNING false, not throwing —
+    // swallowing it here would leave no serving index while the staged
+    // build sits in a .__building dir the next call discards (ADVICE
+    // r14: a silent data-loss window). Fail loudly instead.
+    require(fs.rename(tmp, p), s"failed to promote staged build $tmp -> $p")
   }
 
   /** Compacts the flat parquet dir at `path` down to `targetFiles`

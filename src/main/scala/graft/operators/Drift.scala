@@ -58,19 +58,27 @@ object Drift {
       .select(col("vec_id").as("doc_id"), col("embedding").as("doc_vec"),
         (col("vec_id") % 2).as("split"))
 
-    // ivf_cent: mean max-dot to the corpus-fixed centroid seeds
-    val cent = emb.filter(col("vec_id") < Ann.NCentroids)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    // ivf_cent: mean max-dot to centroids drawn from the BUILD half
+    // alone (first NCentroids even doc ids — ADVICE r14: the corpus-
+    // prefix seeds included odd-id vectors, which made this ratio ~1
+    // by construction on any static corpus instead of measuring a
+    // build-frozen fit)
+    val cent = docs.filter(col("split") === 0)
+      .orderBy("doc_id").limit(Ann.NCentroids)
+      .select(col("doc_id").as("c_id"), col("doc_vec").as("c_vec"))
     val ivf = leg("ivf_cent", docs.crossJoin(broadcast(cent))
       .groupBy("doc_id", "split")
       .agg(max(dot(col("doc_vec"), col("c_vec"))).as("best"))
       .groupBy("split").agg(fxAvg(col("best"), 6).as("stat")))
 
-    // pq_fit: mean per-subspace min squared-L2 to the seed codebook
+    // pq_fit: mean per-subspace min squared-L2 to a codebook drawn
+    // from the BUILD half alone (first PqCodes even doc ids — same
+    // ADVICE r14 fix as ivf_cent)
     def slices(c: org.apache.spark.sql.Column) = array(
       (0 until Ann.PqM).map(j => slice(c, j * Ann.PqSub + 1, Ann.PqSub)): _*)
-    val cb = emb.filter(col("vec_id") < Ann.PqCodes)
-      .select(posexplode(slices(col("embedding"))).as(Seq("j", "cvec")))
+    val cb = docs.filter(col("split") === 0)
+      .orderBy("doc_id").limit(Ann.PqCodes)
+      .select(posexplode(slices(col("doc_vec"))).as(Seq("j", "cvec")))
     val pq = leg("pq_fit", docs
       .select(col("doc_id"), col("split"),
         posexplode(slices(col("doc_vec"))).as(Seq("j", "evec")))
@@ -137,17 +145,18 @@ object Drift {
            |      FROM embeddings WHERE vec_id >= ${Knn.NQueries})""".stripMargin
       val ivf =
         s"""WITH $docsCte,
-           |cent AS (SELECT vec_id AS c_id, embedding AS c_vec
-           |         FROM embeddings WHERE vec_id < ${Ann.NCentroids}),
+           |cent AS (SELECT doc_id AS c_id, doc_vec AS c_vec FROM dd
+           |         WHERE split = 0 ORDER BY doc_id LIMIT ${Ann.NCentroids}),
            |best AS (
            |  SELECT doc_id, split, max(${S.dot("doc_vec", "c_vec", Dim)}) AS best
            |  FROM dd CROSS JOIN cent GROUP BY doc_id, split)
            |SELECT split, ${S.fxAvg("best", 6)} AS stat FROM best GROUP BY split""".stripMargin
       val pq =
         s"""WITH $docsCte,
-           |cb AS (SELECT j, embedding AS vc
-           |       FROM embeddings CROSS JOIN (SELECT unnest(range(${Ann.PqM})) AS j)
-           |       WHERE vec_id < ${Ann.PqCodes}),
+           |cb AS (SELECT j, doc_vec AS vc
+           |       FROM (SELECT doc_vec FROM dd WHERE split = 0
+           |             ORDER BY doc_id LIMIT ${Ann.PqCodes})
+           |       CROSS JOIN (SELECT unnest(range(${Ann.PqM})) AS j)),
            |qe AS (
            |  SELECT d.doc_id, cb.j, d.split,
            |    min(${subDist2("d.doc_vec", "cb.vc")}) AS qerr
