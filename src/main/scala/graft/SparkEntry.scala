@@ -94,6 +94,7 @@ object SparkEntry {
     "ann_pq_trained" -> ((s, d) => Ann.pqSearchTrained(s, d)),
     "eval_ann_recall_pq_trained" -> ((s, d) => Eval.annRecallPqTrained(s, d)),
     "eval_ann_recall_opq_trained" -> ((s, d) => Eval.annRecallOpqTrained(s, d)),
+    "eval_ann_recall_opq_refined" -> ((s, d) => Eval.annRecallOpqRefined(s, d)),
     "eval_ann_recall_sq8" -> ((s, d) => Eval.annRecallSq8(s, d)),
     "eval_ann_recall_sweep" -> ((s, d) => Eval.annRecallIvfSweep(s, d)),
     "eval_ndcg_at_k" -> ((s, d) => Eval.ndcgAtK(s, d)),

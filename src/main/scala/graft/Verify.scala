@@ -89,8 +89,21 @@ object Verify {
         System.err.println(s"[verify] opq-trained overlay failed (rows-only): ${e.getMessage}")
         Map.empty[String, String]
       }
+    // refined OPQ (one non-parametric alternation): the SAME composed
+    // overlay shape as opq_trained, parameterized by the refined pair
+    val opqRefinedOverlay =
+      try {
+        val (r1, rows) = operators.Opq.refinedFit(spark, sfDir)
+        if (rows.isEmpty) Map.empty[String, String]
+        else Map("eval_ann_recall_opq_refined" ->
+          operators.Eval.SqlOracle.annRecall(
+            operators.Opq.SqlOracle.opqTrainedSearch(r1, rows)))
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] opq-refined overlay failed (rows-only): ${e.getMessage}")
+        Map.empty[String, String]
+      }
     SparkEntry.oracleSql ++ overlays ++ opqOverlay ++ pqTrainedOverlay ++
-      opqTrainedOverlay
+      opqTrainedOverlay ++ opqRefinedOverlay
   }
 
   def main(args: Array[String]): Unit = {

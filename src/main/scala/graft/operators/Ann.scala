@@ -470,11 +470,18 @@ object Ann {
     * by [[compactIvfIndex]] unchanged (same `c_id=` partition
     * geometry). */
   def writeIvfPqIndex(spark: SparkSession, dir: String, out: String,
-                      docs: Option[DataFrame] = None): Unit =
+                      docs: Option[DataFrame] = None,
+                      centroids: Option[DataFrame] = None,
+                      codebook: Option[DataFrame] = None): Unit =
     Compaction.stagedBuild(spark, out) { tmp =>
-      val cent = Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
-        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
-      val cb = pqCodebook(spark, dir)
+      // defaults = the verified fixed-seed fits (oracle-mirrorable);
+      // the deployment path passes TRAINED fits (√N spherical
+      // centroids, 8×256 Lloyd codebook) — the layout stores whatever
+      // it was built with and serving reads only the stored fits
+      val cent = centroids.getOrElse(
+        Tables.embeddings(spark, dir).filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec")))
+      val cb = codebook.getOrElse(pqCodebook(spark, dir))
       val ds = docs.getOrElse(Knn.docSet(spark, dir))
       val assign = assignToIndex(spark, dir, ds, Some(cent))
         .select(col("doc_id"), col("c_id"))
@@ -514,9 +521,16 @@ object Ann {
     * re-rank finishes. Results ≡ [[ivfPq]] (same fits, same candidate
     * set, same fixed-point ADC), so it shares its oracle. */
   def ivfPqIndexed(spark: SparkSession, dir: String, indexPath: String,
-                   k: Int = K): DataFrame = {
+                   k: Int = K, nProbe: Int = NProbe,
+                   rerank: Int = -1): DataFrame = {
+    // defaults reproduce the verified fixed-fit query bit-identically;
+    // the deployment path passes AutoProbe (√nlist against the stored
+    // grid) and a scaled re-rank pool (VERDICT r14 §next-3: PqProbe
+    // localized the 200k flat-PQ saturation to the fixed 3k pool)
     val cent = spark.read.parquet(s"$indexPath/_cent")
     val cb = spark.read.parquet(s"$indexPath/_fit")
+    val np = if (nProbe > 0) nProbe else sqrtProbeCount(cent.count().toInt)
+    val pool = if (rerank > 0) rerank else 3 * k
     // an index built before any data arrived holds its fits but ZERO
     // code files (a partitioned write of no rows emits no parts, so
     // schema inference fails loudly rather than wrongly) — serve the
@@ -533,7 +547,7 @@ object Ann {
     val qs = Knn.querySet(spark, dir).crossJoin(broadcast(cent))
       .groupBy("q_id")
       .agg(graft.functions.TopKAgg.topKBy(
-        dot(col("q_vec"), col("c_vec")), col("c_id"), NProbe).as("tk"))
+        dot(col("q_vec"), col("c_vec")), col("c_id"), np).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("e"))
       .select(col("q_id"), col("e.id").as("c_id"))
     val lut = Knn.querySet(spark, dir)
@@ -547,7 +561,7 @@ object Ann {
       .join(broadcast(lut), Seq("q_id", "j", "code"))
       .groupBy("q_id", "doc_id")
       .agg(fxSum(col("part"), 9).as("score"))
-    val lead = Knn.topKPerQuery(adc, 3 * k).select(col("q_id"), col("doc_id"))
+    val lead = Knn.topKPerQuery(adc, pool).select(col("q_id"), col("doc_id"))
     val exact = lead
       .join(broadcast(Knn.querySet(spark, dir)), Seq("q_id"))
       .join(Knn.docSet(spark, dir), Seq("doc_id"))

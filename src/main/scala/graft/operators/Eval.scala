@@ -189,6 +189,12 @@ object Eval {
     * table. */
   def annRecallOpqTrained(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Opq.opqTrainedSearch(spark, dir))
+  /** Recall of FULL OPQ after ONE non-parametric rotation↔codebook
+    * alternation (Ge et al. Algorithm 1) — the FIFTH cell, the
+    * measured answer to whether the alternation repairs the r14
+    * finding that the parametric rotation hurts trained codebooks. */
+  def annRecallOpqRefined(spark: SparkSession, dir: String): DataFrame =
+    annRecall(spark, dir, Opq.opqRefinedSearch(spark, dir))
   def annRecallSq8(spark: SparkSession, dir: String): DataFrame =
     annRecall(spark, dir, Ann.sq8Search(spark, dir))
 

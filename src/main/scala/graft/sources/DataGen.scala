@@ -138,4 +138,58 @@ object DataGen {
       events(spark, nEvents, math.max(nEvents / 66, 1), seed).write
         .mode("overwrite").parquet(s"$dir/events.parquet")
   }
+
+  /** DRIFTED-BATCH variants (VERDICT r14 §next-5): the standard
+    * generators with planted distribution shift on ODD ids — exactly
+    * the batch half of [[graft.operators.Drift.indexDriftStats]]'
+    * even/odd split — so the drift alarm can be shown to FIRE, not
+    * just to stay ≈1.0 on iid data. Even ids are byte-identical to the
+    * standard generators (same expressions, same seeds), making the
+    * drifted corpus a controlled A/B against its iid twin.
+    *
+    * Odd-id embeddings are scaled by `scale` and shifted by a
+    * hash-derived per-(label, dim) offset of magnitude `shift`: the
+    * scale pushes values outside any build-half min/max grid (the
+    * sq8_fit out-of-range mass), and the mean shift moves vectors away
+    * from build-derived centroids and codebooks (ivf_cent assigned-dot
+    * down, pq_fit quantization error up). Odd-id documents get
+    * `newToks` tokens appended from a vocabulary DISJOINT from
+    * [[Vocab]]/the `w<k>` tail (`zz<k>`), injecting out-of-vocabulary
+    * occurrence mass no build-half top-N fit can represent
+    * (tfidf_vocab OOV up). */
+  def driftedEmbeddings(spark: SparkSession, nVecs: Long, dim: Int = 64,
+                        nLabels: Int = 10, seed: Long = 42L,
+                        shift: Double = 0.8, scale: Double = 1.4): DataFrame = {
+    val ids = spark.range(nVecs).select(col("id").as("vec_id"))
+    val label = pmod(xxhash64(lit(seed + 3), col("vec_id")), lit(nLabels)).cast("int")
+    val emb = transform(sequence(lit(0), lit(dim - 1)), j => {
+      // the standard per-(label, dim) center + per-(id, dim) noise
+      val std = ((u01(seed + 4, label, j) * 2.0 - 1.0) +
+        (u01(seed + 5, col("vec_id"), j) * 2.0 - 1.0) * 0.3)
+      val drifted = std * scale + (u01(seed + 11, label, j) * 2.0 - 1.0) * shift
+      when(col("vec_id") % 2 === 1, drifted).otherwise(std).cast("float")
+    })
+    ids.select(col("vec_id"), emb.as("embedding"), label.as("label"))
+  }
+
+  def driftedDocuments(spark: SparkSession, nDocs: Long, seed: Long = 42L,
+                       newToks: Int = 8): DataFrame = {
+    val injected = concat_ws(" ", transform(sequence(lit(1), lit(newToks)),
+      i => concat(lit("zz"), pmod(xxhash64(lit(seed + 12), col("doc_id"), i),
+        lit(TailVocab.toLong)))))
+    documents(spark, nDocs, seed)
+      .withColumn("text",
+        when(col("doc_id") % 2 === 1, concat(col("text"), lit(" "), injected))
+          .otherwise(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** [[writeDataset]]'s drifted twin — same layout, planted drift. */
+  def writeDriftedDataset(spark: SparkSession, dir: String, nDocs: Long,
+                          nVecs: Long, seed: Long = 42L): Unit = {
+    driftedDocuments(spark, nDocs, seed).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    driftedEmbeddings(spark, nVecs, seed = seed).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+  }
 }

@@ -14,23 +14,31 @@ import org.apache.spark.sql.SparkSession
   * the inventory across fresh JVMs bounds the churn so the numbers
   * measure plans, not host decay.
   *
-  * SELF-ADJUDICATION (r14, VERDICT r13 §next-1): every timed run is
-  * preceded by [[H2Run.sentinelMs]] — the fixed single-thread spin
-  * whose inflation measures host descheduling, the discipline that
-  * already adjudicated three rounds of driver-vs-committed bench
-  * deltas in the H2 section. The parent classifies each timing as
-  * quiet/loaded against the run's sentinel floor and retries loaded
-  * queries in fresh children (bounded), so the artifact itself
-  * records whether a slow reading was the engine or the host.
+  * SELF-ADJUDICATION (r14, VERDICT r13 §next-1; sharpened r15,
+  * VERDICT r14 §next-1): every timed run is BRACKETED by
+  * [[H2Run.sample]] — the fixed CPU spin plus the fixed IO probe
+  * (write+fsync+direct-read), the two-component sentinel whose
+  * inflation measures host descheduling and IO contention
+  * respectively. Three samples bracket the two timed runs (before
+  * cold, between, after warm), so each run is classified on the
+  * component-wise max of its surrounding pair — the r14 defect was a
+  * single pre-run sample certifying work it didn't cover, and a
+  * CPU-only sentinel blind to the IO contention that made three r14
+  * artifacts disagree 20-40% while all self-certifying quiet. The
+  * parent classifies each timing against the run's sentinel floors
+  * and retries loaded queries in fresh children (bounded), so the
+  * artifact itself records whether a slow reading was the engine or
+  * the host.
   *
-  * Protocol: one `BENCHQ <name> <cold_s> <warm_s> <sent_cold_ms>
-  * <sent_warm_ms>` line per query on stdout — line-based so the
-  * parent needs no JSON parsing and a mid-batch crash still yields
-  * the completed prefix. Cold = first run (pays the query's one-time
-  * whole-stage-codegen), warm = second run (steady state); each
-  * sent_* is the sentinel wall measured immediately before that run.
-  * A one-time engine warmup runs first so the first query's cold time
-  * measures its plan, not Spark/parquet init.
+  * Protocol: one `BENCHQ <name> <cold_s> <warm_s> <s1_cpu> <s1_io>
+  * <s2_cpu> <s2_io> <s3_cpu> <s3_io>` line per query on stdout —
+  * line-based so the parent needs no JSON parsing and a mid-batch
+  * crash still yields the completed prefix. Cold = first run (pays
+  * the query's one-time whole-stage-codegen), warm = second run
+  * (steady state); s1/s2/s3 are the bracketing sentinel samples in
+  * ms (cold is covered by s1+s2, warm by s2+s3). A one-time engine
+  * warmup runs first so the first query's cold time measures its
+  * plan, not Spark/parquet init.
   */
 object BenchRun {
   def main(args: Array[String]): Unit = {
@@ -53,11 +61,13 @@ object BenchRun {
       (System.nanoTime() - t0) / 1e9
     }
     names.foreach { n =>
-      val sc = H2Run.sentinelMs()
+      val s1 = H2Run.sample()
       val cold = timed(n)
-      val sw = H2Run.sentinelMs()
+      val s2 = H2Run.sample()
       val warm = timed(n)
-      println(s"BENCHQ $n $cold $warm $sc $sw")
+      val s3 = H2Run.sample()
+      println(s"BENCHQ $n $cold $warm ${s1.cpu} ${s1.io} " +
+        s"${s2.cpu} ${s2.io} ${s3.cpu} ${s3.io}")
       System.out.flush()
     }
     spark.stop()

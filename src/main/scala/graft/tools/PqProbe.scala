@@ -29,6 +29,15 @@ object PqProbe {
     leg("opq")(Opq.opqSearch(spark, dir))
     leg("trained")(Ann.pqSearchTrained(spark, dir))
     leg("opq_trained")(Opq.opqTrainedSearch(spark, dir))
+    // fifth cell (r15): one non-parametric rotation↔codebook
+    // alternation (Ge et al. Alg. 1) on top of opq_trained — print
+    // how far the Procrustes step moved the rotation, then its recall
+    val r0 = Opq.rotation(spark, dir)
+    val (r1, _) = Opq.refinedFit(spark, dir)
+    val dMax = (for (i <- r0.indices; j <- r0.indices)
+      yield math.abs(r1(i)(j) - r0(i)(j))).max
+    println(f"[pq] refined rotation max|R1-R0|=$dMax%.4f")
+    leg("opq_refined")(Opq.opqRefinedSearch(spark, dir))
     // the production budget: 8-bit codes (FAISS's default m×256) —
     // the same generic encode/ADC pipeline, wider codebook; answers
     // whether the 16-codeword saturation is the BUDGET's wall or the
