@@ -79,9 +79,13 @@ object Bench {
     // surrounding pair against the run's final floors (the strictest
     // classification, H2Run's rule). The parent retries loaded
     // queries in fresh children (bounded).
+    // touch1/touch2: the pre-warm cache-touch walls (BenchRun's
+    // page-cache pre-touch, VERDICT r15 §next-1) — touch1 >> touch2
+    // marks a cache-cold host at that query's warm pass
     final case class Sample(cold: Double, warm: Double,
                             s1: tools.H2Run.Sent, s2: tools.H2Run.Sent,
-                            s3: tools.H2Run.Sent) {
+                            s3: tools.H2Run.Sent,
+                            touch1: Double = -1.0, touch2: Double = -1.0) {
       def warmCpu: Double = math.max(s2.cpu, s3.cpu)
       def warmIo: Double = math.max(s2.io, s3.io)
     }
@@ -100,11 +104,12 @@ object Bench {
     def parseBenchq(lines: Seq[String]): Map[String, Sample] =
       lines.flatMap { l =>
         l.trim.split("\\s+") match {
-          case Array("BENCHQ", n, c, w, c1, i1, c2, i2, c3, i3) =>
+          case Array("BENCHQ", n, c, w, c1, i1, c2, i2, c3, i3, t1, t2) =>
             try Some(n -> Sample(c.toDouble, w.toDouble,
               tools.H2Run.Sent(c1.toDouble, i1.toDouble),
               tools.H2Run.Sent(c2.toDouble, i2.toDouble),
-              tools.H2Run.Sent(c3.toDouble, i3.toDouble)))
+              tools.H2Run.Sent(c3.toDouble, i3.toDouble),
+              t1.toDouble, t2.toDouble))
             catch { case _: NumberFormatException => None }
           case _ => None
         }
@@ -113,13 +118,17 @@ object Bench {
     // sentinel bracketing, so they classify exactly like child samples
     def fallback(batch: Seq[String]): Unit = {
       warmedFallback
+      val sfRoot = java.nio.file.Paths.get(sfDir)
       batch.foreach { n =>
         val s1 = tools.H2Run.sample()
         val c = timed(n, sfDir)
+        val roots = sfRoot +: Cleanup.registeredPaths
+        val t1 = tools.H2Run.preTouch(roots)
+        val t2 = tools.H2Run.preTouch(roots)
         val s2 = tools.H2Run.sample()
         val w = timed(n, sfDir)
         val s3 = tools.H2Run.sample()
-        addSample(n, Sample(c, w, s1, s2, s3))
+        addSample(n, Sample(c, w, s1, s2, s3, t1, t2))
       }
     }
     /** `baseline` unconditional child passes over `batch`, then up to
@@ -147,8 +156,13 @@ object Bench {
         tries += 1
         if (tries >= baseline) target = notYetQuiet(batch)
       }
+      // gated on EMPTY samples, not on baseline (ADVICE r15): the
+      // normal flow's retry phase (baseline=0) follows a covering
+      // baseline>0 sweep, but if it is ever invoked on names no child
+      // reported, they must still get the in-process fallback rather
+      // than silently recording -1 with zero samples
       val missing = batch.filterNot(n => samples(n).nonEmpty)
-      if (missing.nonEmpty && baseline > 0) fallback(missing)
+      if (missing.nonEmpty) fallback(missing)
     }
     // Sorted names group query families into the same child batch.
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -201,6 +215,26 @@ object Bench {
       n -> (if (ss.exists(s => s.warm > 0 && quietVs(cpuFloor, ioFloor)(s)))
         minOk(ss.map(_.warm))
       else -1.0)
+    }.toMap
+    // per-query evidence for the sample that PRODUCED the published
+    // warm minimum (ADVICE r15 + VERDICT r15 §next-1): min_was_quiet
+    // distinguishes certified-MEASURED (the minimum itself came from a
+    // quiet-bracketed sample) from certified-by-inference (a faster
+    // non-quiet wall bounded it — for IO-bound legs concurrent
+    // activity can pre-warm page cache, so inference is weaker); the
+    // touch pair is that sample's cache marker (touch1 >> touch2 =
+    // the host was cache-cold immediately before the warm pass).
+    final case class MinEvidence(minWasQuiet: Boolean,
+                                 touch1: Double, touch2: Double)
+    val warmEvidence: Map[String, MinEvidence] = names.map { n =>
+      val ok = samples(n).filter(_.warm > 0)
+      n -> (if (ok.isEmpty) MinEvidence(minWasQuiet = false, -1.0, -1.0)
+      else {
+        val mn = ok.map(_.warm).min
+        val atMin = ok.filter(_.warm == mn)
+        MinEvidence(atMin.exists(quietVs(cpuFloor, ioFloor)),
+          atMin.head.touch1, atMin.head.touch2)
+      })
     }.toMap
     val cold = results.map { case (n, (c, _)) => n -> c }.toMap
     val warm = results.map { case (n, (_, w)) => n -> w }.toMap
@@ -383,14 +417,14 @@ object Bench {
         // (quiet fields are -1 when the child found no quiet pass)
         final case class H2(e: Double, q30Best: Double, q30Wall: Double,
                             p50: Double, p95: Double, nq: Long,
-                            p50q: Double, eq: Double)
+                            p50q: Double, eq: Double, emq: Boolean)
         def parseH2(ls: Seq[String]): Map[Long, H2] =
           ls.flatMap { l =>
             l.trim.split("\\s+") match {
-              case Array("H2Q", n, e, qb, qw, p50, p95, nq, p50q, eq) =>
+              case Array("H2Q", n, e, qb, qw, p50, p95, nq, p50q, eq, emq) =>
                 try Some(n.toLong -> H2(e.toDouble, qb.toDouble, qw.toDouble,
                   p50.toDouble, p95.toDouble, nq.toLong, p50q.toDouble,
-                  eq.toDouble))
+                  eq.toDouble, emq == "1"))
                 catch { case _: NumberFormatException => None }
               case _ => None
             }
@@ -414,9 +448,14 @@ object Bench {
           else {
             val attempt2 = spawn("graft.tools.H2Run", dirs.map(_._2)).getOrElse(Nil)
             val parsed2 = parseH2(attempt2)
-            if (quietSizes(parsed2) > quietSizes(parsed1) ||
+            // attempt2 may only replace attempt1 if it COVERS it
+            // (ADVICE r15): a mid-run crash yields a size prefix, and
+            // preferring a shorter-but-quieter attempt would silently
+            // drop sizes attempt1 did measure from the artifact
+            val covers = parsed1.keySet.subsetOf(parsed2.keySet)
+            if (covers && (quietSizes(parsed2) > quietSizes(parsed1) ||
               (quietSizes(parsed2) == quietSizes(parsed1) &&
-                parsed2.nonEmpty && sumP50(parsed2) < sumP50(parsed1)))
+                parsed2.nonEmpty && sumP50(parsed2) < sumP50(parsed1))))
               (attempt2, parsed2)
             else (attempt1, parsed1)
           }
@@ -448,7 +487,7 @@ object Bench {
           }
         }.groupMap(_._1)(_._2)
         val entries = dirs.flatMap { case (n, _) =>
-          parsed.get(n).map { case H2(e, q30Best, q30Wall, p50, p95, nq, p50q, eq) =>
+          parsed.get(n).map { case H2(e, q30Best, q30Wall, p50, p95, nq, p50q, eq, emq) =>
             val (re, rq) = refH2(n)
             // per-query figure divides by the child's ACTUAL query
             // count (ADVICE r12: a corpus yielding <NQ queries made
@@ -464,8 +503,14 @@ object Bench {
               if (p50q > 0)
                 s""""per_query_p50_quiet":$p50q,"query_ratio_quiet":${p50q / rq},"""
               else s""""no_quiet_pass":true,"""
+            // encode_min_was_quiet: whether the published encode
+            // minimum ITSELF came from a quiet-bracketed attempt
+            // (ADVICE r15 — certified-measured vs certified-by-
+            // inference under the dominance rule)
             val encQuietPart =
-              if (eq > 0) s""""encode_sec_quiet":$eq,"encode_ratio_quiet":${eq / re},"""
+              if (eq > 0)
+                s""""encode_sec_quiet":$eq,"encode_ratio_quiet":${eq / re},""" +
+                  s""""encode_min_was_quiet":$emq,"""
               else ""
             val attPart = encAttempts.get(n).map(a =>
               s""""encode_attempts":[${a.mkString(",")}],""").getOrElse("")
@@ -537,12 +582,22 @@ object Bench {
           }.sortBy { case (_, p, c) => -math.max(c / p, p / c) }
       }
     val hadPrior = new java.io.File(detailPath).exists()
+    // each mover carries this run's cache evidence (VERDICT r15
+    // §next-1's fallback done-criterion: a residual mover must be
+    // able to account for its delta)
     val moversJson =
       if (!hadPrior) ""
       else s""","movers":{${movers.map { case (n, p, c) =>
-        s""""$n":{"prev":$p,"cur":$c}""" }.mkString(",")}}"""
+        val ev = warmEvidence(n)
+        s""""$n":{"prev":$p,"cur":$c,"cur_min_was_quiet":${ev.minWasQuiet},""" +
+          s""""cur_touch_ms":${ev.touch1},"cur_retouch_ms":${ev.touch2}}"""
+      }.mkString(",")}}"""
+    val minWasQuietJs = js(names.map(n =>
+      n -> (if (warmEvidence(n).minWasQuiet) 1.0 else 0.0)).toMap)
+    val touchJs = js(names.map(n => n -> warmEvidence(n).touch1).toMap)
+    val retouchJs = js(names.map(n => n -> warmEvidence(n).touch2).toMap)
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","host":"$host","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"queries_warm_quiet":${js(warmQuiet)},"sf":"$sfDir"$failJson$quietJson$moversJson$scaleJson$h2Json}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","host":"$host","queries":${js(warm)},"total_cold":$totalCold,"queries_cold":${js(cold)},"queries_warm_quiet":${js(warmQuiet)},"queries_min_was_quiet":$minWasQuietJs,"queries_touch_ms":$touchJs,"queries_retouch_ms":$retouchJs,"sf":"$sfDir"$failJson$quietJson$moversJson$scaleJson$h2Json}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(detailPath), detail + "\n")
     catch { case _: Throwable => }

@@ -29,6 +29,16 @@ object Cleanup {
     path
   }
 
+  /** Snapshot of the currently registered scratch roots — the bench's
+    * page-cache pre-touch (VERDICT r15 §next-1) reads these plus the
+    * sf inputs before each timed warm pass, so a query's persisted
+    * scratch index is in one known cache state on every host. */
+  def registeredPaths: Seq[java.nio.file.Path] = {
+    val b = Seq.newBuilder[java.nio.file.Path]
+    registered.forEach(p => b += p)
+    b.result()
+  }
+
   /** Bounded LRU memo for the session-checkpointed arm retrievals
     * ([[graft.operators.Experiment]] / the std-text arms): each entry
     * pins one localCheckpoint'ed frame's blocks, so an UNBOUNDED map

@@ -180,6 +180,7 @@ object SparkEntry {
     "latency_percentiles" -> ((s, d) => PerfStats.latencyPercentiles(s, d)),
     "ingest_throughput" -> ((s, d) => PerfStats.ingestThroughput(s, d)),
     "index_drift_stats" -> ((s, d) => Drift.indexDriftStats(s, d)),
+    "index_refit_advice" -> ((s, d) => Drift.refitAdvice(s, d)),
     "run_summary_groupby" -> ((s, d) => PerfStats.runSummary(s, d)),
     "run_summary_rollup" -> ((s, d) => PerfStats.runSummaryRollup(s, d)),
     "stats_paired_tests" -> ((s, d) => PerfStats.pairedTests(s, d)),
@@ -342,6 +343,7 @@ object SparkEntry {
     "latency_percentiles" -> PerfStats.SqlOracle.latencyPercentiles,
     "ingest_throughput" -> PerfStats.SqlOracle.ingestThroughput,
     "index_drift_stats" -> Drift.SqlOracle.indexDriftStats(),
+    "index_refit_advice" -> Drift.SqlOracle.refitAdvice(),
     "run_summary_groupby" -> PerfStats.SqlOracle.runSummary,
     "run_summary_rollup" -> PerfStats.SqlOracle.runSummaryRollup,
     "stats_paired_tests" -> PerfStats.SqlOracle.pairedTests(),

@@ -118,6 +118,61 @@ object Drift {
       .orderBy("layout")
   }
 
+  /** The drift alarm's CONSUMER (VERDICT r15 §next-4): turns
+    * [[indexDriftStats]] into a per-layout {keep | refit} decision
+    * plus the rebuild entrypoint to invoke, closing the
+    * alarm → refit loop that was previously prose.
+    *
+    * Thresholds are calibrated from the planted-drift A/B
+    * (Round15/16Spec; [[graft.sources.DataGen.writeDriftedDataset]]):
+    * each fires strictly BETWEEN the measured iid and drifted values
+    * of its layout's own statistic —
+    *
+    *  - `ivf_cent`: |drift_ratio − 1| > 0.2 (iid deviation 0.015,
+    *    drifted 0.455 — either direction blurs the lists: farther
+    *    vectors spread mass, closer ones collapse it onto few cells);
+    *  - `pq_fit`: drift_ratio > 1.5 (iid 1.04, drifted 3.51; a ratio
+    *    BELOW 1 means the codebook fits the batch better — no refit);
+    *  - `sq8_fit`: batch out-of-grid mass > 0.05 (iid 0.002, drifted
+    *    0.297 — the fraction the clamp saturates, an absolute figure
+    *    since the build side is 0 by construction);
+    *  - `tfidf_vocab`: batch OOV occurrence mass > 0.05 (iid 0.008,
+    *    drifted 0.145 at vocabDim 4096).
+    *
+    * `vocabDim` defaults to 4096 here (not the serving default 64):
+    * the vocab alarm needs a fit with CAPACITY — at 64 the OOV
+    * baseline is saturated (~0.69 on iid data) and absolute mass
+    * cannot move enough to discriminate (measured, tools.DriftProbe).
+    *
+    * The rebuild column names the library call that re-derives the
+    * layout's fit from the CURRENT corpus and rewrites the serving
+    * artifact ([[graft.operators.Compaction.stagedBuild]] is the
+    * atomic-swap wrapper for all of them): writeTrainedIvfIndex /
+    * writePqIndex / writeSq8Index / writeTfidfIndex. Scale shape:
+    * inherits [[indexDriftStats]]'s constant 4-row output; the
+    * decision layer is pure projection. */
+  def refitAdvice(spark: SparkSession, dir: String,
+                  vocabDim: Int = 4096): DataFrame = {
+    val stats = indexDriftStats(spark, dir, vocabDim)
+    val fire =
+      (col("layout") === "ivf_cent" &&
+        abs(col("drift_ratio") - 1.0) > 0.2) ||
+        (col("layout") === "pq_fit" && col("drift_ratio") > 1.5) ||
+        (col("layout").isin("sq8_fit", "tfidf_vocab") &&
+          col("batch_stat") > 0.05)
+    stats.select(col("layout"), col("build_stat"), col("batch_stat"),
+      col("drift_ratio"),
+      when(col("layout") === "ivf_cent", 0.2)
+        .when(col("layout") === "pq_fit", 1.5)
+        .otherwise(0.05).as("threshold"),
+      when(fire, "refit").otherwise("keep").as("action"),
+      when(col("layout") === "ivf_cent", "Ann.writeTrainedIvfIndex")
+        .when(col("layout") === "pq_fit", "Ann.writePqIndex")
+        .when(col("layout") === "sq8_fit", "Ann.writeSq8Index")
+        .otherwise("Encoders.writeTfidfIndex").as("rebuild"))
+      .orderBy("layout")
+  }
+
   object SqlOracle {
     private val Dim = VectorCore.Dim
 
@@ -188,5 +243,23 @@ object Drift {
         legSql("sq8_fit", sq8), legSql("tfidf_vocab", tfidf))
         .mkString("", "\nUNION ALL\n", "\nORDER BY layout")
     }
+
+    /** DuckDB mirror of [[Drift.refitAdvice]] — the same calibrated
+      * CASE thresholds over the [[indexDriftStats]] statistics, so
+      * the keep/refit decision itself is oracle-checked. */
+    def refitAdvice(vocabDim: Int = 4096): String =
+      s"""SELECT layout, build_stat, batch_stat, drift_ratio,
+         |  CASE layout WHEN 'ivf_cent' THEN 0.2e0
+         |    WHEN 'pq_fit' THEN 1.5e0 ELSE 0.05e0 END AS threshold,
+         |  CASE WHEN (layout = 'ivf_cent' AND abs(drift_ratio - 1.0e0) > 0.2e0)
+         |    OR (layout = 'pq_fit' AND drift_ratio > 1.5e0)
+         |    OR (layout IN ('sq8_fit', 'tfidf_vocab') AND batch_stat > 0.05e0)
+         |    THEN 'refit' ELSE 'keep' END AS action,
+         |  CASE layout WHEN 'ivf_cent' THEN 'Ann.writeTrainedIvfIndex'
+         |    WHEN 'pq_fit' THEN 'Ann.writePqIndex'
+         |    WHEN 'sq8_fit' THEN 'Ann.writeSq8Index'
+         |    ELSE 'Encoders.writeTfidfIndex' END AS rebuild
+         |FROM (${indexDriftStats(vocabDim)}) ds
+         |ORDER BY layout""".stripMargin
   }
 }

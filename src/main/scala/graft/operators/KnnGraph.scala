@@ -463,13 +463,26 @@ object KnnGraph {
                   seedGroup: Int = SeedGroup,
                   entriesHint: Option[DataFrame] = None,
                   seedsHint: Option[DataFrame] = None,
-                  subCountHint: Long = -1L): DataFrame = {
+                  subCountHint: Long = -1L,
+                  beamGrowth: Double = 1.0): DataFrame = {
     val s = walkSetup(queries, emb0, beam, nSeeds, nHint, seedGroup,
       entriesHint, seedsHint, subCountHint)
-    val capUnit = math.max(s.bw, k)
+    // beamGrowth > 1 widens the frontier geometrically per hop
+    // (VERDICT r15 §next-6's recall lever: late hops are where the
+    // walk sits in the true neighborhood, so extra width buys recall
+    // there while the early, navigational hops stay cheap); 1.0 is
+    // the verified constant-beam default, bit-identical to the prior
+    // formulation (Round16Spec)
+    def bwAt(hop: Int): Int =
+      math.max(1, math.ceil(s.bw * math.pow(beamGrowth, hop - 1.0)).toInt)
+    // the exactness cap must cover the WIDEST scheduled frontier: a
+    // row dropped at hop h can improve by at most max-beam per later
+    // hop, so capUnit uses the schedule's maximum
+    val capUnit = math.max((1 to hops).map(bwAt).max, k)
     var state = s.entries.withColumn("x", lit(false))
     for (hop <- 1 to hops) {
       val cap = capUnit * (hops - hop + 1)
+      val bw = bwAt(hop)
       // ONE aggregation + checkpoint per hop, over bounded input; the
       // row count out is Q (one struct per query)
       val pooled = state.groupBy("q_id")
@@ -481,7 +494,7 @@ object KnnGraph {
           col("e.score").as("score"))
       // frontier = the sorted pool's beam-prefix — same (score desc,
       // id asc) selection frontierTopK made, without a second pass
-      val frontier = poolRows.filter(col("pos") < s.bw).drop("pos")
+      val frontier = poolRows.filter(col("pos") < bw).drop("pos")
       val expansion = frontier.select(col("q_id"), col("id"))
         .join(edges.withColumnRenamed("src", "id"), Seq("id"))
         .select(col("q_id"), col("dst").as("id"))
@@ -492,7 +505,7 @@ object KnnGraph {
         .withColumn("x", lit(true))
       state = expRows
         .union(frontier.withColumn("x", lit(true))) // expanded this hop
-        .union(poolRows.filter(col("pos") >= s.bw).drop("pos")
+        .union(poolRows.filter(col("pos") >= bw).drop("pos")
           .withColumn("x", lit(false)))
         .union(scored)
     }

@@ -30,15 +30,32 @@ import org.apache.spark.sql.SparkSession
   * artifact itself records whether a slow reading was the engine or
   * the host.
   *
+  * PAGE-CACHE PRE-TOUCH (VERDICT r15 §next-1): 9 of the 11
+  * committed-vs-driver r15 movers were persisted-index readers —
+  * the signature of cache-warm vs cache-cold input artifacts, a
+  * host-state component the contention sentinels cannot see (both
+  * runs were genuinely quiet; they differed in what the page cache
+  * already held). The protocol now PINS cache state: the sf inputs
+  * are sequentially read once at child start, and after each query's
+  * cold run (which builds any memoized scratch index) the sf inputs
+  * PLUS every registered scratch root are read again — twice — so
+  * the timed warm pass always starts fully cache-warm, on every
+  * host. The two touch walls ride in the protocol line as a cache
+  * MARKER: touch1 >> touch2 means the first read did real disk work
+  * (the cache was cold before the touch — exactly the state that
+  * made the r15 artifacts diverge), so any residual mover carries
+  * the evidence to explain itself.
+  *
   * Protocol: one `BENCHQ <name> <cold_s> <warm_s> <s1_cpu> <s1_io>
-  * <s2_cpu> <s2_io> <s3_cpu> <s3_io>` line per query on stdout —
-  * line-based so the parent needs no JSON parsing and a mid-batch
-  * crash still yields the completed prefix. Cold = first run (pays
-  * the query's one-time whole-stage-codegen), warm = second run
-  * (steady state); s1/s2/s3 are the bracketing sentinel samples in
-  * ms (cold is covered by s1+s2, warm by s2+s3). A one-time engine
-  * warmup runs first so the first query's cold time measures its
-  * plan, not Spark/parquet init.
+  * <s2_cpu> <s2_io> <s3_cpu> <s3_io> <touch1_ms> <touch2_ms>` line
+  * per query on stdout — line-based so the parent needs no JSON
+  * parsing and a mid-batch crash still yields the completed prefix.
+  * Cold = first run (pays the query's one-time whole-stage-codegen),
+  * warm = second run (steady state); s1/s2/s3 are the bracketing
+  * sentinel samples in ms (cold is covered by s1+s2, warm by s2+s3);
+  * touch1/touch2 are the pre-warm cache-touch walls above. A
+  * one-time engine warmup runs first so the first query's cold time
+  * measures its plan, not Spark/parquet init.
   */
 object BenchRun {
   def main(args: Array[String]): Unit = {
@@ -53,6 +70,10 @@ object BenchRun {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val sfRoot = java.nio.file.Paths.get(sfDir)
+    // child-start touch: the engine warmup and every cold run read
+    // the sf inputs from a warm cache regardless of host history
+    H2Run.preTouch(Seq(sfRoot))
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
@@ -63,11 +84,18 @@ object BenchRun {
     names.foreach { n =>
       val s1 = H2Run.sample()
       val cold = timed(n)
+      // pre-touch AFTER cold (which built any memoized scratch index)
+      // and BEFORE the warm pass's bracketing sentinel: the warm run
+      // starts with sf inputs + scratch artifacts fully cache-warm,
+      // and the touch walls record what state the host was in
+      val roots = sfRoot +: graft.Cleanup.registeredPaths
+      val touch1 = H2Run.preTouch(roots)
+      val touch2 = H2Run.preTouch(roots)
       val s2 = H2Run.sample()
       val warm = timed(n)
       val s3 = H2Run.sample()
       println(s"BENCHQ $n $cold $warm ${s1.cpu} ${s1.io} " +
-        s"${s2.cpu} ${s2.io} ${s3.cpu} ${s3.io}")
+        s"${s2.cpu} ${s2.io} ${s3.cpu} ${s3.io} $touch1 $touch2")
       System.out.flush()
     }
     spark.stop()

@@ -84,7 +84,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gate question):
   *   H2S <cpu_p50_ms> <cpu_max_ms> <cpu_min_ms> <n_quiet_query_passes> <io_p50_ms> <io_max_ms> <io_min_ms>
   *   H2E <n_docs> <encode_sec> <cpu_before_ms> <io_before_ms> <cpu_after_ms> <io_after_ms> <quiet01>
-  *   H2Q <n_docs> <encode_sec> <q30_best_sec> <q30_wall_sec> <perq_p50> <perq_p95> <n_queries> <perq_p50_quiet> <encode_sec_quiet>
+  *   H2Q <n_docs> <encode_sec> <q30_best_sec> <q30_wall_sec> <perq_p50> <perq_p95> <n_queries> <perq_p50_quiet> <encode_sec_quiet> <enc_min_was_quiet01>
   *   H2R <n_docs> <encode_ratio> <query_ratio_p50> <query_ratio_min> <query_ratio_quiet>
   * where q30_best_sec = Σ over batches of the cross-pass minimum batch
   * wall (a composite best-achievable pass, load-spike robust — named
@@ -139,17 +139,54 @@ object H2Run {
     * engine's own just-finished parquet writes leave dirty pages
     * whose deferred kernel writeback would otherwise race the IO
     * probe and self-flag an idle host as loaded (index-building
-    * queries were all in no_quiet on a quiet host without it). An
-    * EXTERNAL writer keeps generating dirty pages and still inflates
-    * the probe after the settle. */
+    * queries were all in no_quiet on a quiet host without it). The
+    * settle is `syncfs` of the scratch filesystem (java.io.tmpdir,
+    * where every engine write lands), NOT a global `sync` (ADVICE
+    * r15: a system-wide sync couples bench wall-clock to OTHER
+    * mounts' dirty-page state on a shared host and inserts a
+    * whole-system writeback quiesce the measured engine would never
+    * get in production). An EXTERNAL writer keeps generating dirty
+    * pages and still inflates the probe after the settle. */
   final case class Sent(cpu: Double, io: Double)
   def sample(): Sent = {
     try {
-      val p = new ProcessBuilder("sync").start()
+      val p = new ProcessBuilder(
+        "sync", "-f", System.getProperty("java.io.tmpdir", "/tmp")).start()
       p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS)
       p.destroyForcibly()
     } catch { case _: Throwable => }
     Sent(sentinelMs(), sentinelIoMs())
+  }
+
+  /** Sequentially reads every regular file under `roots` (1 MiB
+    * buffered reads, bytes discarded), returning the wall ms — the
+    * page-cache PRE-TOUCH of VERDICT r15 §next-1: 9 of the 11
+    * committed-vs-driver bench movers were persisted-index readers,
+    * the signature of cache-warm vs cache-cold input artifacts, a
+    * state component neither contention sentinel (CPU spin, IO probe)
+    * can see. Running this over a query's inputs immediately before
+    * its timed warm pass pins the protocol to one cache state
+    * (everything warm) on every host; calling it TWICE additionally
+    * yields a cache MARKER (first-touch vs re-touch delta — a large
+    * ratio means the first call did real disk reads, i.e. the cache
+    * was cold before it). */
+  def preTouch(roots: Seq[java.nio.file.Path]): Double = {
+    val buf = new Array[Byte](1 << 20)
+    val t0 = System.nanoTime()
+    roots.foreach { r =>
+      try {
+        if (java.nio.file.Files.exists(r))
+          java.nio.file.Files.walk(r).forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p)) {
+              try {
+                val in = java.nio.file.Files.newInputStream(p)
+                try { while (in.read(buf) > 0) () } finally in.close()
+              } catch { case _: Throwable => }
+            }
+          }
+      } catch { case _: Throwable => } // a vanished scratch dir is fine
+    }
+    (System.nanoTime() - t0) / 1e6
   }
 
   /** Component-wise quiet test against the run's floors (the
@@ -228,7 +265,7 @@ object H2Run {
 
   /** Fixed single-thread IO busy-work, returning its wall ms: write
     * 8 MiB in 64 KiB chunks + fsync + buffered readback (write-side
-    * contention), then read the 16 MiB probe file with O_DIRECT
+    * contention), then read the [[IoProbeBytes]] (32 MiB) probe file with O_DIRECT
     * (read-bandwidth contention, page cache bypassed — the component
     * the CPU spin is blind to and the likeliest r14 contaminant).
     * Like [[sentinelMs]], the workload never changes; only host IO
@@ -430,7 +467,15 @@ object H2Run {
         // minima; the construction above makes that state unreachable,
         // and this assert keeps it that way
         require(eq < 0 || eq <= e, s"encode quiet floor $eq > raw min $e")
-        println(s"H2Q $n $e $q30Best $q30Wall $p50 $p95 $nQ $p50q $eq")
+        // whether the published minimum ITSELF came from a quiet-
+        // bracketed attempt (ADVICE r15: the dominance rule can
+        // publish a non-quiet-measured wall as "certified" — for
+        // IO-bound legs a loaded bracket can pre-warm page cache, so
+        // the artifact must distinguish certified-MEASURED from
+        // certified-by-inference); classified against the final floors
+        val emq = encAtt(n).filter(_.sec == e).exists(_.quiet)
+        println(s"H2Q $n $e $q30Best $q30Wall $p50 $p95 $nQ $p50q $eq " +
+          s"${if (emq) 1 else 0}")
         val (re, rq) = Ref(n)
         println(s"H2R $n ${r4(e / re)} ${r4(p50 / rq)} " +
           s"${r4(q30Best / nQ / rq)} ${if (p50q > 0) r4(p50q / rq) else "-1"}")
