@@ -788,7 +788,9 @@ object Dedup {
       ("ngram_lang_t0", maxCnt(ngramBlocks, "lang", "t0"), MaxBlock.toLong),
       ("embedding_label", maxCnt(labelBlocks, "label"), MaxBlock.toLong),
       ("minhash_bucket", maxCnt(mhBuckets, "band", "key"), MaxBucket.toLong),
-      ("embedding_lsh_bucket", maxCnt(lshBuckets, "band", "bkt"), MaxBucket.toLong))
+      // cap -1 = mirrored in the oracle SQL (star expansion branch),
+      // like the simhash band cap — exceeding it is defined behavior
+      ("embedding_lsh_bucket", maxCnt(lshBuckets, "band", "bkt"), -1L))
   }
 
   object SqlOracle {
@@ -945,17 +947,35 @@ object Dedup {
          |WHERE bit_count(xor(a.fp, b.fp)) <= $maxHamming AND bst.bsz <= $maxBand
          |ORDER BY id_a, id_b""".stripMargin
 
-    def embeddingLsh(threshold: Double = 0.4): String =
+    /** Mirrors [[Dedup.embeddingLshCandidates]]'s bucket cap EXACTLY,
+      * including the star-expansion fallback: buckets ≤ `maxBucket`
+      * enumerate all within-bucket pairs; oversized buckets emit
+      * (min vec_id → member) star edges instead. Identical to the
+      * uncapped SQL while every bucket is under the cap (all driver
+      * SFs) — the sf1.0 decade-up crosscheck is where the star branch
+      * first carries rows (max bucket 4105 observed there). */
+    def embeddingLsh(threshold: Double = 0.4,
+                     maxBucket: Int = MaxBucket): String =
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |sg AS (SELECT vec_id, ${Ann.SqlOracle.sigExpr("embedding")} AS sig FROM e),
          |b AS (
          |  SELECT vec_id, band,
          |    (sig >> (${Ann.BandBits} * band)) & ${(1 << Ann.BandBits) - 1} AS bkt
          |  FROM sg CROSS JOIN (SELECT unnest(range(${Ann.NBands})) AS band)),
+         |bsz AS (
+         |  SELECT band, bkt, count(*) AS c, min(vec_id) AS rep
+         |  FROM b GROUP BY band, bkt),
          |cands AS (
-         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM b x JOIN b y
-         |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |    FROM b x JOIN b y
+         |      ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |    JOIN bsz ON bsz.band = x.band AND bsz.bkt = x.bkt
+         |    WHERE bsz.c <= $maxBucket
+         |    UNION ALL
+         |    SELECT bsz.rep AS id_a, b.vec_id AS id_b
+         |    FROM b JOIN bsz ON bsz.band = b.band AND bsz.bkt = b.bkt
+         |    WHERE bsz.c > $maxBucket AND b.vec_id <> bsz.rep) u),
          |s AS (
          |  SELECT id_a, id_b, ${S.cosine("a.embedding", "b.embedding", VectorCore.Dim)} AS c
          |  FROM cands JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b)

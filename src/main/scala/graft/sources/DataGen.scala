@@ -192,4 +192,152 @@ object DataGen {
     driftedEmbeddings(spark, nVecs, seed = seed).write.mode("overwrite")
       .parquet(s"$dir/embeddings.parquet")
   }
+
+  // ---------------------------------------------------------------------
+  // TPC-H-ish star schema (VERDICT r15 §next-3): the driver tables'
+  // exact schemas and value sets (column names, types, low-cardinality
+  // domains, numeric ranges probed from /root/testdata/sf0.1), scaled
+  // by `sf` with sf=1.0 one decade above the largest driver dir — so
+  // the FULL oracle crosscheck can run at a corpus mass the driver
+  // never ships. The data is hash-derived (not the driver's seed-42
+  // stream), which is sufficient: the crosscheck compares Spark vs
+  // DuckDB over the SAME parquet, so the gate is generator-agnostic;
+  // what matters is that every query's predicates select real rows
+  // (BUILDING segment present, quantity/discount/date domains populated)
+  // and that the fixed-point 1e2/1e4-scaled sums see 10x the mass.
+  // ---------------------------------------------------------------------
+
+  private val RegionNames =
+    Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+  private val Segments = Seq(
+    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val Priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val PartAdjs = Seq(
+    "blue", "cold", "hot", "large", "new", "old", "red", "small")
+  private val PartNouns = Seq(
+    "anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget")
+  private val PartTypes = Seq(
+    "ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD")
+
+  private def pick(opts: Seq[String], seed: Long, cols: Column*): Column =
+    element_at(array(opts.map(lit): _*),
+      (pmod(xxhash64(lit(seed) +: cols: _*), lit(opts.size)) + 1).cast("int"))
+
+  /** Uniform 2-decimal double in [lo, hi). */
+  private def money(lo: Double, hi: Double, seed: Long, cols: Column*): Column =
+    floor(u01(seed, cols: _*) * ((hi - lo) * 100.0)) / 100.0 + lit(lo)
+
+  /** Day-resolution timestamp uniform in [epochDay0, epochDay0 + span). */
+  private def day(epochDay0: Long, spanDays: Long, seed: Long,
+                  cols: Column*): Column =
+    timestamp_seconds((lit(epochDay0) +
+      pmod(xxhash64(lit(seed) +: cols: _*), lit(spanDays))) * 86400L)
+
+  private val OrderEpochDay0 = 9131L  // 1995-01-01
+  private val OrderSpanDays = 2405L   // .. 2001-08-01
+  private val ShipEpochDay0 = 9132L   // 1995-01-02
+  private val ShipSpanDays = 2499L    // .. 2001-11-04
+
+  def region(spark: SparkSession): DataFrame =
+    spark.range(5).select(col("id").cast("int").as("r_regionkey"),
+      element_at(array(RegionNames.map(lit): _*),
+        col("id").cast("int") + 1).as("r_name"))
+
+  def nation(spark: SparkSession): DataFrame =
+    spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id")).as("n_name"),
+      (col("id") % 5).cast("int").as("n_regionkey"))
+
+  def customer(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
+    spark.range(n).select(col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      pmod(xxhash64(lit(seed + 20), col("id")), lit(25)).cast("int")
+        .as("c_nationkey"),
+      money(-1000.0, 10000.0, seed + 21, col("id")).as("c_acctbal"),
+      pick(Segments, seed + 22, col("id")).as("c_mktsegment"))
+
+  def supplier(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
+    spark.range(n).select(col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      pmod(xxhash64(lit(seed + 23), col("id")), lit(25)).cast("int")
+        .as("s_nationkey"),
+      money(-1000.0, 10000.0, seed + 24, col("id")).as("s_acctbal"))
+
+  def part(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame =
+    spark.range(n).select(col("id").as("p_partkey"),
+      concat(pick(PartAdjs, seed + 25, col("id")), lit(" "),
+        pick(PartNouns, seed + 26, col("id"))).as("p_name"),
+      concat(lit("Brand#"),
+        pmod(xxhash64(lit(seed + 27), col("id")), lit(25)) + 1).as("p_brand"),
+      pick(PartTypes, seed + 28, col("id")).as("p_type"),
+      (pmod(xxhash64(lit(seed + 29), col("id")), lit(50)) + 1).cast("int")
+        .as("p_size"),
+      (floor(u01(seed + 30, col("id")) * 999.0) / 10.0 + 900.0)
+        .as("p_retailprice"))
+
+  def orders(spark: SparkSession, n: Long, nCust: Long,
+             seed: Long = 42L): DataFrame =
+    spark.range(n).select(col("id").as("o_orderkey"),
+      pmod(xxhash64(lit(seed + 31), col("id")), lit(nCust)).as("o_custkey"),
+      pick(Seq("F", "O", "P"), seed + 32, col("id")).as("o_orderstatus"),
+      money(1000.0, 500000.0, seed + 33, col("id")).as("o_totalprice"),
+      day(OrderEpochDay0, OrderSpanDays, seed + 34, col("id"))
+        .as("o_orderdate"),
+      pick(Priorities, seed + 35, col("id")).as("o_orderpriority"))
+
+  /** ~4 lines per order (1..7 hash-derived), line attributes derived
+    * from (orderkey, linenumber) — fully distributed, no join back to
+    * orders (ship dates are independent of order dates in the driver
+    * tables too: probed lag spans [-2399, +2496] days). */
+  def lineitem(spark: SparkSession, nOrders: Long, nPart: Long, nSupp: Long,
+               seed: Long = 42L): DataFrame = {
+    val nLines = (pmod(xxhash64(lit(seed + 36), col("id")), lit(7)) + 1)
+      .cast("int")
+    val base = spark.range(nOrders)
+      .select(col("id").as("l_orderkey"),
+        explode(sequence(lit(1), nLines)).as("l_linenumber"))
+    val k = Seq(col("l_orderkey"), col("l_linenumber"))
+    val qty = (pmod(xxhash64(lit(seed + 39) +: k: _*), lit(50)) + 1)
+      .cast("double")
+    val unitPrice = money(900.0, 2100.0, seed + 40, k: _*)
+    base.select(col("l_orderkey"),
+      pmod(xxhash64(lit(seed + 37) +: k: _*), lit(nPart)).as("l_partkey"),
+      pmod(xxhash64(lit(seed + 38) +: k: _*), lit(nSupp)).as("l_suppkey"),
+      col("l_linenumber"),
+      qty.as("l_quantity"),
+      (floor(qty * unitPrice * 100.0 + 0.5) / 100.0).as("l_extendedprice"),
+      (pmod(xxhash64(lit(seed + 41) +: k: _*), lit(11)).cast("double") / 100.0)
+        .as("l_discount"),
+      (pmod(xxhash64(lit(seed + 42) +: k: _*), lit(9)).cast("double") / 100.0)
+        .as("l_tax"),
+      pick(Seq("A", "N", "R"), seed + 43, k: _*).as("l_returnflag"),
+      pick(Seq("F", "O"), seed + 44, k: _*).as("l_linestatus"),
+      day(ShipEpochDay0, ShipSpanDays, seed + 45, k: _*).as("l_shipdate"))
+  }
+
+  /** Writes the COMPLETE driver-dir layout (all 10 tables) at scale
+    * factor `sf`, with sf=1.0 exactly one decade above the largest
+    * driver dir (sf0.1): lineitem ~6M, orders 1.5M, customer 150k,
+    * part 200k, supplier 10k, events 1M, documents 50k, embeddings
+    * 20k. Any query — relational, events, text, ANN — runs on the
+    * result unchanged. */
+  def writeSfDataset(spark: SparkSession, dir: String, sf: Double,
+                     seed: Long = 42L): Unit = {
+    def n(base: Long): Long = math.max(1L, (base * sf).toLong)
+    region(spark).write.mode("overwrite").parquet(s"$dir/region.parquet")
+    nation(spark).write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    customer(spark, n(150000L), seed).write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    supplier(spark, n(10000L), seed).write.mode("overwrite")
+      .parquet(s"$dir/supplier.parquet")
+    part(spark, n(200000L), seed).write.mode("overwrite")
+      .parquet(s"$dir/part.parquet")
+    orders(spark, n(1500000L), n(150000L), seed).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    lineitem(spark, n(1500000L), n(200000L), n(10000L), seed).write
+      .mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    writeDataset(spark, dir, nDocs = n(50000L), nVecs = n(20000L),
+      seed = seed, nEvents = n(1000000L))
+  }
 }

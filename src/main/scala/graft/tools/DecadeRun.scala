@@ -47,12 +47,20 @@ object DecadeRun {
     def r(v: Double, d: Int = 4): String =
       String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
 
-    val exact = Knn.bruteForce(spark, dir, Knn.K)
+    // Metric-matched ground truths: the Ann family serves by DOT
+    // (Ann.scala:113), the graph walk scores by COSINE
+    // (KnnGraph.scala:420) — on unnormalized vectors the two exact
+    // top-10 sets barely overlap, so each leg must be recalled
+    // against its own metric's exact set.
+    val exactDot = Knn.bruteForce(spark, dir, Knn.K)
       .select(col("q_id"), col("doc_id")).cache()
-    val exactTotal = exact.count()
-    def recallOf(df: DataFrame): Double =
+    val exactCos = Knn.cosineTopK(spark, dir, Knn.K)
+      .select(col("q_id"), col("doc_id")).cache()
+    def recallAgainst(exact: DataFrame)(df: DataFrame): Double =
       df.select(col("q_id"), col("doc_id"))
-        .join(exact, Seq("q_id", "doc_id")).count().toDouble / exactTotal
+        .join(exact, Seq("q_id", "doc_id")).count().toDouble / exact.count()
+    val recallOf = recallAgainst(exactDot) _
+    val recallCos = recallAgainst(exactCos) _
 
     val emb = graft.Tables.embeddings(spark, dir)
       .filter(col("vec_id") >= Knn.NQueries)
@@ -175,7 +183,7 @@ object DecadeRun {
           .select(col("q_id"), col("id").as("doc_id"))
         df.localCheckpoint(true)
       }
-      val rec = recallOf(res)
+      val rec = recallCos(res)
       // total frontier width over the walk — the per-query expansion
       // cost lever the sweep is trading against recall
       val widthSum = (1 to hops).map(h =>
@@ -189,7 +197,8 @@ object DecadeRun {
 
     val json =
       s"""{"corpus":{"dir":"$dir","n_docs":$n,"n_queries":${Knn.NQueries},""" +
-        s""""k":${Knn.K},"k_cent":$kCent,"nprobe":$np},""" +
+        s""""k":${Knn.K},"k_cent":$kCent,"nprobe":$np,""" +
+        s""""ann_metric":"dot","graph_metric":"cosine"},""" +
         s""""ivf_pq":[${ivfPqRows.mkString(",")}],""" +
         s""""ivf_sqrtn":[${ivfRows.mkString(",")}],""" +
         s""""graph":[${graphRows.mkString(",")}],""" +
