@@ -22,14 +22,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (ref: measure_offline_query_latency scans ONLY the memmap,
   *    :109-160, sample_queries=30), run as [[NBatches]] batches of
   *    [[BatchQ]] queries so a latency DISTRIBUTION exists (the ref
-  *    publishes p50/p90/p95/p99 per size). Each batch is ONE
-  *    pre-planned Dataset whose physical plan, generated code, and
-  *    query-side broadcast are built once at serving start and reused
-  *    across passes — the serving-process shape, and the ref's too
-  *    (its loop queries an already-loaded memmap with precompiled
-  *    numpy kernels; it does not re-compile per query). r11's form
-  *    re-analyzed + re-codegen'd the whole plan every pass, which is
-  *    what ballooned ~6x under driver-host load (VERDICT r11 §next-1).
+  *    publishes p50/p90/p95/p99 per size). Each timed collect runs a
+  *    FRESH Dataset (same logical template, new shuffle IDs) so the
+  *    corpus scan genuinely re-executes — r16 finding
+  *    (tools.FloorProbe): re-collecting one pre-planned Dataset, the
+  *    r14/r15 shape, reuses its materialized shuffle stages
+  *    (ShuffleExchangeExec caches its RDD; the DAGScheduler skips
+  *    map stages whose outputs exist), so those rounds' timed query
+  *    passes ran 1 job / 1 stage / 1 task — the post-shuffle merge
+  *    only, corpus-size-invariant ~2.5 ms/query, while the ref
+  *    re-dots its whole memmap every query. Template construction +
+  *    Catalyst planning stay OUTSIDE the timed region (the ref's
+  *    precompiled-numpy analogue; janino-cache-warm after the first
+  *    collect), and the serving plan is pinned with
+  *    shuffle.partitions=1 + AQE off for the query phase — the
+  *    post-agg data is ≤ nq·k rows, so the single reduce task is the
+  *    scale-correct shape at every corpus size (map parallelism
+  *    comes from input splits, not the shuffle count) and the
+  *    1-partition sort skips RangePartitioner's per-collect sampling
+  *    job. Output is bit-identical to the default-conf plan.
   *
   * Query vectors are prepared OUTSIDE the timed region, exactly as the
   * ref does (auto_run_tests.py:172-194: `q_emb` is in hand before
@@ -390,18 +401,36 @@ object H2Run {
     // yielding fewer than NQ query rows produces fewer/ragged batches,
     // which must divide by their real size, and a size with no batches
     // is skipped rather than crashing the whole child post-bench
-    val plans: Seq[(Long, IndexedSeq[(DataFrame, Int)])] = dirs.map { case (n, d) =>
-      val gat = spark.read.parquet(gatPath(d))
-      val q = Encoders.denseQueries(gat, NQ, Dim)
-      val rows = q.collect().sortBy(_.getLong(0))
-      val batches = rows.grouped(BatchQ).map { rs =>
-        val qb = spark.createDataFrame(
-          java.util.Arrays.asList(rs: _*), q.schema)
-        (Encoders.hashingSearchDenseOver(gat, qb, K, NQ), rs.length)
-      }.toIndexedSeq
-      batches.foreach(_._1.collect())
-      n -> batches
+    // pinned serving confs for the whole query phase (plan-time reads:
+    // both are consulted when the lazy executedPlan materializes, so
+    // the window must cover every freshServe call below)
+    val servingConf = Map(
+      "spark.sql.shuffle.partitions" -> "1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val savedConf = servingConf.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    servingConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    // per batch: the reusable query-side LocalRelation + row count;
+    // each timed collect gets a FRESH serving Dataset from it
+    def freshServe(gat: DataFrame, qb: DataFrame): DataFrame = {
+      val ds = Encoders.hashingSearchDenseOver(gat, qb, K, NQ)
+      ds.queryExecution.executedPlan // untimed: analyze+optimize+plan
+      ds
     }
+    val plans: Seq[(Long, DataFrame, IndexedSeq[(DataFrame, Int)])] =
+      dirs.map { case (n, d) =>
+        val gat = spark.read.parquet(gatPath(d))
+        val q = Encoders.denseQueries(gat, NQ, Dim)
+        val rows = q.collect().sortBy(_.getLong(0))
+        val batches = rows.grouped(BatchQ).map { rs =>
+          val qb = spark.createDataFrame(
+            java.util.Arrays.asList(rs: _*), q.schema)
+          (qb, rs.length)
+        }.toIndexedSeq
+        // serving-start warm: codegen + file index + footer cache
+        batches.foreach { case (qb, _) => freshServe(gat, qb).collect() }
+        (n, gat, batches)
+      }
     // timed passes, interleaved across sizes; per-(size, batch) walls
     // tagged with their pass index, each pass bracketed by a sentinel
     // pair (before AND after — a query pass is seconds, but the same
@@ -421,11 +450,17 @@ object H2Run {
         (qp < MaxQueryPasses &&
           passSent.indices.count(passQuiet) < MinQuietQueryPasses)) {
       val b = note(sample())
-      for ((n, batches) <- plans; ((ds, _), bi) <- batches.zipWithIndex)
+      for ((n, gat, batches) <- plans; ((qb, _), bi) <- batches.zipWithIndex) {
+        val ds = freshServe(gat, qb) // untimed template re-instantiation
         walls((n, bi)) = (timed(ds.collect()), qp) :: walls((n, bi))
+      }
       val a = note(sample())
       passSent += ((b, a))
       qp += 1
+    }
+    savedConf.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
     // Locale.ROOT, and where possible raw Double.toString: these lines
     // are machine-parsed by the parent (ADVICE r11's locale hazard)
@@ -443,7 +478,7 @@ object H2Run {
     for ((n, _) <- dirs; at <- encAtt(n))
       println(s"H2E $n ${at.sec} ${r4(at.before.cpu)} ${r4(at.before.io)} " +
         s"${r4(at.after.cpu)} ${r4(at.after.io)} ${if (at.quiet) 1 else 0}")
-    plans.foreach { case (n, batches) =>
+    plans.foreach { case (n, _, batches) =>
       if (batches.nonEmpty) {
         val nQ = batches.map(_._2).sum
         // composite best-achievable pass (per-batch minima can come
