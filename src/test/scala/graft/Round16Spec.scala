@@ -70,4 +70,53 @@ class Round16Spec extends AnyFunSuite with Matchers with SharedSpark {
     all(perQuery.map(_.getLong(1))) shouldBe Knn.K.toLong
     recallOf(1.5) should be >= recallOf(1.0) - 1e-9
   }
+
+  test("H2 timed shape: a fresh serving plan re-executes the scan; re-collecting a pre-planned Dataset reuses its shuffle stages") {
+    // The r16 measurement-honesty pin (VERDICT r15 §next-5 follow-up):
+    // the pre-r16 H2 query passes re-collected ONE pre-planned Dataset,
+    // whose materialized shuffle stages the DAGScheduler silently
+    // reuses — every timed pass after the first ran the post-shuffle
+    // merge ONLY (1 job / 1 stage), never the corpus scan. H2Run now
+    // builds a fresh Dataset per timed collect. This spec pins BOTH
+    // behaviors with a stage-count listener so a future protocol
+    // regression (or a Spark behavior change that silently invalidates
+    // the fix) fails loudly.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Encoders
+    val dir = tempDir("graft-h2shape")
+    DataGen.writeDataset(spark, dir, nDocs = 500L, nVecs = 64L)
+    val gatOut = tempDir("graft-h2shape-gat") + "/gat"
+    Encoders.writeGatheredDirect(spark, dir, gatOut, Encoders.Dim)
+    val gat = spark.read.parquet(gatOut)
+    val qb = Encoders.denseQueriesLocal(gat, 5, Encoders.Dim)
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val l = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    }
+    def stagesOf(f: => Unit): Int = {
+      spark.sparkContext.addSparkListener(l)
+      try {
+        stages.set(0); f
+        Thread.sleep(500) // let the listener bus drain
+        stages.get
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    def fresh() = Encoders.hashingSearchDenseOver(gat, qb, 10, 5)
+    val pre = fresh()
+    pre.collect() // materialize pre's shuffle stages + warm codegen
+    val reused = stagesOf(pre.collect())
+    val scanned = stagesOf(fresh().collect())
+    withClue(s"re-collect of a pre-planned Dataset (stages=$reused): ") {
+      reused should be <= 1
+    }
+    withClue(s"fresh plan per collect (stages=$scanned): ") {
+      scanned should be >= 2
+    }
+    // and the two produce identical rows — reuse was a measurement
+    // hazard, never a correctness one
+    fresh().collect().map(_.toString).sorted shouldBe
+      pre.collect().map(_.toString).sorted
+  }
 }
