@@ -456,11 +456,20 @@ object Dedup {
     // expensive, unmaterialized) upstream pair subplan twice and
     // recomputes it both ways — with the LSH pipeline upstream that
     // doubled this operator's cost. explode keeps it single-scan.
+    // Materialized via EAGER localCheckpoint, NOT `.persist()` (r16):
+    // an InMemoryRelation is compiled WITHOUT adaptive execution
+    // (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning is
+    // false by default), so the cached LSH+verify pipeline lost its
+    // runtime broadcast conversions and ran once per cache partition —
+    // CcProbe2 measured 12.1 s task time materializing the cache and
+    // 8.5 s for the first groupBy over it, vs 0.05 s + 0.10 s for the
+    // identical frame via localCheckpoint. Same semantics (edge rows
+    // materialized once, loop reuses blocks), ~100× less CPU.
     val edges = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+      .localCheckpoint(true)
     // each round's label frame is localCheckpoint'ed: the round plan
     // references the previous labels TWICE (directly + via the
     // neighbor-min join), so without plan truncation the logical plan
@@ -472,8 +481,8 @@ object Dedup {
     // every node appears as src (edges are symmetric), so one groupBy
     // yields both the node set and its 1-hop min label — no separate
     // distinct shuffle, and shallow (diameter-1) clusters converge
-    // with zero loop rounds. The eager localCheckpoint also
-    // materializes the edge cache for the loop to reuse.
+    // with zero loop rounds. The edge frame above is already
+    // materialized eagerly, so every round reads its blocks directly.
     var labels = edges.groupBy("src").agg(min(col("dst")).as("m"))
       .select(col("src").as("node"), least(col("src"), col("m")).as("label"))
       .localCheckpoint()
@@ -494,7 +503,6 @@ object Dedup {
       iter += 1
       if (verbose) println(s"[cc] round=$iter changed=$changed")
     }
-    edges.unpersist()
     labels
   }
 

@@ -360,11 +360,20 @@ object KnnGraph {
                                      score: DataFrame => DataFrame,
                                      entries: DataFrame)
 
-  private def walkSetup(queries: DataFrame, emb0: DataFrame,
+  private def walkSetup(queries0: DataFrame, emb0: DataFrame,
                         beam: Int, nSeeds: Int, nHint: Long,
                         seedGroup: Int, entriesHint: Option[DataFrame],
                         seedsHint: Option[DataFrame],
                         subCountHint: Long): WalkSetup = {
+    // The query frame is re-broadcast in EVERY hop's score() join; as
+    // a raw plan each of those broadcast builds re-runs the query
+    // subtree (a parquet scan on the ad-hoc path). One eager
+    // localCheckpoint up front (Q rows — bounded, never corpus-sized)
+    // makes every per-hop broadcast build a read of materialized
+    // blocks instead (r16; JobProbe measured the walk at ~100 AQE
+    // stage-jobs of ~25 ms, most of them per-hop exchange/broadcast
+    // materializations).
+    val queries = queries0.localCheckpoint(true)
     val emb = emb0.select(col("id"), col("vec"))
     // fixed entry points (index metadata): the nSeeds smallest node
     // ids. DISTINCT ids, not rows — an at-least-once ingest can leave
@@ -414,8 +423,15 @@ object KnnGraph {
       .select(col("id"), col("bkt").cast("long").as("bkt"), col("sub"))
       .join(broadcast(qBand), Seq("bkt", "sub"))
       .select(col("q_id"), col("id"))
+    // cand is always query-state-bounded (entries: Q·(seeds+LSH
+    // slices); hops: Q·beam·degree) while emb is the CORPUS — the
+    // broadcast hint pins the build side to the bounded frame so the
+    // corpus table is STREAMED, never shuffled, in every hop's scoring
+    // join (guide §3.1: the cand side comes from checkpointed RDDs
+    // whose size estimates are unusable, so the static planner chose a
+    // sort-merge join that re-shuffled emb each hop).
     def score(cand: DataFrame): DataFrame =
-      cand.join(emb, Seq("id"))
+      broadcast(cand).join(emb, Seq("id"))
         .join(broadcast(queries), Seq("q_id"))
         .select(col("q_id"), col("id"), cosine(col("q_vec"), col("vec")).as("score"))
     val entries = score(
@@ -480,6 +496,11 @@ object KnnGraph {
     // hop, so capUnit uses the schedule's maximum
     val capUnit = math.max((1 to hops).map(bwAt).max, k)
     var state = s.entries.withColumn("x", lit(false))
+    // (r16 measured, kept for the record: running this loop with AQE
+    // disabled was tried and is SLOWER — 4.06 s vs 2.98 s at sf0.1 —
+    // because the per-hop exchange then executes at the static
+    // shuffle-partition count instead of AQE-coalescing to the
+    // handful of partitions the O(Q·pool)-row state actually needs.)
     for (hop <- 1 to hops) {
       val cap = capUnit * (hops - hop + 1)
       val bw = bwAt(hop)
@@ -495,8 +516,12 @@ object KnnGraph {
       // frontier = the sorted pool's beam-prefix — same (score desc,
       // id asc) selection frontierTopK made, without a second pass
       val frontier = poolRows.filter(col("pos") < bw).drop("pos")
-      val expansion = frontier.select(col("q_id"), col("id"))
-        .join(edges.withColumnRenamed("src", "id"), Seq("id"))
+      // frontier is Q·beam rows (bounded, corpus-independent) against
+      // the N·K edge table: broadcast the frontier so the edge table
+      // is streamed in place, not exchanged every hop (r16, guide
+      // §3.1 — same estimate blindness as score()'s cand side)
+      val expansion = edges.withColumnRenamed("src", "id")
+        .join(broadcast(frontier.select(col("q_id"), col("id"))), Seq("id"))
         .select(col("q_id"), col("dst").as("id"))
       val scored = s.score(expansion).withColumn("x", lit(false))
       val expRows = pooled
