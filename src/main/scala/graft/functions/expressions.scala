@@ -186,6 +186,44 @@ object Kernels {
     c
   }
 
+  /** Sorted (bucket, cnt) run-length pairs of a token array under
+    * polyHash % dim — the hashing-TF encode kernel as ONE map-side
+    * pass (r16): equals the explode(tokens) → groupBy(doc, bucket) →
+    * count(1) rows for the same document (integer counts are
+    * order-free; the bucket set and each bucket's count are
+    * identical), but needs no corpus-wide Exchange and no
+    * hash-aggregate over the exploded token stream. Sorted by bucket,
+    * which also makes downstream explode order deterministic. */
+  def bucketCounts(arr: ArrayData, dim: Long, base: Long, p: Long): ArrayData = {
+    val n = arr.numElements()
+    val bs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      bs(i) = Kernels.polyHash(arr.getUTF8String(i), base, p) % dim
+      i += 1
+    }
+    java.util.Arrays.sort(bs)
+    var distinct = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && bs(j) == bs(i)) j += 1
+      distinct += 1
+      i = j
+    }
+    val out = new Array[Any](distinct)
+    var o = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && bs(j) == bs(i)) j += 1
+      out(o) = InternalRow(bs(i), (j - i).toLong)
+      o += 1
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sequential squared-L2 distance (pre-sqrt), same fold order as the
     * HOF spec. */
   def dist2F(a: ArrayData, b: ArrayData): Double = {
@@ -311,6 +349,26 @@ case class ShingleHashExpr(child: Expression, n: Int, base: Long, p: Long)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.Kernels.shingleHashes($c, $n, ${base}L, ${p}L)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
+    copy(child = newChild)
+}
+
+/** bucket_counts(array<string>) — sorted (bucket, cnt) pairs under
+  * polyHash % dim; the map-side hashing-TF encode (see
+  * [[Kernels.bucketCounts]]). */
+case class BucketCountsExpr(child: Expression, dim: Long, base: Long, p: Long)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("bucket", LongType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bucketCounts(input.asInstanceOf[ArrayData], dim, base, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.bucketCounts($c, ${dim}L, ${base}L, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): BucketCountsExpr =
     copy(child = newChild)
 }
 
@@ -476,6 +534,12 @@ object native {
 
   def simhash62(toks: Column, p: Long = HashP): Column =
     Bridge.column(SimHashExpr(ex(toks), p))
+
+  /** Sorted (bucket, cnt) struct pairs of a token array — the one-pass
+    * hashing-TF encode; equals the explode→groupBy counts. */
+  def bucketCounts(toks: Column, dim: Long, base: Long = 31L,
+                   p: Long = HashP): Column =
+    Bridge.column(BucketCountsExpr(ex(toks), dim, base, p))
 
   def shingleHashes(toks: Column, n: Int = 3, base: Long = 31L, p: Long = HashP): Column =
     Bridge.column(ShingleHashExpr(ex(toks), n, base, p))

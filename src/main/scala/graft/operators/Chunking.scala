@@ -89,12 +89,14 @@ object Chunking {
                   w: Int = W, s: Int = Stride): DataFrame = {
     val cn = chunkPostings(spark, dir, dim, w, s)
       .filter(col("doc_id") >= nq)
-    val byDoc = Window.partitionBy("doc_id")
-    val qc = Encoders.bucketCounts(spark, dir, dim)
+    // query side rides the map-side postings projection (r16): the
+    // doc_id < nq filter pushes to the scan and the norm is an in-row
+    // fold — no window, no exchange (see Encoders.postingsOf)
+    val qc = Encoders.postingsOf(
+        graft.Tables.documents(spark, dir).select("doc_id", "text"), dim)
       .filter(col("doc_id") < nq)
-      .withColumn("qn", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
       .select(col("doc_id").as("q_id"), col("bucket"),
-        col("cnt").as("qcnt"), col("qn"))
+        col("cnt").as("qcnt"), col("norm").as("qn"))
     chunkScorePool(cn, qc, k)
   }
 
@@ -109,16 +111,28 @@ object Chunking {
     * the full build and the append path (norms are per-CHUNK windows,
     * so they are computable from any batch alone). */
   private def chunkPostingsOf(docs: DataFrame, dim: Int, w: Int,
-                              s: Int): DataFrame = {
-    val byChunk = Window.partitionBy("doc_id", "chunk_id")
+                              s: Int): DataFrame =
+    // map-side encode per chunk row (r16, the Encoders.postingsOf
+    // shape): one-pass (bucket, cnt) kernel + in-row norm fold —
+    // the pre-r16 explode → groupBy(doc, chunk, bucket) →
+    // window(norm) paid TWO corpus-sized exchanges per build
     chunkToksOf(docs, w, s)
       .select(col("doc_id"), col("chunk_id"),
-        explode(col("chunk_toks")).as("tok"))
-      .select(col("doc_id"), col("chunk_id"),
-        (polyHash(col("tok")) % dim).as("bucket"))
-      .groupBy("doc_id", "chunk_id", "bucket").agg(count(lit(1)).as("cnt"))
-      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byChunk)))
-  }
+        graft.functions.native.bucketCounts(col("chunk_toks"), dim).as("_bcs"))
+      // norm below the explode, own projection — same per-generated-row
+      // evaluation hazard as Encoders.postingsOf (see comment there)
+      .select(col("doc_id"), col("chunk_id"), col("_bcs"),
+        sqrt(aggregate(col("_bcs"), lit(0L),
+          (a, x) => a + x.getField("cnt") * x.getField("cnt"))
+          .cast("double")).as("norm"))
+      // explode_outer + null filter: see Encoders.bucketCountsOf —
+      // an inner explode's inferred non-empty filter would clone the
+      // kernel expression below this projection
+      .select(col("doc_id"), col("chunk_id"), col("norm"),
+        explode_outer(col("_bcs")).as("bc"))
+      .filter(col("bc").isNotNull)
+      .select(col("doc_id"), col("chunk_id"), col("bc.bucket").as("bucket"),
+        col("bc.cnt").as("cnt"), col("norm"))
 
   /** Incremental maintenance for a [[writeChunkIndex]] layout — the
     * chunk-granularity sibling of

@@ -47,32 +47,64 @@ object Encoders {
     * form the incremental-ingest path needs (a batch of new docs is
     * not a corpus directory). */
   private def bucketCountsOf(docs: DataFrame, dim: Int): DataFrame =
-    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), (polyHash(col("tok")) % dim).as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    // explode_OUTER + null filter, not plain explode: the optimizer
+    // infers a `size(e) > 0 AND isnotnull(e)` filter below an inner
+    // explode and SUBSTITUTES the generator expression into it — the
+    // encode kernel then runs three times per document (r16 plan
+    // dumps). Outer explode infers nothing; the null row an empty/null
+    // token array generates is dropped on the generated ATTRIBUTE
+    // (cheap), leaving exactly the inner-explode row set.
+    docs.select(col("doc_id"),
+        explode_outer(native.bucketCounts(tokens(col("text")), dim)).as("bc"))
+      .filter(col("bc").isNotNull)
+      .select(col("doc_id"), col("bc.bucket").as("bucket"),
+        col("bc.cnt").as("cnt"))
 
   /** The ONE postings derivation — (doc_id, bucket, cnt, norm) with
     * the exact-integer-squares L2 norm — shared by the index build and
     * the index append so the two can never diverge. The norm is
-    * per-document, so it is computable from any doc-complete subset. */
-  private def postingsOf(docs: DataFrame, dim: Int): DataFrame = {
-    val byDoc = Window.partitionBy("doc_id")
-    bucketCountsOf(docs, dim)
-      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
-  }
+    * per-document, so it is computable from any doc-complete subset.
+    *
+    * MAP-SIDE since r16 (guide §2.4): the per-doc (bucket, cnt) pairs
+    * come from the one-pass [[graft.functions.BucketCountsExpr]]
+    * kernel and the norm from an in-row fold over them, so the encode
+    * leg carries NO Exchange at all — the pre-r16 explode → groupBy
+    * (doc, bucket) → window(norm) shape shuffled the full exploded
+    * posting stream once and sort-shuffled it again for the window, a
+    * 2×-corpus-pass cost at 100 TB. Counts and the integer-squares
+    * norm are bit-identical (integer sums, order-free; asserted by
+    * the unchanged oracles and FunctionsSpec). */
+  private[operators] def postingsOf(docs: DataFrame, dim: Int): DataFrame =
+    docs.select(col("doc_id"),
+        native.bucketCounts(tokens(col("text")), dim).as("_bcs"))
+      // norm in its OWN projection, below the explode: an expression
+      // placed in the same select as a generator is evaluated once per
+      // GENERATED row — the O(|buckets|) fold would run per posting,
+      // O(b²) per doc (verified in the r16 plan dumps). Here it is a
+      // per-doc attribute the generate merely forwards. _bcs is
+      // referenced twice, which also stops CollapseProject from
+      // inlining the kernel into the fold.
+      .select(col("doc_id"), col("_bcs"),
+        sqrt(aggregate(col("_bcs"), lit(0L),
+          (a, x) => a + x.getField("cnt") * x.getField("cnt"))
+          .cast("double")).as("norm"))
+      // explode_outer + null filter for the same inferred-filter
+      // reason as [[bucketCountsOf]] (here the inferred filter's
+      // substituted copy would re-run the kernel per doc twice more)
+      .select(col("doc_id"), col("norm"), explode_outer(col("_bcs")).as("bc"))
+      .filter(col("bc").isNotNull)
+      .select(col("doc_id"), col("bc.bucket").as("bucket"),
+        col("bc.cnt").as("cnt"), col("norm"))
 
   /** Hashing-TF (ref encoder.py:93-103 `_hash_vectorize`): token →
     * polynomial hash → bucket, per-bucket counts, row L2-normalized.
     * The L2 norm is computed from exact integer squares, so it is
     * bit-identical with the oracle. */
-  def hashingTf(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame = {
-    val w = Window.partitionBy("doc_id")
-    bucketCounts(spark, dir, dim)
-      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(w)))
+  def hashingTf(spark: SparkSession, dir: String, dim: Int = Dim): DataFrame =
+    postingsOf(Tables.documents(spark, dir), dim)
       .select(col("doc_id"), col("bucket"),
         rnd(col("cnt") / col("norm"), 4).as("tf_norm"))
       .orderBy("doc_id", "bucket")
-  }
 
   /** End-to-end reference pipeline (ref main flow: DummyEncoder +
     * offline_search — encoder.py:93-103 then auto_run_tests.py:115-160):
@@ -86,15 +118,11 @@ object Encoders {
   def hashingSearch(spark: SparkSession, dir: String, k: Int = 10,
                     nq: Int = 5, dim: Int = Dim,
                     maxDoc: Option[Long] = None): DataFrame = {
-    // norms ride along as a window over the counts frame (the
-    // tfIdfSearch shape): the filters on the window's own partition
-    // key push below it to the scans, so the q side is a pruned scan
-    // and the doc side is ONE full pass — versus the previous separate
-    // norm pipeline, which re-ran the counts subtree per reference and
-    // broadcast the full norm table (every doc's norm) for the q side.
-    val byDoc = Window.partitionBy("doc_id")
-    val cn = bucketCounts(spark, dir, dim, maxDoc)
-      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
+    // norms ride along in the map-side postings projection (r16 —
+    // no window, no exchange; see [[postingsOf]]): the doc_id filters
+    // below still push straight to the scans, so the q side is a
+    // pruned scan and the doc side is ONE full map-only pass.
+    val cn = postingsOf(capped(Tables.documents(spark, dir), maxDoc), dim)
     val qc = cn.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("bucket"),
         col("cnt").as("qcnt"), col("norm").as("qn"))

@@ -249,11 +249,12 @@ object Experiment {
     import spark.implicits._
     val capsDf = broadcast(caps.toDF("corpus_cap"))
     val maxCap = caps.max
-    val byDoc = Window.partitionBy("doc_id")
 
-    // hashing arm: score once at maxCap, fan out to caps by filter
-    val cn = Encoders.bucketCounts(spark, dir, dim, Some(maxCap))
-      .withColumn("norm", sqrt(sum(col("cnt") * col("cnt")).over(byDoc)))
+    // hashing arm: score once at maxCap, fan out to caps by filter —
+    // counts+norm from the map-side postings projection (r16, see
+    // Encoders.postingsOf: no exchange, no window in the encode leg)
+    val cn = Encoders.postingsOf(
+      Tables.documents(spark, dir).filter(col("doc_id") < maxCap), dim)
     val qc = cn.filter(col("doc_id") < nq)
       .select(col("doc_id").as("q_id"), col("bucket"),
         col("cnt").as("qcnt"), col("norm").as("qn"))

@@ -131,6 +131,41 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
       .filter(col("sig") =!= col("sig2")).count() shouldBe 0
   }
 
+  test("native bucketCounts equals the explode-groupBy counts, and the postings plan is exchange-free") {
+    // kernel ≡ relational spec (what the unchanged DuckDB oracles
+    // mirror): same (doc, bucket) set, same counts, norm = exact
+    // integer-squares sum — on real corpus text plus edge docs
+    import spark.implicits._
+    val dim = 64
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, ""), (100002L, " "), (100003L, "one"))
+        .toDF("doc_id", "text"))
+    val spec = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (polyHash(col("tok")) % dim).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+    val kern = docs.select(col("doc_id"),
+        explode_outer(native.bucketCounts(tokens(col("text")), dim)).as("bc"))
+      .filter(col("bc").isNotNull)
+      .select(col("doc_id"), col("bc.bucket").as("bucket"), col("bc.cnt").as("cnt"))
+    kern.unionByName(spec).except(kern.intersect(spec)).count() shouldBe 0
+    kern.count() shouldBe spec.count()
+    // the r16 encode contract: the postings derivation is map-side
+    // only — no Exchange anywhere below the hashing index build
+    val plan = graft.operators.Encoders
+      .hashingTf(spark, sfDir).queryExecution.optimizedPlan.toString
+    withClue(plan) {
+      plan.contains("RepartitionByExpression") shouldBe false
+    }
+    val phys = graft.operators.Encoders.hashingTf(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // one Sort for the presentation orderBy is expected; the encode
+    // itself must plan no hash-partitioning exchange
+    withClue(phys) {
+      "Exchange hashpartitioning".r.findAllIn(phys).length shouldBe 0
+    }
+  }
+
   test("rnd matches floor formula and avoids negative zero") {
     import spark.implicits._
     val df = Seq(0.59625, -0.00003, 0.0, 1.23456789, -2.5).toDF("x")
