@@ -224,6 +224,41 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Sorted (tok, tf) run-length pairs of a token array — the
+    * term-frequency sibling of [[bucketCounts]] (r16): equals the
+    * explode(tokens) → groupBy(doc, tok) → count(1) rows per document
+    * with no Exchange and no hash-aggregate over the exploded stream.
+    * Grouping is byte-equality of the UTF8 tokens; the sort order
+    * (unsigned byte order) only serves to make equal tokens adjacent
+    * and the output order deterministic. */
+  def tokenCounts(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val ts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { ts(i) = arr.getUTF8String(i); i += 1 }
+    java.util.Arrays.sort(ts,
+      (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    var distinct = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && ts(j).equals(ts(i))) j += 1
+      distinct += 1
+      i = j
+    }
+    val out = new Array[Any](distinct)
+    var o = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && ts(j).equals(ts(i))) j += 1
+      out(o) = InternalRow(ts(i), (j - i).toLong)
+      o += 1
+      i = j
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sequential squared-L2 distance (pre-sqrt), same fold order as the
     * HOF spec. */
   def dist2F(a: ArrayData, b: ArrayData): Double = {
@@ -369,6 +404,24 @@ case class BucketCountsExpr(child: Expression, dim: Long, base: Long, p: Long)
     defineCodeGen(ctx, ev,
       c => s"graft.functions.Kernels.bucketCounts($c, ${dim}L, ${base}L, ${p}L)")
   override protected def withNewChildInternal(newChild: Expression): BucketCountsExpr =
+    copy(child = newChild)
+}
+
+/** token_counts(array<string>) — sorted (tok, tf) pairs; the map-side
+  * term-frequency encode (see [[Kernels.tokenCounts]]). */
+case class TokenCountsExpr(child: Expression)
+  extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("tok", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.tokenCounts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.tokenCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenCountsExpr =
     copy(child = newChild)
 }
 
@@ -540,6 +593,11 @@ object native {
   def bucketCounts(toks: Column, dim: Long, base: Long = 31L,
                    p: Long = HashP): Column =
     Bridge.column(BucketCountsExpr(ex(toks), dim, base, p))
+
+  /** Sorted (tok, tf) struct pairs of a token array — the one-pass
+    * term-frequency encode; equals the explode→groupBy counts. */
+  def tokenCounts(toks: Column): Column =
+    Bridge.column(TokenCountsExpr(ex(toks)))
 
   def shingleHashes(toks: Column, n: Int = 3, base: Long = 31L, p: Long = HashP): Column =
     Bridge.column(ShingleHashExpr(ex(toks), n, base, p))

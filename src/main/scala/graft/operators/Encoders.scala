@@ -30,12 +30,6 @@ object Encoders {
   private def capped(d: DataFrame, maxDoc: Option[Long]): DataFrame =
     maxDoc.fold(d)(c => d.filter(col("doc_id") < c))
 
-  /** (doc_id, tok) exploded token stream. */
-  private def toks(spark: SparkSession, dir: String,
-                   maxDoc: Option[Long] = None): DataFrame =
-    capped(Tables.documents(spark, dir), maxDoc)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-
   /** (doc_id, bucket, cnt): integer hashing-TF bucket counts — the
     * sparse building block shared by [[hashingTf]] and the
     * inverted-index search pipeline. */
@@ -416,11 +410,25 @@ object Encoders {
 
   /** (doc_id, tok, weight) unrounded TF-IDF weights — shared by
     * [[tfIdf]] (verified rounded projection) and [[tfIdfSearch]]. */
-  /** (doc_id, tok, tf) per-document term counts. */
+  /** (doc_id, tok, tf) per-document term counts. MAP-SIDE since r16 —
+    * the one-pass [[graft.functions.TokenCountsExpr]] kernel replaces
+    * the explode → groupBy(doc_id, tok) shape, removing the
+    * corpus-sized exchange of the exploded token stream from every
+    * TF-IDF / BM25 / keyword consumer (explode_outer + null filter
+    * for the inferred-filter reason documented at [[bucketCountsOf]];
+    * identical row set, bit-identical counts). */
   private[operators] def docTerm(spark: SparkSession, dir: String,
                                  maxDoc: Option[Long] = None): DataFrame =
-    toks(spark, dir, maxDoc).groupBy("doc_id", "tok")
-      .agg(count(lit(1)).as("tf"))
+    docTermOf(capped(Tables.documents(spark, dir), maxDoc))
+
+  /** [[docTerm]] over an arbitrary (doc_id, text) frame — shared with
+    * the TF-IDF index append path so build and append can never
+    * diverge. */
+  private def docTermOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode_outer(native.tokenCounts(tokens(col("text")))).as("tc"))
+      .filter(col("tc").isNotNull)
+      .select(col("doc_id"), col("tc.tok").as("tok"), col("tc.tf").as("tf"))
 
   /** (tok, idf) as a lazy plan subtree — for single-reference plans
     * ([[tfIdf]]): vocabulary ranking and the smoothed idf stay inside
@@ -704,8 +712,7 @@ object Encoders {
                          indexPath: String): Unit = {
     val vocab = spark.read.parquet(s"$indexPath/_vocab")
     val byDoc = Window.partitionBy("doc_id")
-    newDocs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    docTermOf(newDocs)
       .join(broadcast(vocab), "tok")
       .select(col("doc_id"), col("tok"), (col("tf") * col("idf")).as("weight"))
       .withColumn("nrm", sqrt(

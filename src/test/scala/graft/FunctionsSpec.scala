@@ -166,6 +166,22 @@ class FunctionsSpec extends AnyFunSuite with Matchers with SharedSpark {
     }
   }
 
+  test("native tokenCounts equals the explode-groupBy term counts") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(Seq((100001L, ""), (100002L, "a a b"), (100003L, "héllo héllo"))
+        .toDF("doc_id", "text"))
+    val spec = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val kern = docs.select(col("doc_id"),
+        explode_outer(native.tokenCounts(tokens(col("text")))).as("tc"))
+      .filter(col("tc").isNotNull)
+      .select(col("doc_id"), col("tc.tok").as("tok"), col("tc.tf").as("tf"))
+    kern.unionByName(spec).except(kern.intersect(spec)).count() shouldBe 0
+    kern.count() shouldBe spec.count()
+  }
+
   test("rnd matches floor formula and avoids negative zero") {
     import spark.implicits._
     val df = Seq(0.59625, -0.00003, 0.0, 1.23456789, -2.5).toDF("x")
