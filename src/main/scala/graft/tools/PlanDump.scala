@@ -47,6 +47,21 @@ object PlanDump {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // final ADAPTIVE plan of the last completed action (the count):
+    // the df's own queryExecution is never executed by count(), so
+    // runtime facts — AQE join conversions, exchange/stage reuse —
+    // are only visible here
+    val lastPlan = new java.util.concurrent.atomic.AtomicReference[String]("")
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          lastPlan.set(qe.executedPlan.toString)
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => }
     names.foreach { n =>
       val df = graft.SparkEntry.queries(n)(spark, dir)
@@ -62,7 +77,15 @@ object PlanDump {
       val formatted = df2.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       Files.writeString(Paths.get(s"$outDir/${n}_$tag.txt"), formatted)
+      Thread.sleep(200)
+      val fin = lastPlan.get()
+      Files.writeString(Paths.get(s"$outDir/${n}_$tag.final.txt"), fin)
+      def cf(pat: String): Int = pat.r.findAllIn(fin).length
       def c(pat: String): Int = pat.r.findAllIn(planStr).length
+      println(s"PLANF $n reusedExchange=${cf("ReusedExchange")} " +
+        s"reusedStage=${cf("ReusedQueryStage")} shuffleStages=${cf("ShuffleQueryStage")} " +
+        s"bcastStages=${cf("BroadcastQueryStage")} smjF=${cf("SortMergeJoin")} " +
+        s"bhjF=${cf("BroadcastHashJoin")} scansF=${cf("FileScan parquet")}")
       println(f"PLANQ $n%-28s wall=$wall%7.3f s  taskTime=${taskMs.get / 1000.0}%8.3f s  " +
         s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}  " +
         s"shuffleEx=${c("Exchange hashpartitioning") + c("Exchange rangepartitioning") + c("Exchange SinglePartition")} " +
